@@ -1,0 +1,305 @@
+"""Configuration system: a single flat TrainingConfig + YAML task presets.
+
+Mirrors the reference's Hydra + dataclass ConfigStore setup
+(reference: config.py:21-212, conf/config.yaml, conf/task/*.yaml) with the
+same knob names and CLI contract (``task=train_ldm_mixed_rgb+raw
+task.tag=release``), implemented as a plain dataclass + YAML loader so the
+framework has no Hydra dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+import yaml
+
+from d3roma_tpu.ops.schedules import ScheduleConfig
+
+CONF_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "conf")
+
+SUPPORTED_SAMPLERS = ("ddpm", "ddim", "my_ddpm", "my_ddim", "euler", "heun")
+
+
+@dataclass
+class Augment:
+    """Data augmentation knobs (reference: config.py:21-33)."""
+
+    resizedcrop: dict = field(
+        default_factory=lambda: {
+            "scale": [2, 2],
+            "ratio": [1.3333333333333333, 1.3333333333333333],
+        }
+    )
+    hflip: str = "h"
+    min_scale: float = 0.0
+    max_scale: float = 0.0
+    saturation_range: List[float] = field(default_factory=lambda: [0, 1.4])
+    gamma: List[float] = field(default_factory=lambda: [1, 1, 1, 1])
+    yjitter: bool = False
+
+
+@dataclass
+class TrainingConfig:
+    """The single flat config (reference: config.py:36-136). Field names are
+    kept identical so reference task presets translate 1:1."""
+
+    name: Optional[str] = "your task name here"
+    tag: str = ""
+    camera_resolution: str = "320x256"  # WxH dataset camera resolution
+    image_size: Tuple[int, int] = (256, 320)  # (h, w) training image size
+    divis_by: int = 32
+    depth_channels: int = 1
+    cond_channels: str = "rgb"  # rgb | rgb+raw | left+right(+raw) | rgb+left+right(+raw)
+    train_batch_size: int = 12
+    eval_batch_size: int = 12
+    eval_num_batch: int = 2  # -1 evaluates the whole val set
+
+    num_epochs: int = 1000
+    gradient_accumulation_steps: int = 3
+    clip_grad_norm: float = 1.0
+
+    lr_warmup_steps: int = 500
+    val_every_global_steps: int = 1000
+    save_model_epochs: int = 10
+    mixed_precision: str = "no"  # "no" (f32) | "bf16" (TPU-native AMP)
+
+    overwrite_output_dir: bool = True
+
+    train_dataset: List[str] = field(default_factory=lambda: ["NYUv2"])
+    eval_dataset: List[str] = field(default_factory=lambda: ["NYUv2"])
+    dataset_weight: List[int] = field(default_factory=lambda: [1])
+    dataset_variant: str = "default"
+
+    # training settings
+    ldm: bool = True
+    prediction_space: str = "depth"  # "depth" | "disp"
+    ssi: bool = False
+    # normalizer
+    normalize_mode: str = "average"
+    num_chs: int = 3
+    ch_bounds: List[float] = field(default_factory=lambda: [256, 256, 256])
+    ch_gammas: List[float] = field(default_factory=lambda: [1 / 3.0, 1 / 3.0, 1 / 3.0])
+    norm_t: float = 0.5
+    norm_s: float = 2.0
+
+    num_train_timesteps: int = 128
+    num_inference_timesteps: int = 128
+    num_inference_rounds: int = 1
+    noise_strategy: str = "randn"  # "randn" | "pyramid"
+    loss_type: str = "l1"  # "l1" | "mse"
+    learning_rate: float = 1e-4
+    clip_gradient: bool = False
+
+    # scheduler
+    clip_sample: bool = True
+    clip_sample_range: float = 1.0
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    num_cycles: int = 1
+    beta_schedule: str = "squaredcos_cap_v2"
+    beta_start: float = 1e-4
+    beta_end: float = 2e-2
+    noise_rgb: bool = False
+
+    sampler: str = "my_ddpm"
+    prediction_type: str = "v_prediction"
+
+    # guidance
+    flow_guidance_weights: List[float] = field(default_factory=lambda: [0.0])
+    perturb_start_ratio: float = 1.0
+    guide_source: Optional[str] = None  # "raw" | "stereo-match"
+    flow_guidance_mode: str = "imputation"  # "imputation" | "gradient"
+
+    # evaluation
+    eval_output: str = ""
+    eval_split: str = "val"
+    write_pcd: bool = False
+    num_intermediate_images: int = 8
+    plot_mask: bool = False
+    plot_error_map: bool = True
+    plot_denoised_images: bool = True
+    plot_intermediate_images: bool = False
+    plot_intermediate_metrics: bool = False
+    experiment_dir: str = "experiments"
+    safe_ssi: bool = False
+    ransac_error_threshold: float = 0.6
+    ensemble: bool = False
+    coarse_to_fine: bool = False
+
+    # resume
+    resume_pretrained: Optional[str] = ""  # exported pipeline dir
+    resume_ckpt: Optional[str] = ""  # orbax train-state dir
+
+    output_dir: Optional[str] = ""
+
+    augment: Augment = field(default_factory=Augment)
+
+    # networks
+    block_out_channels: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    lr_scheduler: Optional[str] = "cosine"
+
+    # ------------------------------------------------------------------ #
+    @property
+    def image_hw(self) -> Tuple[int, int]:
+        return int(self.image_size[0]), int(self.image_size[1])
+
+    @property
+    def camera_wh(self) -> Tuple[int, int]:
+        w, h = self.camera_resolution.split("x")
+        return int(w), int(h)
+
+    def schedule_config(self, train: bool = True) -> ScheduleConfig:
+        """Translate sampler knobs into a ScheduleConfig
+        (reference: config.py:182-212)."""
+        if self.sampler not in SUPPORTED_SAMPLERS:
+            raise ValueError(f"Sampler not found: {self.sampler!r}")
+        if train and "ddim" in self.sampler:
+            raise AssertionError("DDIM should not be used for training")
+        is_ddim = "ddim" in self.sampler
+        return ScheduleConfig(
+            num_train_timesteps=self.num_train_timesteps,
+            beta_schedule=self.beta_schedule,
+            beta_start=self.beta_start,
+            beta_end=self.beta_end,
+            prediction_type=self.prediction_type,
+            clip_sample=self.clip_sample,
+            clip_sample_range=self.clip_sample_range,
+            thresholding=self.thresholding and not is_ddim,
+            dynamic_thresholding_ratio=self.dynamic_thresholding_ratio,
+            timestep_spacing="leading",
+            steps_offset=1 if is_ddim else 0,
+            set_alpha_to_one=False,
+        )
+
+
+@dataclass
+class Config:
+    """Root config (reference: config.py:139-143)."""
+
+    debug: bool = False
+    seed: int = -1
+    task: TrainingConfig = field(default_factory=TrainingConfig)
+
+
+def get_output_dir(base_config: Config) -> str:
+    """Encode hyperparameters in the run name (reference: config.py:156-166)."""
+    config = base_config.task
+    ssi = "ssi" if config.ssi else "nossi"
+    datasets = "_".join(config.train_dataset)
+    weights = "_".join(format(x, ".1f") for x in config.flow_guidance_weights)
+    tag = "" if config.tag == "" else f"-{config.tag}"
+    return (
+        f"{config.experiment_dir}/{config.name}{tag}.dep{config.depth_channels}"
+        f".lr{config.learning_rate:.0e}.{config.prediction_type}.{ssi}"
+        f".{config.beta_schedule}.{config.noise_strategy}"
+        f".{config.sampler}{config.num_train_timesteps}"
+        f".{datasets}.{config.image_size[0]}x{config.image_size[1]}"
+        f".{config.cond_channels}.w{weights}"
+        + ("_debug" if base_config.debug else "")
+    )
+
+
+def set_debug(config: TrainingConfig) -> None:
+    """Debug-mode shrink (reference: config.py:168-180)."""
+    config.val_every_global_steps = 10
+    config.save_model_epochs = 1
+    config.train_batch_size = 1
+    config.eval_batch_size = 1
+    config.beta_schedule = "linear"
+    config.beta_start = 1e-4
+    config.beta_end = 2e-1
+    config.num_train_timesteps = 128
+    config.num_inference_timesteps = 128
+    config.num_intermediate_images = 4
+
+
+# ---------------------------------------------------------------------- #
+# YAML preset loading + dotted overrides (the Hydra-equivalent surface)
+# ---------------------------------------------------------------------- #
+
+
+def _coerce(value: str) -> Any:
+    """Parse a CLI override value: YAML-style scalars and lists."""
+    try:
+        return yaml.safe_load(value)
+    except yaml.YAMLError:
+        return value
+
+
+def _apply_to_dataclass(obj: Any, key: str, value: Any) -> None:
+    parts = key.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"unknown config key: {key!r}")
+    current = getattr(obj, leaf)
+    if dataclasses.is_dataclass(current) and isinstance(value, dict):
+        for k, v in value.items():
+            _apply_to_dataclass(current, k, v)
+    else:
+        if isinstance(current, tuple) and isinstance(value, list):
+            value = tuple(value)
+        setattr(obj, leaf, value)
+
+
+def load_task_preset(name: str, conf_dir: Optional[str] = None) -> TrainingConfig:
+    """Load conf/task/<name>.yaml onto TrainingConfig defaults. Supports the
+    reference's ``defaults: [<parent>]`` inheritance used by eval presets."""
+    conf_dir = conf_dir or CONF_DIR
+    path = os.path.join(conf_dir, "task", f"{name}.yaml")
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+
+    cfg = TrainingConfig()
+    parents = data.pop("defaults", [])
+    if isinstance(parents, (str,)):
+        parents = [parents]
+    for parent in parents:
+        if isinstance(parent, dict):
+            continue  # hydra-style self-reference entries
+        parent_cfg = load_task_preset(str(parent), conf_dir)
+        cfg = parent_cfg
+    for k, v in data.items():
+        _apply_to_dataclass(cfg, k, v)
+    return cfg
+
+
+def compose(
+    overrides: Sequence[str] = (), conf_dir: Optional[str] = None
+) -> Config:
+    """Build a Config from ``key=value`` override strings, the programmatic
+    equivalent of the reference's ``hydra.compose`` (reference:
+    inference.py:44-47). ``task=<preset>`` selects a YAML preset; dotted
+    ``task.foo=bar`` overrides leaf fields."""
+    base = Config()
+    task_name = None
+    rest: List[Tuple[str, Any]] = []
+    for ov in overrides:
+        ov = ov.lstrip("+")
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value: {ov!r}")
+        k, v = ov.split("=", 1)
+        if k == "task":
+            task_name = v
+        else:
+            rest.append((k, _coerce(v)))
+    if task_name is not None:
+        base.task = load_task_preset(task_name, conf_dir)
+    for k, v in rest:
+        _apply_to_dataclass(base, k, v)
+    return base
+
+
+def config_to_dict(cfg: Any) -> dict:
+    if dataclasses.is_dataclass(cfg):
+        return {
+            f.name: config_to_dict(getattr(cfg, f.name))
+            for f in dataclasses.fields(cfg)
+        }
+    if isinstance(cfg, (list, tuple)):
+        return type(cfg)(config_to_dict(x) for x in cfg)
+    return cfg
