@@ -1,0 +1,240 @@
+"""Shared NHWC building blocks for the diffusion UNets and VAE.
+
+From-scratch Flax implementations with diffusers-compatible structure so
+reference checkpoints can be imported (reference model zoo is external
+diffusers — SURVEY.md §1 layer 6; construction at train.py:788-810,
+train.py:751-772). All convs are NHWC (TPU-native layout); weight import
+transposes from the reference's NCHW.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings. t: [B] -> [B, dim]."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer MLP lifting the sinusoidal embedding."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    """GroupNorm -> SiLU -> conv -> (+time) -> GroupNorm -> SiLU -> conv (+skip)."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_emb=None, deterministic: bool = True):
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and t_emb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(t_emb)
+            )
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return residual + h
+
+
+class SelfAttention2D(nn.Module):
+    """Spatial self-attention over HxW tokens with a GroupNorm pre-norm
+    (diffusers AttnBlock-compatible)."""
+
+    channels: int
+    head_dim: int = 8
+    groups: int = 32
+    eps: float = 1e-5
+    rescale_output_factor: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        num_heads = max(1, C // self.head_dim)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="group_norm")(x)
+        h = h.reshape(B, H * W, C)
+        q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
+        q = q.reshape(B, H * W, num_heads, C // num_heads)
+        k = k.reshape(B, H * W, num_heads, C // num_heads)
+        v = v.reshape(B, H * W, num_heads, C // num_heads)
+        attn = jax.nn.dot_product_attention(q, k, v)
+        attn = attn.reshape(B, H * W, C)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(attn)
+        out = out.reshape(B, H, W, C)
+        return (x + out) / self.rescale_output_factor
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention over [B, N, C] queries with optional [B, M, D]
+    context (self-attention when context is None)."""
+
+    query_dim: int
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        B, N, _ = x.shape
+        M = context.shape[1]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = q.reshape(B, N, self.heads, self.head_dim)
+        k = k.reshape(B, M, self.heads, self.head_dim)
+        v = v.reshape(B, M, self.heads, self.head_dim)
+        attn = jax.nn.dot_product_attention(q, k, v).reshape(B, N, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(attn)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF, all residual
+    (SD-style)."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(
+            self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
+        )(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(
+            self.dim, self.heads, self.head_dim, self.context_dim,
+            dtype=self.dtype, name="attn2",
+        )(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GroupNorm -> linear in -> N blocks -> linear out,
+    residual (SD use_linear_projection=True layout)."""
+
+    channels: int
+    heads: int
+    head_dim: int
+    context_dim: int
+    depth: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        h = nn.Dense(self.heads * self.head_dim, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads * self.head_dim, self.heads, self.head_dim,
+                self.context_dim, dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(h, context)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return residual + h.reshape(B, H, W, C)
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # diffusers uses asymmetric (0,1) padding for stride-2 convs
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding="VALID",
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)

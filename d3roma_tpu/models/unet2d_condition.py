@@ -1,0 +1,132 @@
+"""Latent-space cross-attention UNet (diffusers UNet2DConditionModel / SD2.1
+equivalent).
+
+From-scratch Flax NHWC implementation structured for weight import from the
+reference's Stable Diffusion 2.1 checkpoint, including the conv_in widening
+rule that duplicates and rescales the first conv for 4*(1+#conds) input
+channels (reference: train.py:751-772). Default hyperparameters match SD2.1:
+block_out_channels (320, 640, 1280, 1280), 64-dim attention heads,
+cross_attention_dim 1024, linear transformer projections.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from d3roma_tpu.models.layers import (
+    Downsample2D,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Transformer2D,
+    Upsample2D,
+    timestep_embedding,
+)
+
+
+class UNet2DCondition(nn.Module):
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D", "DownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+    )
+    layers_per_block: int = 2
+    attention_head_dim: int = 64
+    cross_attention_dim: int = 1024
+    norm_groups: int = 32
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """sample: [B, h, w, in_channels] latents (+concat cond latents);
+        encoder_hidden_states: [B, 77, cross_attention_dim] text embedding."""
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        context = encoder_hidden_states.astype(self.dtype)
+
+        c0 = self.block_out_channels[0]
+        t_emb = timestep_embedding(
+            timesteps, c0, self.flip_sin_to_cos, self.freq_shift
+        ).astype(self.dtype)
+        t_emb = TimestepEmbedding(c0 * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+
+        def heads_for(ch):
+            return max(1, ch // self.attention_head_dim)
+
+        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
+
+        # ---- down ----
+        skips = [x]
+        for i, (btype, ch) in enumerate(zip(self.down_block_types, self.block_out_channels)):
+            is_last = i == len(self.block_out_channels) - 1
+            for j in range(self.layers_per_block):
+                x = ResnetBlock2D(ch, groups=self.norm_groups, eps=1e-5,
+                                  dtype=self.dtype, name=f"down_{i}_res_{j}")(x, t_emb)
+                if btype == "CrossAttnDownBlock2D":
+                    x = Transformer2D(
+                        ch, heads_for(ch), self.attention_head_dim,
+                        self.cross_attention_dim, dtype=self.dtype,
+                        name=f"down_{i}_attn_{j}",
+                    )(x, context)
+                skips.append(x)
+            if not is_last:
+                x = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+                skips.append(x)
+
+        # ---- mid (UNetMidBlock2DCrossAttn) ----
+        mid_ch = self.block_out_channels[-1]
+        x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dtype=self.dtype,
+                          name="mid_res_0")(x, t_emb)
+        x = Transformer2D(mid_ch, heads_for(mid_ch), self.attention_head_dim,
+                          self.cross_attention_dim, dtype=self.dtype,
+                          name="mid_attn")(x, context)
+        x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dtype=self.dtype,
+                          name="mid_res_1")(x, t_emb)
+
+        # ---- up ----
+        rev = tuple(reversed(self.block_out_channels))
+        for i, btype in enumerate(self.up_block_types):
+            ch = rev[i]
+            is_last = i == len(self.up_block_types) - 1
+            for j in range(self.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock2D(ch, groups=self.norm_groups, dtype=self.dtype,
+                                  name=f"up_{i}_res_{j}")(x, t_emb)
+                if btype == "CrossAttnUpBlock2D":
+                    x = Transformer2D(
+                        ch, heads_for(ch), self.attention_head_dim,
+                        self.cross_attention_dim, dtype=self.dtype,
+                        name=f"up_{i}_attn_{j}",
+                    )(x, context)
+            if not is_last:
+                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+
+        x = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
+                    name="conv_out")(x)
+        return x
+
+
+def widened_in_channels(cond_channels: str, latent_channels: int = 4) -> int:
+    """4 * (1 + number of conditions) (reference: train.py:753-756)."""
+    dup = len(cond_channels.split("+")) + 1
+    return dup * latent_channels
