@@ -81,8 +81,8 @@ class UNet2DCondition(nn.Module):
                 if btype == "CrossAttnDownBlock2D":
                     x = Transformer2D(
                         ch, heads_for(ch), self.attention_head_dim,
-                        self.cross_attention_dim, dtype=self.dtype,
-                        name=f"down_{i}_attn_{j}",
+                        self.cross_attention_dim, groups=self.norm_groups,
+                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
             if not is_last:
@@ -94,8 +94,8 @@ class UNet2DCondition(nn.Module):
         x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dtype=self.dtype,
                           name="mid_res_0")(x, t_emb)
         x = Transformer2D(mid_ch, heads_for(mid_ch), self.attention_head_dim,
-                          self.cross_attention_dim, dtype=self.dtype,
-                          name="mid_attn")(x, context)
+                          self.cross_attention_dim, groups=self.norm_groups,
+                          dtype=self.dtype, name="mid_attn")(x, context)
         x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dtype=self.dtype,
                           name="mid_res_1")(x, t_emb)
 
@@ -112,8 +112,8 @@ class UNet2DCondition(nn.Module):
                 if btype == "CrossAttnUpBlock2D":
                     x = Transformer2D(
                         ch, heads_for(ch), self.attention_head_dim,
-                        self.cross_attention_dim, dtype=self.dtype,
-                        name=f"up_{i}_attn_{j}",
+                        self.cross_attention_dim, groups=self.norm_groups,
+                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
                     )(x, context)
             if not is_last:
                 x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)

@@ -1,0 +1,287 @@
+"""Sampling pipelines: the whole T-step denoise as one jitted `lax.scan`.
+
+TPU-native rebuild of the reference's GuidedDiffusionPipeline /
+GuidedLatentDiffusionPipeline Python loops
+(reference: core/custom_pipelines.py:90-213, 208-462). Differences by
+design:
+
+- The loop body (cond concat -> UNet -> scheduler step [-> guidance Adam])
+  is a single scan over a static timestep table — one XLA program, no host
+  round-trips.
+- Condition latents are VAE-encoded exactly once before the loop (the
+  reference re-encodes sim_disp every step in the rgb+raw branch,
+  custom_pipelines.py:353-355 — same value each time).
+- The final image is the decoded x_hat0 of the LAST step
+  (custom_pipelines.py:414-415,454), not the final latent.
+- Intermediates: x_hat0 at every step is stacked by the scan; callers
+  subsample every T//num_intermediate_images (custom_pipelines.py:177-183).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3roma_tpu.guidance import FlowGuidance
+from d3roma_tpu.ops.schedules import ScheduleConfig, ScheduleTables, add_noise, set_timesteps
+from d3roma_tpu.ops.scheduler_step import ddim_step, ddpm_step
+
+
+class PipelineOutput(NamedTuple):
+    """Final prediction + per-step x_hat0 intermediates
+    (reference: core/custom_pipelines.py:63-88 returns five stacks; they are
+    all the same decoded x_hat0 in the current reference code, so one stack
+    is kept here)."""
+
+    images: jnp.ndarray  # [B, H, W, C] final (decoded) x_hat0, clamped
+    intermediates: jnp.ndarray  # [S, B, H, W, C] decoded x_hat0 per kept step
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerSpec:
+    """Static sampler choice + schedule (reference: config.py:182-212)."""
+
+    kind: str  # "ddpm" | "my_ddpm" | "ddim" | "my_ddim"
+    schedule: ScheduleConfig
+    eta: float = 0.0
+    use_clipped_model_output: bool = False
+
+    @property
+    def is_ddim(self) -> bool:
+        return "ddim" in self.kind
+
+
+def build_cond_concat(
+    cond_channels: str,
+    rgb: Optional[jnp.ndarray] = None,
+    left: Optional[jnp.ndarray] = None,
+    right: Optional[jnp.ndarray] = None,
+    raw: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Channel-concat conditions per combo (reference:
+    custom_pipelines.py:158-171, 353-367). Channel-last."""
+    parts = {
+        "rgb": [rgb],
+        "rgb+raw": [rgb, raw],
+        "left+right": [left, right],
+        "left+right+raw": [left, right, raw],
+        "rgb+left+right": [rgb, left, right],
+        "rgb+left+right+raw": [rgb, left, right, raw],
+    }
+    if cond_channels not in parts:
+        raise ValueError(f"Unknown cond_channels: {cond_channels}")
+    chosen = parts[cond_channels]
+    assert all(p is not None for p in chosen), f"missing conds for {cond_channels}"
+    return jnp.concatenate(chosen, axis=-1)
+
+
+def _timestep_arrays(schedule: ScheduleConfig, num_inference_steps: int):
+    ts = set_timesteps(schedule, num_inference_steps)
+    prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    return jnp.asarray(ts), jnp.asarray(prev)
+
+
+def run_sampler(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    spec: SamplerSpec,
+    tables: ScheduleTables,
+    x_init: jnp.ndarray,
+    conds: jnp.ndarray,
+    key: jax.Array,
+    num_inference_steps: int,
+    guidance_fn=None,
+    noise_rgb_cfg: Optional[Dict] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Core scan. model_fn(model_input, t) -> model output (same shape as
+    x_init). Returns (final prev_sample, per-step x_hat0 stack [T, ...]) —
+    the pixel pipeline's output contract is the final prev_sample
+    (custom_pipelines.py:173-205) while the latent one takes the last
+    x_hat0 from the stack (custom_pipelines.py:414-415).
+
+    noise_rgb_cfg, when given, is {"rgb": latent/image, "slice": (start,
+    stop)} implementing the reference's add_noise_rgb option: the rgb slice
+    of `conds` is blended 50/50 with its noised version at each t
+    (custom_pipelines.py:343-350).
+    """
+    ts, prev_ts = _timestep_arrays(spec.schedule, num_inference_steps)
+    cfg = spec.schedule
+
+    def body(carry, step_in):
+        x, k = carry
+        t, prev_t = step_in
+        k, k_noise, k_rgb = jax.random.split(k, 3)
+
+        step_conds = conds
+        if noise_rgb_cfg is not None:
+            rgb = noise_rgb_cfg["rgb"]
+            s0, s1 = noise_rgb_cfg["slice"]
+            noise = jax.random.normal(k_rgb, rgb.shape, rgb.dtype)
+            noisy = add_noise(tables, rgb, noise, t)
+            final_rgb = rgb * 0.5 + noisy * 0.5
+            step_conds = jnp.concatenate(
+                [conds[..., :s0], final_rgb, conds[..., s1:]], axis=-1
+            )
+
+        model_input = jnp.concatenate([x, step_conds], axis=-1)
+        model_output = model_fn(model_input, t)
+
+        if spec.is_ddim:
+            out = ddim_step(
+                tables, cfg, model_output, t, prev_t, x,
+                eta=spec.eta,
+                key=k_noise if spec.eta > 0 else None,
+                use_clipped_model_output=spec.use_clipped_model_output,
+                guidance_fn=guidance_fn,
+            )
+        else:
+            out = ddpm_step(
+                tables, cfg, model_output, t, prev_t, x,
+                key=k_noise, guidance_fn=guidance_fn,
+            )
+        return (out.prev_sample, k), out.perturbed_original_sample
+
+    (x_final, _), x0_stack = jax.lax.scan(body, (x_init, key), (ts, prev_ts))
+    return x_final, x0_stack
+
+
+# ---------------------------------------------------------------------- #
+# Pixel-space pipeline
+# ---------------------------------------------------------------------- #
+
+
+def pixel_pipeline(
+    unet_apply: Callable,
+    spec: SamplerSpec,
+    tables: ScheduleTables,
+    key: jax.Array,
+    num_inference_steps: int,
+    num_intermediate_images: int,
+    depth_channels: int,
+    cond_channels: str,
+    rgb: Optional[jnp.ndarray] = None,
+    left: Optional[jnp.ndarray] = None,
+    right: Optional[jnp.ndarray] = None,
+    sim_disp: Optional[jnp.ndarray] = None,
+    guidance: Optional[FlowGuidance] = None,
+    raw_mask: Optional[jnp.ndarray] = None,
+    add_noise_rgb: bool = False,
+) -> PipelineOutput:
+    """Pixel-space sampling (reference: custom_pipelines.py:90-213).
+
+    All image tensors NHWC at full resolution; starts from noise at image
+    resolution; final images are clamped x_hat0 of the last step.
+    """
+    ref = next(x for x in (rgb, left) if x is not None)
+    B, H, W, _ = ref.shape
+    conds = build_cond_concat(cond_channels, rgb, left, right, sim_disp)
+
+    key, k_init = jax.random.split(key)
+    x_init = jax.random.normal(k_init, (B, H, W, depth_channels), ref.dtype)
+
+    guidance_fn = None
+    if guidance is not None and guidance.enabled and sim_disp is not None:
+        if guidance.flow_guidance_mode == "imputation":
+            mask = raw_mask if raw_mask is not None else (sim_disp != 0)
+            guidance_fn = guidance.make_pixel_imputation_fn(
+                sim_disp[..., :depth_channels], mask[..., :depth_channels]
+            )
+
+    noise_rgb_cfg = None
+    if add_noise_rgb and rgb is not None and cond_channels.startswith("rgb"):
+        noise_rgb_cfg = {"rgb": rgb, "slice": (0, rgb.shape[-1])}
+
+    final, stack = run_sampler(
+        unet_apply, spec, tables, x_init, conds, key,
+        num_inference_steps, guidance_fn, noise_rgb_cfg,
+    )
+    every = max(1, num_inference_steps // num_intermediate_images)
+    inter = jnp.clip(stack[every - 1 :: every], -1.0, 1.0)
+    return PipelineOutput(jnp.clip(final, -1.0, 1.0), inter)
+
+
+# ---------------------------------------------------------------------- #
+# Latent pipeline
+# ---------------------------------------------------------------------- #
+
+
+def latent_pipeline(
+    unet_apply: Callable,
+    vae_encode: Callable[[jnp.ndarray], jnp.ndarray],
+    vae_encode_disp: Callable[[jnp.ndarray], jnp.ndarray],
+    vae_decode: Callable[[jnp.ndarray], jnp.ndarray],
+    text_embed: jnp.ndarray,
+    spec: SamplerSpec,
+    tables: ScheduleTables,
+    key: jax.Array,
+    num_inference_steps: int,
+    num_intermediate_images: int,
+    cond_channels: str,
+    rgb: Optional[jnp.ndarray] = None,
+    left: Optional[jnp.ndarray] = None,
+    right: Optional[jnp.ndarray] = None,
+    sim_disp: Optional[jnp.ndarray] = None,
+    raw_depth: Optional[jnp.ndarray] = None,
+    guidance: Optional[FlowGuidance] = None,
+    denormer: Optional[Callable] = None,
+    add_noise_rgb: bool = False,
+) -> PipelineOutput:
+    """Latent-space sampling (reference: custom_pipelines.py:208-462).
+
+    Conditions are encoded once; latent noise starts at H/8 x W/8; the
+    model is conditioned on the (empty-prompt) text embedding; guidance in
+    "gradient" mode runs inside the scan; the returned images are VAE
+    decodes of x_hat0 (channel-mean -> 1 channel), clamped to [-1, 1].
+    """
+    ref = next(x for x in (rgb, left, right, sim_disp) if x is not None)
+    B, H, W, _ = ref.shape
+
+    lat = {}
+    if rgb is not None:
+        lat["rgb"] = vae_encode(rgb)
+    if left is not None:
+        lat["left"] = vae_encode(left)
+    if right is not None:
+        lat["right"] = vae_encode(right)
+    if sim_disp is not None:
+        lat["raw"] = vae_encode_disp(sim_disp)
+
+    conds = build_cond_concat(
+        cond_channels, lat.get("rgb"), lat.get("left"), lat.get("right"), lat.get("raw")
+    )
+
+    key, k_init = jax.random.split(key)
+    x_init = jax.random.normal(k_init, (B, H // 8, W // 8, 4), ref.dtype)
+
+    if text_embed.shape[0] == 1 and B > 1:
+        text_embed = jnp.broadcast_to(text_embed, (B,) + text_embed.shape[1:])
+
+    def model_fn(model_input, t):
+        return unet_apply(model_input, t, text_embed)
+
+    guidance_fn = None
+    if guidance is not None and guidance.enabled:
+        assert spec.is_ddim, "in-step guidance is routed only for DDIM (reference: custom_pipelines.py:390-402)"
+        assert raw_depth is not None and denormer is not None
+        guidance_fn = guidance.make_latent_guidance_fn(
+            vae_decode, denormer, raw_depth
+        )
+
+    noise_rgb_cfg = None
+    if add_noise_rgb and "rgb" in lat and "rgb" in cond_channels:
+        noise_rgb_cfg = {"rgb": lat["rgb"], "slice": (0, lat["rgb"].shape[-1])}
+
+    _, x0_stack = run_sampler(
+        model_fn, spec, tables, x_init, conds, key,
+        num_inference_steps, guidance_fn, noise_rgb_cfg,
+    )
+
+    every = max(1, num_inference_steps // num_intermediate_images)
+    kept = x0_stack[every - 1 :: every]
+    decoded = jax.vmap(vae_decode)(kept)
+    inter = jnp.clip(decoded, -1.0, 1.0)
+    final = jnp.clip(vae_decode(x0_stack[-1]), -1.0, 1.0)
+    return PipelineOutput(final, inter)

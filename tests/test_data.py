@@ -1,0 +1,148 @@
+"""Data layer tests with synthetic on-disk fixtures."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3roma_tpu.config import TrainingConfig
+from d3roma_tpu.data import DataLoader, collate, create_dataset, device_preprocess
+from d3roma_tpu.data.augment import FlowAugmentor, SparseFlowAugmentor
+from d3roma_tpu.data.datasets import Real
+from d3roma_tpu.ops import Normalizer
+from d3roma_tpu.utils.camera import Realsense
+
+
+@pytest.fixture
+def real_scene(tmp_path):
+    """Synthetic RealSense capture in the datasets/Real layout."""
+    import cv2
+
+    scene = tmp_path / "Real" / "synth"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        rgb = rng.integers(0, 255, (360, 640, 3), np.uint8)
+        cv2.imwrite(str(scene / f"{i:04d}_color.png"), rgb)
+        depth_mm = rng.integers(400, 2000, (360, 640)).astype(np.uint16)
+        cv2.imwrite(str(scene / f"{i:04d}_depth.png"), depth_mm)
+        ir = rng.integers(0, 255, (360, 640), np.uint8)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_l.png"), ir)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_r.png"), ir)
+    return str(tmp_path / "Real")
+
+
+def _real_dataset(root, split="test"):
+    from functools import partial
+
+    from d3roma_tpu.utils import frame_utils
+
+    camera = Realsense.default_real("fxm")
+    camera.change_resolution("480x270")
+    return Real(camera, (180, 320), split=split, root=root, scene="synth",
+                reader=partial(frame_utils.readDispReal, camera), seed=0)
+
+
+def test_real_dataset_item(real_scene):
+    ds = _real_dataset(real_scene)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["rgb"].shape == (270, 480, 3)
+    assert item["disp"].shape == (270, 480, 1)
+    assert item["raw_depth"].shape == (270, 480, 1)
+    assert item["fxb"] > 0
+    assert item["device"] == "fxm"
+
+
+def test_real_dataset_train_crop(real_scene):
+    ds = _real_dataset(real_scene, split="train")
+    item = ds[0]
+    assert item["rgb"].shape == (180, 320, 3)
+    assert item["disp"].shape == (180, 320, 1)
+
+
+def test_dataset_mul_and_concat(real_scene):
+    ds = _real_dataset(real_scene)
+    assert len(ds * 3) == 9
+    assert len(ds + ds) == 6
+    assert (ds * 2)[4]["index"] == ds[1]["index"]
+
+
+def test_dataloader_batching(real_scene):
+    ds = _real_dataset(real_scene)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["rgb"].shape == (2, 270, 480, 3)
+    assert len(b["path"]) == 2
+
+
+def test_device_preprocess_disp_space(real_scene):
+    ds = _real_dataset(real_scene)
+    batch = collate([ds[0], ds[1]])
+    raw = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("path", "device")}
+    norm = Normalizer(ssi=True, safe_ssi=False)
+    out = device_preprocess(raw, norm, "disp")
+    assert out["normalized_disp"].shape == (2, 270, 480, 1)
+    nd = np.asarray(out["normalized_disp"])
+    m = np.asarray(out["mask"]) > 0
+    assert nd[m].max() <= 1.0 + 1e-5 and nd[m].min() >= -1.0 - 1e-5
+    assert np.asarray(out["normalized_rgb"]).min() >= -1.0
+    # sim channel built from raw_depth via fxb
+    sim = np.asarray(out["sim_disp_unnorm"])
+    rd = np.asarray(raw["raw_depth"])
+    fxb = float(np.asarray(raw["fxb"])[0])
+    sm = np.asarray(out["sim_mask"]) > 0
+    np.testing.assert_allclose(sim[sm], fxb / rd[sm], rtol=1e-4)
+
+
+def test_device_preprocess_depth_space(real_scene):
+    ds = _real_dataset(real_scene)
+    batch = collate([ds[0]])
+    raw = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("path", "device")}
+    norm = Normalizer(ssi=True, safe_ssi=False)
+    out = device_preprocess(raw, norm, "depth")
+    assert np.asarray(out["raw_disp"]).shape == (1, 270, 480, 1)
+    np.testing.assert_allclose(np.asarray(out["raw_disp"]), np.asarray(raw["depth"]))
+
+
+def test_flow_augmentor_shapes():
+    aug = FlowAugmentor(crop_size=(64, 96), seed=0)
+    rng = np.random.default_rng(0)
+    img1 = rng.integers(0, 255, (100, 150, 3), np.uint8)
+    img2 = rng.integers(0, 255, (100, 150, 3), np.uint8)
+    flow = rng.normal(size=(100, 150, 2)).astype(np.float32)
+    o1, o2, of, _ = aug(img1, img2, flow)
+    assert o1.shape == (64, 96, 3) and o2.shape == (64, 96, 3)
+    assert of.shape == (64, 96, 2)
+
+
+def test_sparse_augmentor_shapes():
+    aug = SparseFlowAugmentor(crop_size=(64, 96), seed=0)
+    rng = np.random.default_rng(1)
+    img1 = rng.integers(0, 255, (100, 150, 3), np.uint8)
+    img2 = rng.integers(0, 255, (100, 150, 3), np.uint8)
+    flow = rng.normal(size=(100, 150, 2)).astype(np.float32)
+    valid = (rng.random((100, 150)) > 0.5).astype(np.float32)
+    o1, o2, of, ov = aug(img1, img2, flow, valid)
+    assert o1.shape == (64, 96, 3)
+    assert of.shape == (64, 96, 2) and ov.shape == (64, 96)
+
+
+def test_create_dataset_real_name_parsing(real_scene, monkeypatch):
+    monkeypatch.chdir(os.path.dirname(real_scene))
+    cfg = TrainingConfig(camera_resolution="480x270", image_size=(180, 320))
+    # Real_<split>_<device> parsing (reference: data_loader.py:14-15)
+    ds = create_dataset(cfg, "Real_test_fxm", "test")
+    assert ds.camera.device == "fxm"
+
+
+def test_dataloader_surfaces_worker_errors(real_scene):
+    ds = _real_dataset(real_scene)
+    ds.raw_depth_list[0] = "/nonexistent.png"
+    ds.rgb_list[0] = "/nonexistent.png"  # rgb read will raise
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=1)
+    with pytest.raises(Exception):
+        list(dl)

@@ -1,0 +1,182 @@
+"""Tests for camera geometry, point clouds, file IO, viz."""
+
+import os
+
+import numpy as np
+import pytest
+
+from d3roma_tpu.utils import (
+    DepthCamera,
+    K,
+    Realsense,
+    RGBDCamera,
+    backproject_depth,
+    read_ply,
+    voxel_downsample,
+    write_ply,
+)
+from d3roma_tpu.utils.frame_utils import (
+    readDispReal,
+    readFlow,
+    readPFM,
+    writeFlow,
+    writePFM,
+    interpolate_missing_pixels,
+)
+
+
+def test_K_scaling_and_inverse():
+    k = K(400.0, 410.0, 320.0, 180.0)
+    k2 = k * 0.5
+    assert k2.fx == 200.0 and k2.cy == 90.0
+    np.testing.assert_allclose(k.inv @ k.arr, np.eye(3), atol=1e-12)
+
+
+def test_realsense_disparity_window():
+    cam = Realsense.default_real("fxm")
+    assert cam.resolution == (360, 640)
+    # min/max disp derived from depth range (reference camera.py:110-125)
+    assert cam.min_disp == pytest.approx(cam.K_depth.fx * cam.baseline / cam.max_depth)
+    assert cam.max_disp == pytest.approx(cam.K_depth.fx * cam.baseline / cam.min_depth)
+    assert cam.baseline > 0.05  # ~5.5cm stereo baseline, sign-flipped by _T_fc
+    # normalize/unnormalize round trip with clipping
+    d = np.linspace(cam.min_disp + 0.1, cam.max_disp - 0.1, 10)
+    nd = cam.normalize_disp(d)
+    np.testing.assert_allclose(cam.unnormalize_disp(nd), d, rtol=1e-6)
+
+
+def test_change_resolution_once():
+    cam = Realsense.default_real("wsl")
+    fx0 = cam.K_color.fx
+    cam.change_resolution("320x180")
+    assert cam.H == 180 and cam.W == 320
+    assert cam.K_color.fx == pytest.approx(fx0 / 2)
+    with pytest.raises(RuntimeError):
+        cam.change_resolution("640x360")
+
+
+def test_from_device_factory():
+    assert DepthCamera.from_device("clearpose").device == "clearpose"
+    assert DepthCamera.from_device("syntodd").device == "syntodd"
+    assert DepthCamera.from_device("sim").device == "sim"
+    assert DepthCamera.from_device("wsl").device == "wsl"
+
+
+def test_rgbd_pseudo_baseline_matches_realsense_fxb():
+    cam = RGBDCamera.default_clearpose()
+    # hack: fxb pinned to 24.54705 (reference camera.py:225-229)
+    assert cam.fxb == pytest.approx(24.54705)
+
+
+def test_sim_camera_fov_focal():
+    cam = Realsense.default_sim(fov=90.0)
+    # fx = W / (2 tan(fov/2)) = 640/2 = 320
+    assert cam.intrinsics["color"][0] == pytest.approx(320.0)
+
+
+def test_backproject_identity():
+    Kmat = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    depth = np.full((48, 64), 2.0, np.float32)
+    pts, _ = backproject_depth(depth, Kmat)
+    assert pts.shape == (48 * 64, 3)
+    np.testing.assert_allclose(pts[:, 2], 2.0)
+    # center pixel maps to (0, 0, z)
+    center = pts[24 * 64 + 32]
+    np.testing.assert_allclose(center, [0, 0, 2.0], atol=1e-5)
+
+
+def test_ply_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).integers(0, 255, size=(100, 3)).astype(np.uint8)
+    p = str(tmp_path / "t.ply")
+    write_ply(p, pts, cols)
+    pts2, cols2 = read_ply(p)
+    np.testing.assert_allclose(pts2, pts, rtol=1e-6)
+    np.testing.assert_array_equal(cols2, cols)
+
+
+def test_voxel_downsample():
+    pts = np.array([[0.0, 0, 0], [0.01, 0, 0], [1.0, 1, 1]], np.float32)
+    out, _ = voxel_downsample(pts, None, 0.1)
+    assert out.shape[0] == 2
+    np.testing.assert_allclose(sorted(out[:, 0]), [0.005, 1.0], atol=1e-6)
+
+
+def test_depth_reprojection_identity_extrinsics():
+    cam = RGBDCamera.default_clearpose()
+    depth = np.full((cam.H, cam.W), 1.5, np.float32)
+    out = cam.transform_depth_to_rgb_frame(depth)
+    # identity extrinsics + same K -> same depth (up to fill)
+    valid = out > 0
+    assert valid.mean() > 0.95
+    np.testing.assert_allclose(out[valid], 1.5, atol=1e-5)
+
+
+def test_pfm_roundtrip(tmp_path):
+    img = np.random.default_rng(2).normal(size=(12, 16)).astype(np.float32)
+    p = str(tmp_path / "t.pfm")
+    writePFM(p, img)
+    np.testing.assert_allclose(readPFM(p), img, rtol=1e-6)
+    # color variant
+    img3 = np.random.default_rng(3).normal(size=(8, 10, 3)).astype(np.float32)
+    writePFM(str(tmp_path / "c.pfm"), img3)
+    np.testing.assert_allclose(readPFM(str(tmp_path / "c.pfm")), img3, rtol=1e-6)
+
+
+def test_flo_roundtrip(tmp_path):
+    uv = np.random.default_rng(4).normal(size=(6, 8, 2)).astype(np.float32)
+    p = str(tmp_path / "t.flo")
+    writeFlow(p, uv)
+    np.testing.assert_allclose(readFlow(p), uv, rtol=1e-6)
+
+
+def test_readDispReal_missing_file_fault_masking():
+    cam = Realsense.default_real("fxm")
+    disp, valid, lo, hi = readDispReal(cam, "/nonexistent/file.png")
+    # dummy disparity hack (reference: frame_utils.py:170-172)
+    assert disp.shape == tuple(cam.resolution)
+    assert lo == 0 and hi == 1
+
+
+def test_readDispReal_depth_png(tmp_path):
+    import cv2
+
+    cam = Realsense.default_real("fxm")
+    # depth in millimeters, 1m everywhere
+    depth_mm = np.full((360, 640), 1000, np.uint16)
+    p = str(tmp_path / "0000_depth.png")
+    cv2.imwrite(p, depth_mm)
+    disp, valid, _, _ = readDispReal(cam, p)
+    expect = cam.fxb_depth / 1.0
+    np.testing.assert_allclose(disp[valid], expect, rtol=1e-5)
+    assert valid.mean() > 0.99
+
+
+def test_interpolate_missing_pixels():
+    img = np.ones((8, 8), np.float32) * 3.0
+    mask = np.zeros((8, 8), bool)
+    mask[4, 4] = True
+    img[4, 4] = 0.0
+    out = interpolate_missing_pixels(img, mask)
+    assert out[4, 4] == pytest.approx(3.0)
+
+
+def test_viz_outputs(tmp_path):
+    from d3roma_tpu.utils.viz import (
+        colorize,
+        make_image_grid,
+        plot_denoised_images,
+        plot_error_map,
+        plot_uncertainties,
+    )
+
+    gt = np.random.default_rng(5).uniform(size=(16, 16))
+    pred = gt + 0.1
+    plot_error_map(gt, pred, None, str(tmp_path / "err.png"))
+    plot_uncertainties(gt, str(tmp_path / "unc.png"))
+    plot_denoised_images([gt, pred], str(tmp_path / "grid.png"))
+    assert os.path.exists(tmp_path / "err.png")
+    c = colorize(gt)
+    assert c.shape == (16, 16, 3) and c.dtype == np.uint8
+    canvas = make_image_grid([c, c, c], 2, 2)
+    assert canvas.shape == (32, 32, 3)
