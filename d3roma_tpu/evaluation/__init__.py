@@ -1,0 +1,7 @@
+from d3roma_tpu.evaluation.averager import RunningAverager  # noqa: F401
+from d3roma_tpu.evaluation.eval_loop import (  # noqa: F401
+    denormalize,
+    eval_batch,
+    eval_sliced_batch,
+    evaluate_dataset,
+)

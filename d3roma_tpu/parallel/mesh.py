@@ -1,0 +1,79 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's Accelerate/NCCL data parallelism
+(reference: train.py:722-727, 551-553; distributed_evaluate.py:96): a 1-D
+``data`` mesh over all devices, batches sharded on the leading axis, model
+state replicated. Gradient all-reduce is not explicit anywhere — jit's SPMD
+partitioner inserts the psum over the data axis, riding ICI. Multi-host
+entry goes through `jax.distributed.initialize` + `jax.make_array_from_
+process_local_data` so each host feeds only its local shard.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place a host-global numpy batch onto the mesh, sharded on axis 0.
+
+    In multi-process mode each process holds only its slice and we build the
+    global array from local shards (the `gather_for_metrics`-free
+    equivalent of Accelerate's sharded loaders).
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicate_sharding(mesh))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
+    return {k: put(v) for k, v in batch.items()
+            if not isinstance(v, (list, str))}
+
+
+def replicate_state(state, mesh: Mesh):
+    return jax.device_put(state, replicate_sharding(mesh))
+
+
+def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
+    """Pad the batch so the leading dim divides the mesh (eval tails)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (list, str)):
+            out[k] = v
+            continue
+        v = np.asarray(v)
+        if v.ndim == 0:
+            out[k] = v
+            continue
+        b = v.shape[0]
+        rem = (-b) % n_devices
+        if rem:
+            pad = np.repeat(v[-1:], rem, axis=0)
+            v = np.concatenate([v, pad], axis=0)
+        out[k] = v
+    return out

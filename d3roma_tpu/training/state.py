@@ -1,0 +1,129 @@
+"""Train state, step counter, and optimizer construction.
+
+TrainState is a pure pytree (params + optimizer + RNG + loss-aware sampler
+state + counters); the reference's `StepCounter` registered for
+checkpointing (reference: train.py:44-90) maps to the step/epoch fields
+plus the host-side loss ring used by abnormal-loss forensics. Optimizer:
+AdamW with constant / cosine-with-restarts / linear warmup schedules
+(reference: train.py:862-890), gradient accumulation via optax.MultiSteps
+(reference: accelerator.accumulate, train.py:282), global-norm clipping
+(reference: train.py:517-528).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from d3roma_tpu.ops.resample import SamplerState, init_loss_aware_state
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray  # global optimizer step
+    params: dict
+    opt_state: optax.OptState
+    sampler_state: SamplerState
+    rng: jax.Array
+
+    def next_rng(self):
+        return jax.random.fold_in(self.rng, self.step)
+
+
+def build_lr_schedule(config, steps_per_epoch: int):
+    """Reference: train.py:862-890."""
+    base = config.learning_rate
+    warmup = config.lr_warmup_steps
+    total = max(1, config.num_epochs * steps_per_epoch)
+    kind = config.lr_scheduler or "constant"
+    if kind == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warmup), optax.constant_schedule(base)],
+            [warmup],
+        )
+    if kind == "cosine":
+        # cosine with hard restarts, num_cycles cycles
+        cycles = max(1, config.num_cycles)
+        per = max(1, (total - warmup) // cycles)
+        scheds = [optax.linear_schedule(0.0, base, warmup)]
+        bounds = [warmup]
+        for i in range(cycles):
+            scheds.append(optax.cosine_decay_schedule(base, per))
+            if i < cycles - 1:
+                bounds.append(warmup + per * (i + 1))
+        return optax.join_schedules(scheds, bounds)
+    if kind == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warmup),
+             optax.linear_schedule(base, 0.0, max(1, total - warmup))],
+            [warmup],
+        )
+    raise ValueError(f"unknown lr_scheduler: {kind}")
+
+
+def build_optimizer(config, steps_per_epoch: int) -> optax.GradientTransformation:
+    sched = build_lr_schedule(config, steps_per_epoch)
+    chain = []
+    if config.clip_grad_norm and config.clip_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(config.clip_grad_norm))
+    chain.append(
+        optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+    )
+    tx = optax.chain(*chain)
+    if config.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
+    return tx
+
+
+def create_train_state(
+    config, params: dict, steps_per_epoch: int, seed: int = 0
+) -> TrainState:
+    tx = build_optimizer(config, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        sampler_state=init_loss_aware_state(config.num_train_timesteps),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+class StepCounter:
+    """Host-side epoch/step bookkeeping + running loss average for
+    abnormal-loss detection (reference: train.py:44-90)."""
+
+    def __init__(self, horizon: int = 100):
+        self.epoch = 0
+        self.local_step = 0
+        self.global_step = 0
+        self.horizon = horizon
+        self._losses: list = []
+
+    def tick(self, loss: Optional[float] = None):
+        self.local_step += 1
+        self.global_step += 1
+        if loss is not None:
+            self._losses.append(float(loss))
+            if len(self._losses) > self.horizon:
+                self._losses.pop(0)
+
+    def new_epoch(self):
+        self.epoch += 1
+        self.local_step = 0
+
+    @property
+    def avg_loss(self) -> float:
+        return sum(self._losses) / len(self._losses) if self._losses else 0.0
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "local_step": self.local_step,
+                "global_step": self.global_step, "losses": list(self._losses)}
+
+    def load_state_dict(self, sd: dict):
+        self.epoch = sd["epoch"]
+        self.local_step = sd["local_step"]
+        self.global_step = sd["global_step"]
+        self._losses = list(sd.get("losses", []))

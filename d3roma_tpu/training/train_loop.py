@@ -1,0 +1,297 @@
+"""The training driver.
+
+Rebuild of the reference `train()` / `run_train` (reference:
+train.py:540-898): model construction per family, data-parallel jitted
+step over the device mesh, per-step loss-aware sampler updates, periodic
+in-training eval over all val loaders with best-EPE pipeline export,
+per-epoch checkpointing, resume with mid-epoch fast-forward, TensorBoard
+logging, and abnormal-loss forensics.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3roma_tpu.data import device_preprocess, fetch_dataloader
+from d3roma_tpu.evaluation.eval_loop import evaluate_dataset
+from d3roma_tpu.guidance import FlowGuidance
+from d3roma_tpu.models import (
+    AutoencoderKL,
+    UNet2D,
+    UNet2DCondition,
+    pixel_in_channels,
+    widened_in_channels,
+)
+from d3roma_tpu.ops.normalizer import Normalizer
+from d3roma_tpu.ops.padding import InputPadder
+from d3roma_tpu.parallel import make_mesh, replicate_sharding, shard_batch
+from d3roma_tpu.pipelines import (
+    GuidedDiffusionPipeline,
+    GuidedLatentDiffusionPipeline,
+    create_sampler_spec,
+)
+from d3roma_tpu.training.checkpoint import latest_checkpoint, load_state, save_state
+from d3roma_tpu.training.forensics import AbnormalLossDetector
+from d3roma_tpu.training.state import (
+    StepCounter,
+    build_optimizer,
+    create_train_state,
+)
+from d3roma_tpu.training.train_step import make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def build_models(config, key: jax.Array, dtype=jnp.float32):
+    """Construct the model family (reference: train.py:743-860).
+
+    Returns dict with unet/unet_params (+ vae/vae_params/text_embed for LDM).
+    """
+    h, w = config.image_hw
+    padder = InputPadder((h, w), divis_by=config.divis_by)
+    ph, pw = padder.padded_size
+
+    if config.ldm:
+        assert config.depth_channels == 4, "ldm only support 4 channels"
+        in_ch = widened_in_channels(config.cond_channels)
+        unet = UNet2DCondition(in_channels=in_ch, out_channels=4, dtype=dtype)
+        sample = jnp.zeros((1, ph // 8, pw // 8, in_ch))
+        ctx = jnp.zeros((1, 77, unet.cross_attention_dim))
+        unet_params = jax.jit(unet.init)(key, sample, jnp.array([0]), ctx)["params"]
+
+        vae = AutoencoderKL(dtype=dtype)
+        vae_params = jax.jit(vae.init)(
+            jax.random.fold_in(key, 1), jnp.zeros((1, 64, 64, 3))
+        )["params"]
+
+        # frozen empty-prompt embedding; imported checkpoints replace this
+        text_embed = jnp.zeros((1, 77, unet.cross_attention_dim))
+
+        if config.resume_pretrained:
+            pipe = GuidedLatentDiffusionPipeline.from_pretrained(config.resume_pretrained)
+            unet, unet_params = pipe.unet, pipe.unet_params
+            vae, vae_params = pipe.vae, pipe.vae_params
+            text_embed = pipe.text_embed
+        return dict(unet=unet, unet_params=unet_params, vae=vae,
+                    vae_params=vae_params, text_embed=text_embed)
+    else:
+        in_ch = pixel_in_channels(config.cond_channels, config.depth_channels)
+        # block layout scales with block_out_channels: attention on the
+        # second-deepest level, as in the reference's fixed 6-block layout
+        # (train.py:795-810)
+        n_blocks = len(config.block_out_channels)
+        attn_idx = max(0, n_blocks - 2)
+        down_types = tuple(
+            "AttnDownBlock2D" if i == attn_idx else "DownBlock2D"
+            for i in range(n_blocks)
+        )
+        up_types = tuple(
+            "AttnUpBlock2D" if i == (n_blocks - 1 - attn_idx) else "UpBlock2D"
+            for i in range(n_blocks)
+        )
+        groups = min(32, min(config.block_out_channels))
+        unet = UNet2D(
+            in_channels=in_ch,
+            out_channels=config.depth_channels,
+            block_out_channels=tuple(config.block_out_channels),
+            down_block_types=down_types,
+            up_block_types=up_types,
+            norm_groups=groups,
+            dtype=dtype,
+        )
+        sample = jnp.zeros((1, ph, pw, in_ch))
+        unet_params = jax.jit(unet.init)(key, sample, jnp.array([0]))["params"]
+        if config.resume_pretrained:
+            pipe = GuidedDiffusionPipeline.from_pretrained(config.resume_pretrained)
+            unet, unet_params = pipe.unet, pipe.unet_params
+        return dict(unet=unet, unet_params=unet_params)
+
+
+def create_pipeline(config, models, train=False):
+    """Export-ready pipeline from live training state
+    (reference: train.py:92-114)."""
+    spec = create_sampler_spec(config, train=False)
+    guidance = FlowGuidance(
+        flow_guidance_weight=config.flow_guidance_weights[0],
+        perturb_start_ratio=config.perturb_start_ratio,
+        flow_guidance_mode=config.flow_guidance_mode,
+    )
+    normalizer = Normalizer.from_config(config)
+    if config.ldm:
+        return GuidedLatentDiffusionPipeline(
+            unet=models["unet"], unet_params=models["unet_params"],
+            vae=models["vae"], vae_params=models["vae_params"],
+            text_embed=models["text_embed"], spec=spec,
+            guidance=guidance, normalizer=normalizer,
+        )
+    return GuidedDiffusionPipeline(
+        unet=models["unet"], unet_params=models["unet_params"],
+        spec=spec, guidance=guidance, normalizer=normalizer,
+    )
+
+
+def train(config, base_config=None, output_dir: Optional[str] = None,
+          max_steps: Optional[int] = None, writer=None):
+    """Full training run. Returns (state, counter, models)."""
+    output_dir = output_dir or config.output_dir or "experiments/run"
+    os.makedirs(output_dir, exist_ok=True)
+    seed = getattr(base_config, "seed", 0) if base_config is not None else 0
+    if seed is None or seed < 0:
+        seed = 0
+
+    # mesh over the largest device subset that divides the global batch
+    n_dev = jax.device_count()
+    while config.train_batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(jax.devices()[:n_dev])
+    logger.info("data mesh: %d device(s)", n_dev)
+    key = jax.random.PRNGKey(seed)
+
+    train_loader, val_loaders = fetch_dataloader(config, seed=seed)
+    steps_per_epoch = max(1, len(train_loader))
+    logger.info("train batches/epoch: %d", steps_per_epoch)
+
+    models = build_models(config, key)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(models["unet_params"]))
+    logger.info("total trainable params: %.1fM", n_params / 1e6)
+
+    tables = config.schedule_config(train=True).tables()
+    normalizer = Normalizer.from_config(config)
+    tx = build_optimizer(config, steps_per_epoch)
+    state = create_train_state(config, models["unet_params"], steps_per_epoch, seed)
+    counter = StepCounter()
+
+    # resume (reference: train.py:556-562)
+    resume_dir = config.resume_ckpt or latest_checkpoint(output_dir)
+    if resume_dir:
+        logger.info("resuming from %s", resume_dir)
+        state, counter = load_state(resume_dir, state)
+
+    state = jax.device_put(state, replicate_sharding(mesh))
+
+    if config.ldm:
+        vae = models["vae"]
+        vae_params = jax.device_put(models["vae_params"], replicate_sharding(mesh))
+
+        def vae_apply(x, method):
+            return vae.apply({"params": vae_params}, x, method=method)
+        text_embed = models["text_embed"]
+    else:
+        vae_apply, text_embed = None, None
+
+    unet = models["unet"]
+    if config.ldm:
+        def unet_apply(params, x, t, ctx):
+            return unet.apply({"params": params}, x, t, ctx)
+    else:
+        def unet_apply(params, x, t):
+            return unet.apply({"params": params}, x, t)
+
+    step_fn = jax.jit(
+        make_train_step(config, unet_apply, tx, tables, vae_apply, text_embed)
+    )
+    preprocess = partial(_preprocess_and_pad, config=config,
+                         normalizer=normalizer, mesh=mesh)
+
+    detector = AbnormalLossDetector(output_dir)
+    best_epe = float("inf")
+    done = False
+
+    skip_batches = counter.local_step  # mid-epoch fast-forward
+    start_epoch = counter.epoch
+
+    for epoch in range(start_epoch, config.num_epochs):
+        train_loader.set_epoch(epoch)
+        for bi, raw_batch in enumerate(train_loader):
+            if epoch == start_epoch and bi < skip_batches:
+                continue
+            batch = preprocess(raw_batch)
+            key, step_key = jax.random.split(key)
+            state, metrics = step_fn(state, batch, step_key)
+
+            loss = float(metrics["loss"])
+            abnormal = detector.check(
+                loss, counter.avg_loss, counter.global_step,
+                counter.global_step, raw_batch, metrics,
+                paths=raw_batch.get("path"),
+            )
+            if abnormal:
+                save_state(os.path.join(output_dir, "checkpoints", f"{counter.global_step}_storm"),
+                           jax.device_get(state), counter)
+            counter.tick(loss)
+
+            if writer is not None and counter.global_step % 10 == 0:
+                writer.add_scalar("train/loss", loss, counter.global_step)
+                writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), counter.global_step)
+                if "recon_mae" in metrics:
+                    writer.add_scalar("train/recon_mae", float(metrics["recon_mae"]), counter.global_step)
+
+            # periodic in-training eval (reference: train.py:616-682)
+            if (counter.global_step % config.val_every_global_steps == 0
+                    and val_loaders):
+                pipeline = create_pipeline(config, {**models, "unet_params": state.params})
+                for vi, vl in enumerate(val_loaders):
+                    m, _ = evaluate_dataset(
+                        config, pipeline, vl, jax.random.fold_in(key, vi),
+                        preprocess=partial(_preprocess_eval, config=config,
+                                           normalizer=normalizer),
+                        max_batches=config.eval_num_batch,
+                    )
+                    if m:
+                        logger.info("eval[%d] @%d: %s", vi, counter.global_step, m)
+                        if writer is not None:
+                            for k, v in m["disp"].items():
+                                writer.add_scalar(f"val{vi}/disp_{k}", v, counter.global_step)
+                        if vi == 0 and m["disp"]["epe"] < best_epe:
+                            best_epe = m["disp"]["epe"]
+                            pipeline.save_pretrained(os.path.join(output_dir, "best"))
+                            logger.info("new best EPE %.4f -> exported best/", best_epe)
+
+            if max_steps is not None and counter.global_step >= max_steps:
+                done = True
+                break
+
+        counter.new_epoch()
+        save_state(os.path.join(output_dir, "checkpoints", "last"),
+                   jax.device_get(state), counter)
+        if (epoch + 1) % config.save_model_epochs == 0:
+            pipeline = create_pipeline(config, {**models, "unet_params": state.params})
+            pipeline.save_pretrained(os.path.join(output_dir, f"epoch_{epoch:04d}"))
+        if done:
+            break
+
+    models = {**models, "unet_params": state.params}
+    return state, counter, models
+
+
+def _preprocess_and_pad(raw_batch, config, normalizer, mesh):
+    import jax.numpy as jnp
+
+    arrays = {k: v for k, v in raw_batch.items() if not isinstance(v, (list, str))}
+    sharded = shard_batch(arrays, mesh)
+    batch = device_preprocess(sharded, normalizer, config.prediction_space)
+    # divisibility padding (reference: train.py:179-182)
+    padder = InputPadder(batch["normalized_disp"].shape, divis_by=config.divis_by)
+    padded_keys = ("normalized_disp", "sim_disp", "normalized_rgb",
+                   "left_image", "right_image")
+    padded = padder.pad(*[batch[k] for k in padded_keys])
+    out = dict(batch)
+    out.update(dict(zip(padded_keys, padded)))
+    (out["mask"],) = padder.pad_zero(batch["mask"])
+    return out
+
+
+def _preprocess_eval(raw_batch, config, normalizer):
+    import jax.numpy as jnp
+
+    arrays = {k: jnp.asarray(v) for k, v in raw_batch.items()
+              if not isinstance(v, (list, str))}
+    return device_preprocess(arrays, normalizer, config.prediction_space)

@@ -1,0 +1,126 @@
+"""End-to-end train() smoke: synthetic dataset -> steps -> eval -> ckpt -> resume."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from d3roma_tpu.config import Config, TrainingConfig
+from d3roma_tpu.evaluation import RunningAverager, evaluate_dataset
+
+
+@pytest.fixture
+def synth_real(tmp_path, monkeypatch):
+    import cv2
+
+    scene = tmp_path / "datasets" / "Real" / "synth"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(scene / f"{i:04d}_color.png"),
+                    rng.integers(0, 255, (360, 640, 3), np.uint8))
+        cv2.imwrite(str(scene / f"{i:04d}_depth.png"),
+                    rng.integers(400, 2000, (360, 640)).astype(np.uint16))
+        ir = rng.integers(0, 255, (360, 640), np.uint8)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_l.png"), ir)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_r.png"), ir)
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _config():
+    return TrainingConfig(
+        name="smoke", ldm=False, depth_channels=1, cond_channels="rgb+raw",
+        camera_resolution="160x96", image_size=(64, 128), divis_by=32,
+        num_train_timesteps=8, num_inference_timesteps=4,
+        num_intermediate_images=2, prediction_type="sample",
+        noise_strategy="randn", sampler="my_ddpm",
+        ssi=True, safe_ssi=False, prediction_space="disp",
+        train_dataset=["Real_train_fxm"], eval_dataset=["Real_test_fxm"],
+        dataset_weight=[1], train_batch_size=2, eval_batch_size=1,
+        eval_num_batch=1, num_epochs=1, gradient_accumulation_steps=1,
+        learning_rate=1e-4, lr_warmup_steps=0, lr_scheduler="constant",
+        val_every_global_steps=1000, save_model_epochs=1,
+        block_out_channels=(8, 16), clip_sample=True,
+        num_inference_rounds=1,
+    )
+
+
+def _patch_real_root(monkeypatch):
+    """Point the Real dataset at the synthetic scene."""
+    from d3roma_tpu.data import loader as L
+    from d3roma_tpu.data.datasets import Real
+
+    orig = L.create_dataset
+
+    def patched(config, name, split):
+        if name.startswith("Real"):
+            from functools import partial
+
+            from d3roma_tpu.utils import frame_utils
+            from d3roma_tpu.utils.camera import Realsense
+
+            cam = Realsense.default_real("fxm")
+            cam.change_resolution(config.camera_resolution)
+            return Real(cam, tuple(config.image_size), split=split,
+                        root="datasets/Real", scene="synth",
+                        reader=partial(frame_utils.readDispReal, cam), seed=0)
+        return orig(config, name, split)
+
+    monkeypatch.setattr(L, "create_dataset", patched)
+    import d3roma_tpu.training.train_loop as TL
+    import d3roma_tpu.data as D
+    # fetch_dataloader references loader.create_dataset internally
+    return patched
+
+
+def test_train_smoke_and_resume(synth_real, monkeypatch, tmp_path):
+    _patch_real_root(monkeypatch)
+    from d3roma_tpu.training import train
+
+    cfg = _config()
+    out = str(synth_real / "exp")
+    state, counter, models = train(cfg, output_dir=out, max_steps=2)
+    assert counter.global_step == 2
+    assert os.path.exists(os.path.join(out, "checkpoints", "last"))
+    # per-epoch pipeline export happens only when the epoch completes;
+    # max_steps=2 ends the epoch loop at the epoch boundary (2 batches/epoch)
+    assert os.path.exists(os.path.join(out, "epoch_0000"))
+
+    # resume continues the counter
+    state2, counter2, _ = train(cfg, output_dir=out, max_steps=3)
+    assert counter2.global_step >= 2
+
+
+def test_evaluate_dataset_with_pipeline(synth_real, monkeypatch):
+    _patch_real_root(monkeypatch)
+    from functools import partial
+
+    from d3roma_tpu.data import fetch_dataloader
+    from d3roma_tpu.ops.normalizer import Normalizer
+    from d3roma_tpu.training import build_models, create_pipeline
+    from d3roma_tpu.training.train_loop import _preprocess_eval
+
+    cfg = _config()
+    _, val_loaders = fetch_dataloader(cfg)
+    models = build_models(cfg, jax.random.PRNGKey(0))
+    pipeline = create_pipeline(cfg, models)
+    norm = Normalizer.from_config(cfg)
+    metrics, stat = evaluate_dataset(
+        cfg, pipeline, val_loaders[0], jax.random.PRNGKey(1),
+        preprocess=partial(_preprocess_eval, config=cfg, normalizer=norm),
+        max_batches=1,
+    )
+    assert "disp" in metrics and "epe" in metrics["disp"]
+    assert np.isfinite(metrics["disp"]["epe"])
+    assert len(stat) >= 1
+
+
+def test_running_averager_anomaly():
+    ra = RunningAverager(horizon=2, detect_anomaly={"epe": 5.0})
+    for _ in range(3):
+        assert ra.append({"epe": 1.0})
+    assert not ra.append({"epe": 100.0}, index=7)  # rejected
+    assert ra.abnormal_indexes == [7]
+    assert ra.average()["epe"] == pytest.approx(1.0)
