@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark: denoised depth frames/sec/chip at the release inference
+setting — 640x360 input, 10-step DDIM (BASELINE.md: target >= 20 fps/chip
+on TPU v5e).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Env knobs:
+  BENCH_MODEL=ldm|pixel   flagship latent model (default) or pixel family
+  BENCH_BATCH=N           frames per pipeline call (default 1)
+  BENCH_REPS=N            timed repetitions (default 5)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 20.0  # BASELINE.json north-star
+
+
+def bench_ldm(batch, reps):
+    """Flagship: SD2.1-geometry latent pipeline, bf16 compute, rgb+raw."""
+    from d3roma_tpu.guidance import FlowGuidance
+    from d3roma_tpu.models import AutoencoderKL, UNet2DCondition, widened_in_channels
+    from d3roma_tpu.ops import Normalizer, ScheduleConfig
+    from d3roma_tpu.pipelines import GuidedLatentDiffusionPipeline, SamplerSpec
+
+    H, W = 360, 640
+    in_ch = widened_in_channels("rgb+raw")  # 12
+    unet = UNet2DCondition(in_channels=in_ch, out_channels=4, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, H // 8, W // 8, in_ch))
+    ctx = jnp.zeros((1, 77, 1024))
+    unet_params = jax.jit(unet.init)(key, lat, jnp.array([0]), ctx)["params"]
+    vae_params = jax.jit(vae.init)(jax.random.fold_in(key, 1), jnp.zeros((1, 64, 64, 3)))["params"]
+
+    sched = ScheduleConfig(
+        num_train_timesteps=1000, beta_schedule="scaled_linear",
+        beta_start=0.00085, beta_end=0.012, prediction_type="v_prediction",
+        clip_sample=False, timestep_spacing="leading", steps_offset=1,
+    )
+    pipe = GuidedLatentDiffusionPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        text_embed=jnp.zeros((1, 77, 1024)),
+        spec=SamplerSpec("my_ddim", sched),
+        guidance=FlowGuidance(flow_guidance_weight=0.0, flow_guidance_mode="gradient"),
+        normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
+                              ch_bounds=(128.0,), ch_gammas=(1.0,)),
+    )
+    rgb = jnp.zeros((batch, H, W, 3))
+    raw = jnp.zeros((batch, H, W, 1))
+
+    def run(i):
+        out = pipe(jax.random.PRNGKey(i), num_inference_steps=10,
+                   num_intermediate_images=5, cond_channels="rgb+raw",
+                   rgb_images=rgb, sim_disp=raw)
+        jax.block_until_ready(out.images)
+        return out
+
+    return run, "ldm_rgb+raw_640x360_ddim10"
+
+
+def bench_pixel(batch, reps):
+    from d3roma_tpu.guidance import FlowGuidance
+    from d3roma_tpu.models import UNet2D, pixel_in_channels
+    from d3roma_tpu.ops import Normalizer, ScheduleConfig
+    from d3roma_tpu.pipelines import GuidedDiffusionPipeline, SamplerSpec
+
+    H, W = 360, 640
+    in_ch = pixel_in_channels("rgb+raw", 1)
+    unet = UNet2D(in_channels=in_ch, out_channels=1, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(unet.init)(key, jnp.zeros((1, H + 8, W, in_ch)), jnp.array([0]))["params"]
+
+    sched = ScheduleConfig(num_train_timesteps=128, beta_schedule="squaredcos_cap_v2",
+                           prediction_type="sample", clip_sample=True)
+    pipe = GuidedDiffusionPipeline(
+        unet=unet, unet_params=params,
+        spec=SamplerSpec("my_ddpm", sched),
+        guidance=FlowGuidance(flow_guidance_weight=0.0),
+        normalizer=Normalizer(ssi=True, safe_ssi=False),
+    )
+    rgb = jnp.zeros((batch, H + 8, W, 3))  # divis_by-padded
+    raw = jnp.zeros((batch, H + 8, W, 1))
+
+    def run(i):
+        out = pipe(jax.random.PRNGKey(i), num_inference_steps=10,
+                   num_intermediate_images=5, depth_channels=1,
+                   cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+        jax.block_until_ready(out.images)
+        return out
+
+    return run, "pixel_rgb+raw_640x360_ddpm10"
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    model = os.environ.get("BENCH_MODEL", "ldm")
+
+    try:
+        run, tag = (bench_ldm if model == "ldm" else bench_pixel)(batch, reps)
+        run(0)  # compile + warmup
+        t0 = time.time()
+        for i in range(1, reps + 1):
+            run(i)
+        dt = (time.time() - t0) / reps
+        fps = batch / dt
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "depth_fps_per_chip_640x360_10step",
+            "value": 0.0, "unit": "frames/s",
+            "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        return 1
+
+    print(json.dumps({
+        "metric": "depth_fps_per_chip_640x360_10step",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "config": tag,
+        "batch": batch,
+        "ms_per_frame": round(1000.0 * dt / batch, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

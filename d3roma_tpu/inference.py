@@ -1,0 +1,203 @@
+"""Single-frame inference API — the canonical deployment surface.
+
+Rebuild of the reference's `D3RoMa` class (reference: inference.py:37-250):
+composes a config from overrides, loads an exported pipeline directory,
+optionally swaps the sampler to MyDDIM, and exposes
+``infer(left, right, raw_depth, rgb)`` / ``infer_with_rgb_raw(rgb,
+raw_depth)`` returning metric depth in meters. The whole denoise runs as
+one jitted scan per input resolution; repeated calls at the same
+resolution reuse the compiled program (real-time path — 5-step config of
+d3roma_processor.py:38-42).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3roma_tpu.config import Config, TrainingConfig, compose
+from d3roma_tpu.evaluation.eval_loop import denormalize
+from d3roma_tpu.ops import compute_errors, metrics_to_dict
+from d3roma_tpu.ops.normalizer import Normalizer
+from d3roma_tpu.pipelines import (
+    GuidedDiffusionPipeline,
+    GuidedLatentDiffusionPipeline,
+    SamplerSpec,
+)
+from d3roma_tpu.utils.camera import Realsense
+
+logger = logging.getLogger(__name__)
+
+
+def _cv2():
+    import cv2
+
+    cv2.setNumThreads(0)
+    return cv2
+
+
+class D3RoMa:
+    """Depth restoration from stereo IR / RGB-D frames."""
+
+    RELEASED_VARIANTS = ("left+right+raw", "rgb+raw")
+
+    def __init__(self, overrides: List[str] = (), camera: Optional[Realsense] = None,
+                 variant: str = "left+right+raw", pipeline=None, seed: int = 0):
+        assert variant in self.RELEASED_VARIANTS, "not released yet"
+        self.camera = camera
+        base_cfg: Config = compose(overrides)
+        config = base_cfg.task
+        if base_cfg.seed is not None and base_cfg.seed != -1:
+            seed = base_cfg.seed
+        self._key = jax.random.PRNGKey(seed)
+
+        self.camera.change_resolution(
+            f"{config.image_size[1]}x{config.image_size[0]}"
+        )
+        self.pipeline = pipeline if pipeline is not None else self._load_pipeline(config)
+
+        self.eval_output_dir = f"_outputs.{variant}"
+        os.makedirs(self.eval_output_dir, exist_ok=True)
+        self.normer = Normalizer.from_config(config)
+        self.config = config
+        self.variant = variant
+
+    # ------------------------------------------------------------------ #
+    def _load_pipeline(self, config: TrainingConfig):
+        path = f"{config.resume_pretrained}"
+        if not os.path.exists(path):
+            raise ValueError(f"pretrained path not exists: {path}")
+        logger.info("load weights from %s", path)
+        cls = GuidedLatentDiffusionPipeline if config.ldm else GuidedDiffusionPipeline
+        pipeline = cls.from_pretrained(path)
+        import dataclasses
+
+        pipeline = dataclasses.replace(
+            pipeline,
+            guidance=dataclasses.replace(
+                pipeline.guidance, flow_guidance_mode=config.flow_guidance_mode
+            ),
+        )
+        if config.sampler == "my_ddim":
+            # sampler override (reference: inference.py:77-92)
+            spec = SamplerSpec("my_ddim", config.schedule_config(train=False))
+            pipeline = pipeline.replace_sampler(spec)
+            logger.info("Careful! sampler is overriden to %s", config.sampler)
+        return pipeline
+
+    # ------------------------------------------------------------------ #
+    def infer_with_rgb_raw(self, rgb: np.ndarray, raw_depth: np.ndarray) -> np.ndarray:
+        """RGB (uint8, aligned with depth) + raw depth (meters) -> restored
+        metric depth (reference: inference.py:98-134)."""
+        cv2 = _cv2()
+        assert rgb.dtype == np.uint8
+        if rgb.ndim == 2:
+            rgb = np.tile(rgb[..., None], (1, 1, 3))
+        rgb = rgb[..., :3]
+        rgb = cv2.resize(rgb, self.camera.resolution[::-1], interpolation=cv2.INTER_LINEAR)
+        if raw_depth.shape[:2] != tuple(self.camera.resolution):
+            raw_depth = cv2.resize(raw_depth, self.camera.resolution[::-1],
+                                   interpolation=cv2.INTER_NEAREST)
+
+        assert self.config.prediction_space == "disp", "not implemented"
+        raw_disp = np.where(raw_depth > 0, self.camera.fxb_depth / np.maximum(raw_depth, 1e-8), 0.0)
+        return self.run_pipeline(None, None, raw_disp.astype(np.float32), rgb)
+
+    def infer(self, left: np.ndarray, right: np.ndarray,
+              raw_depth: Optional[np.ndarray] = None,
+              rgb: Optional[np.ndarray] = None) -> np.ndarray:
+        """Stereo IR pair (+ raw depth) -> restored metric depth
+        (reference: inference.py:136-190)."""
+        cv2 = _cv2()
+
+        def prep_gray(x):
+            if x.ndim == 2:
+                x = np.tile(x[..., None], (1, 1, 3))
+            x = x[..., :3]
+            return cv2.resize(x, self.camera.resolution[::-1],
+                              interpolation=cv2.INTER_LINEAR)
+
+        left = prep_gray(left)
+        right = prep_gray(right)
+        if rgb is not None:
+            rgb = prep_gray(rgb)
+        if raw_depth is not None:
+            if raw_depth.shape[:2] != tuple(self.camera.resolution):
+                raw_depth = cv2.resize(raw_depth, self.camera.resolution[::-1],
+                                       interpolation=cv2.INTER_NEAREST)
+            raw_disp = np.where(raw_depth > 0,
+                                self.camera.fxb_depth / np.maximum(raw_depth, 1e-8), 0.0)
+        else:
+            raw_disp = np.zeros(self.camera.resolution, np.float32)
+        assert left.shape[0] % 8 == 0 and left.shape[1] % 8 == 0, (
+            "image size must be multiple of 8"
+        )
+        return self.run_pipeline(left, right, raw_disp.astype(np.float32), rgb)
+
+    # ------------------------------------------------------------------ #
+    def run_pipeline(self, left_image, right_image, raw_disp, rgb) -> np.ndarray:
+        """Normalize, batch by inference rounds, denoise, denormalize,
+        convert to metric depth (reference: inference.py:191-250)."""
+        R = self.config.num_inference_rounds
+        norm_rgb = lambda x: (x.astype(np.float32) / 255.0 - 0.5) * 2.0
+
+        def rep(x):
+            return jnp.broadcast_to(jnp.asarray(x)[None], (R,) + x.shape)
+
+        rgb_b = rep(norm_rgb(rgb)) if rgb is not None else None
+        left_b = rep(norm_rgb(left_image)) if left_image is not None else None
+        right_b = rep(norm_rgb(right_image)) if right_image is not None else None
+
+        raw_disp_j = jnp.asarray(raw_disp)[..., None]  # [H,W,1]
+        normalized_raw, _, _ = self.normer.normalize(raw_disp_j)
+        normalized_raw_b = rep(np.asarray(normalized_raw))
+        raw_disp_b = rep(np.asarray(raw_disp_j))
+        mask = (raw_disp_b > 0).astype(jnp.float32)
+
+        self._key, key = jax.random.split(self._key)
+        kwargs = dict(
+            num_inference_steps=self.config.num_inference_timesteps,
+            num_intermediate_images=self.config.num_intermediate_images,
+            cond_channels=self.config.cond_channels,
+            rgb_images=rgb_b, left_images=left_b, right_images=right_b,
+            sim_disp=normalized_raw_b,
+            add_noise_rgb=self.config.noise_rgb,
+        )
+        if isinstance(self.pipeline, GuidedLatentDiffusionPipeline):
+            if self.pipeline.guidance.enabled:
+                kwargs["raw_depth"] = raw_disp_b
+                kwargs["denormer"] = lambda x: denormalize(self.config, x, raw_disp_b, mask)
+            out = self.pipeline(key, **kwargs)
+        else:
+            kwargs["depth_channels"] = self.config.depth_channels
+            out = self.pipeline(key, **kwargs)
+
+        pred = out.images  # [R,H,W,1]
+        # rounds-as-batch -> [1,H,W,R] for SSI alignment over each round
+        pred_r = jnp.transpose(pred, (3, 1, 2, 0))
+        pred_unnorm = denormalize(
+            self.config, pred_r, raw_disp_b[:1], mask[:1], key=jax.random.fold_in(key, 1)
+        )  # [1,H,W,R]
+
+        if R > 1:
+            unc = np.asarray(jnp.std(pred_r, axis=-1))[0]
+            self.last_uncertainty = unc
+        pred_mean = np.asarray(jnp.mean(pred_unnorm, axis=-1))  # [1,H,W]
+
+        md, me = compute_errors(
+            jnp.asarray(raw_disp)[None], jnp.asarray(pred_mean),
+            self.config.prediction_space,
+            jnp.asarray(raw_disp > 0)[None],
+            jnp.asarray([self.camera.fxb_depth]),
+        )
+        logger.info("metrics vs raw: %s", metrics_to_dict(np.asarray(md), np.asarray(me)))
+
+        pred_disp = pred_mean[0]
+        pred_depth = np.where(pred_disp > 0,
+                              self.camera.fxb_depth / np.maximum(pred_disp, 1e-8), 0.0)
+        return pred_depth.astype(np.float32)

@@ -230,11 +230,17 @@ class Downsample2D(nn.Module):
 
 
 class Upsample2D(nn.Module):
+    """Nearest 2x upsample + conv. `out_hw` overrides the target size so
+    odd skip-connection sizes re-align (diffusers' forward_upsample_size
+    behavior — needed e.g. for 360x640 inputs whose latent H 45 is not a
+    power-of-two multiple)."""
+
     channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_hw=None):
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        th, tw = out_hw if out_hw is not None else (H * 2, W * 2)
+        x = jax.image.resize(x, (B, th, tw, C), method="nearest")
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)

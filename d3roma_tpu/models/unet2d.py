@@ -107,7 +107,9 @@ class UNet2D(nn.Module):
                         dtype=self.dtype, name=f"up_{i}_attn_{j}",
                     )(x)
             if not is_last:
-                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(
+                    x, out_hw=skips[-1].shape[1:3]
+                )
 
         x = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype,
                          name="conv_norm_out")(x)

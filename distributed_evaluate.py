@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Multi-chip data-parallel evaluation (reference: distributed_evaluate.py).
+
+    python distributed_evaluate.py task=eval_dreds_reprod task.resume_pretrained=...
+
+The reference shards only the dataloader across ranks and all-gathers
+metric tensors (distributed_evaluate.py:96,153-167). Here each batch is
+sharded over the data mesh and the jitted pipeline runs SPMD — per-batch
+metrics come back already global, so there is no gather code. On multi-host
+pods, `jax.distributed.initialize()` is called automatically when the
+JAX_COORDINATOR env vars are present.
+"""
+
+import logging
+import os
+import sys
+from functools import partial
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("distributed_evaluate")
+
+
+def main(argv):
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+    import numpy as np
+
+    from d3roma_tpu.config import compose, set_debug
+    from d3roma_tpu.data import device_preprocess, fetch_dataloader
+    from d3roma_tpu.evaluation import evaluate_dataset
+    from d3roma_tpu.ops.normalizer import Normalizer
+    from d3roma_tpu.parallel import make_mesh, pad_batch_to_devices, shard_batch
+    from d3roma_tpu.pipelines import (
+        GuidedDiffusionPipeline,
+        GuidedLatentDiffusionPipeline,
+        create_sampler_spec,
+    )
+
+    base = compose(argv)
+    config = base.task
+    if base.debug:
+        set_debug(config)
+
+    assert config.resume_pretrained and os.path.exists(config.resume_pretrained)
+    cls = GuidedLatentDiffusionPipeline if config.ldm else GuidedDiffusionPipeline
+    pipeline = cls.from_pretrained(config.resume_pretrained)
+    pipeline = pipeline.replace_sampler(create_sampler_spec(config, train=False))
+
+    mesh = make_mesh()
+    n_dev = jax.device_count()
+    norm = Normalizer.from_config(config)
+
+    def preprocess(raw_batch):
+        arrays = {k: v for k, v in raw_batch.items()
+                  if not isinstance(v, (list, str))}
+        arrays = pad_batch_to_devices(arrays, n_dev)
+        sharded = shard_batch(arrays, mesh)
+        return device_preprocess(sharded, norm, config.prediction_space)
+
+    _, val_loaders = fetch_dataloader(config)
+    key = jax.random.PRNGKey(base.seed if base.seed and base.seed >= 0 else 0)
+    for name, loader in zip(config.eval_dataset, val_loaders):
+        metrics, stat = evaluate_dataset(
+            config, pipeline, loader, key, preprocess=preprocess,
+        )
+        if jax.process_index() == 0:
+            logger.info("[%s] metrics over %d devices: %s", name, n_dev, metrics)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,145 @@
+"""Inference API + config preset tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3roma_tpu.config import Config, compose, get_output_dir, load_task_preset
+from d3roma_tpu.guidance import FlowGuidance
+from d3roma_tpu.models import UNet2D
+from d3roma_tpu.ops import Normalizer, ScheduleConfig
+from d3roma_tpu.pipelines import GuidedDiffusionPipeline, SamplerSpec
+
+ALL_PRESETS = [
+    "train_ldm_mixed_left+right+raw", "train_ldm_mixed_rgb+raw",
+    "train_ldm_mixed", "train_ldm_mixed_cond_rgbd", "train_ldm_mixed_gapartnet",
+    "train_ldm_mono", "train_dreds_reprod", "train_sceneflow", "train_hiss",
+    "train_clearpose", "train_syntodd_rgbd",
+    "eval_ldm_mixed", "eval_ldm_mixed_rgb+raw", "eval_ldm_mixed_cond_rgbd",
+    "eval_ldm", "eval_ldm_mono", "eval_dreds_reprod", "eval_sceneflow",
+    "eval_clearpose", "eval_syntodd_rgbd", "eval_his_sim", "eval_ldm_his",
+]
+
+
+@pytest.mark.parametrize("name", ALL_PRESETS)
+def test_all_presets_load(name):
+    cfg = load_task_preset(name)
+    assert cfg.num_train_timesteps > 0
+    assert cfg.sampler in ("ddpm", "my_ddpm", "ddim", "my_ddim")
+    if name.startswith("eval_"):
+        assert cfg.eval_split == "test"
+
+
+def test_release_preset_regimes():
+    """The two release variants match the documented hyperparameter regimes
+    (reference: conf/task/train_ldm_mixed_left+right+raw.yaml:7-44)."""
+    cfg = load_task_preset("train_ldm_mixed_left+right+raw")
+    assert cfg.ldm and cfg.depth_channels == 4
+    assert cfg.num_train_timesteps == 1000
+    assert cfg.prediction_type == "v_prediction"
+    assert cfg.beta_schedule == "scaled_linear"
+    assert (cfg.beta_start, cfg.beta_end) == (0.00085, 0.012)
+    assert cfg.clip_sample is False
+    assert cfg.normalize_mode == "average" and cfg.num_chs == 1
+    assert tuple(cfg.ch_bounds) == (128.0,)
+    assert cfg.learning_rate == 3e-5 and cfg.train_batch_size == 16
+    assert cfg.camera_resolution == "480x270"
+    assert tuple(cfg.image_size) == (180, 320)
+
+    pix = load_task_preset("train_dreds_reprod")
+    assert not pix.ldm
+    assert pix.num_train_timesteps == 128
+    assert pix.prediction_type == "sample"
+    assert pix.noise_strategy == "pyramid"
+    assert pix.thresholding and pix.ssi
+
+
+def test_compose_overrides():
+    base = compose(["task=train_dreds_reprod", "task.tag=release",
+                    "task.val_every_global_steps=5000", "debug=true"])
+    assert base.debug is True
+    assert base.task.tag == "release"
+    assert base.task.val_every_global_steps == 5000
+
+
+def test_compose_overrides_raw():
+    base = compose(["task=train_dreds_reprod", "task.val_every_global_steps=77"])
+    assert base.task.val_every_global_steps == 77
+    with pytest.raises(KeyError):
+        compose(["task.not_a_field=1"])
+
+
+def test_output_dir_encodes_hparams():
+    base = compose(["task=train_dreds_reprod", "task.tag=rel"])
+    d = get_output_dir(base)
+    assert "dreds-rel" in d and "sample" in d and "my_ddpm128" in d
+    assert "ssi" in d and "pyramid" in d
+
+
+def _tiny_pixel_pretrained(tmp_path):
+    sched = ScheduleConfig(num_train_timesteps=8, prediction_type="sample")
+    unet = UNet2D(in_channels=5, out_channels=1, block_out_channels=(8, 16),
+                  down_block_types=("DownBlock2D", "DownBlock2D"),
+                  up_block_types=("UpBlock2D", "UpBlock2D"),
+                  layers_per_block=1, norm_groups=4)
+    x = jnp.zeros((1, 16, 16, 5))
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, jnp.array([0]))["params"]
+    pipe = GuidedDiffusionPipeline(
+        unet=unet, unet_params=params,
+        spec=SamplerSpec("my_ddpm", sched),
+        guidance=FlowGuidance(flow_guidance_weight=0.0),
+        normalizer=Normalizer(ssi=True, safe_ssi=False),
+    )
+    d = str(tmp_path / "pretrained")
+    pipe.save_pretrained(d)
+    return d
+
+
+def test_d3roma_infer_with_rgb_raw(tmp_path):
+    from d3roma_tpu.inference import D3RoMa
+    from d3roma_tpu.utils.camera import Realsense
+
+    pretrained = _tiny_pixel_pretrained(tmp_path)
+    cam = Realsense.default_real("fxm")
+    droma = D3RoMa(
+        overrides=[
+            "task=train_dreds_reprod",
+            f"task.resume_pretrained={pretrained}",
+            "task.ldm=false", "task.depth_channels=1",
+            "task.cond_channels=rgb+raw",
+            "task.image_size=[48,64]",
+            "task.num_inference_timesteps=4",
+            "task.num_intermediate_images=2",
+            "task.ssi=true", "task.safe_ssi=false",
+            "task.num_train_timesteps=8",
+        ],
+        camera=cam, variant="rgb+raw",
+    )
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    raw_depth = rng.uniform(0.5, 1.5, (48, 64)).astype(np.float32)
+    depth = droma.infer_with_rgb_raw(rgb, raw_depth)
+    assert depth.shape == (48, 64)
+    assert np.all(np.isfinite(depth))
+    assert depth.min() >= 0
+
+
+def test_d3roma_rejects_unreleased_variant(tmp_path):
+    from d3roma_tpu.inference import D3RoMa
+    from d3roma_tpu.utils.camera import Realsense
+
+    with pytest.raises(AssertionError):
+        D3RoMa([], Realsense.default_real("fxm"), variant="rgb")
+
+
+def test_d3roma_missing_pretrained_errors():
+    from d3roma_tpu.inference import D3RoMa
+    from d3roma_tpu.utils.camera import Realsense
+
+    with pytest.raises(ValueError, match="not exists"):
+        D3RoMa(["task=train_dreds_reprod",
+                "task.resume_pretrained=/nonexistent"],
+               Realsense.default_real("fxm"), variant="rgb+raw")
