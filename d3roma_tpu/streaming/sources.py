@@ -1,0 +1,70 @@
+"""Frame sources for the streaming pipeline.
+
+The reference couples capture directly to pyrealsense2
+(reference: utils_d3roma/realsense.py:16-83, inference_pub_pcl.py:262-442).
+Here capture is behind a small `FrameSource` protocol so the same
+processor runs against live RealSense hardware, ROS image topics, or a
+file-replay source (which is also how the streaming loop is tested
+hermetically — the fake backend the reference lacks, SURVEY §4.5).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+Frame = Tuple[np.ndarray, np.ndarray]  # (rgb uint8 HxWx3, depth float32 m)
+
+
+class FrameSource:
+    def frames(self) -> Iterator[Frame]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class FileReplaySource(FrameSource):
+    """Replays `*_color.png` / `*_depth.png` (mm) pairs from a directory,
+    optionally looping at a fixed rate."""
+
+    def __init__(self, root: str, fps: Optional[float] = None, loop: bool = False):
+        self.color_files = sorted(glob.glob(os.path.join(root, "*_color.png")))
+        if not self.color_files:
+            raise FileNotFoundError(f"no *_color.png frames under {root}")
+        self.fps = fps
+        self.loop = loop
+
+    def frames(self) -> Iterator[Frame]:
+        import cv2
+
+        while True:
+            for cf in self.color_files:
+                rgb = cv2.cvtColor(cv2.imread(cf), cv2.COLOR_BGR2RGB)
+                df = cf.replace("_color.png", "_depth.png")
+                depth = cv2.imread(df, cv2.IMREAD_ANYDEPTH).astype(np.float32) / 1000.0
+                yield rgb, depth
+                if self.fps:
+                    time.sleep(1.0 / self.fps)
+            if not self.loop:
+                return
+
+
+class RealSenseSource(FrameSource):
+    """Live capture via RealSenseRGBDCamera (requires pyrealsense2)."""
+
+    def __init__(self, serial: Optional[str] = None, frame_rate: int = 30):
+        from d3roma_tpu.streaming.realsense import RealSenseRGBDCamera
+
+        self.cam = RealSenseRGBDCamera(serial=serial, frame_rate=frame_rate)
+
+    def frames(self) -> Iterator[Frame]:
+        while True:
+            yield self.cam.get_rgbd_image()
+
+    def close(self) -> None:
+        self.cam.stop()
