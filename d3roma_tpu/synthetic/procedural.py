@@ -144,16 +144,17 @@ def write_hiss_frame(out_dir: str, index: int, frame: dict) -> None:
     """Emit the HISS file layout consumed by the data loaders
     (reference custom_writer.py:18-247: NNNN_color.png, NNNN_ir_l/r.png,
     GT depth exr, sim depth exr)."""
-    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
     import cv2
+
+    from d3roma_tpu.utils.exr import write_exr
 
     os.makedirs(out_dir, exist_ok=True)
     p = os.path.join(out_dir, f"{index:04d}")
     cv2.imwrite(p + "_color.png", cv2.cvtColor(frame["rgb"], cv2.COLOR_RGB2BGR))
     cv2.imwrite(p + "_ir_l.png", frame["ir_l"])
     cv2.imwrite(p + "_ir_r.png", frame["ir_r"])
-    cv2.imwrite(p + "_depth.exr", frame["depth"])
-    cv2.imwrite(p + "_simDepthImage.exr", frame["sim_depth"])
+    write_exr(p + "_depth.exr", frame["depth"])
+    write_exr(p + "_simDepthImage.exr", frame["sim_depth"])
 
 
 def generate_dataset(

@@ -29,6 +29,21 @@ def _cv2():
     return cv2
 
 
+def _read_exr_file(path):
+    """EXR read via the native reader (the environment's OpenCV lacks the
+    EXR codec); falls back to cv2 for exotic compressions."""
+    from d3roma_tpu.utils.exr import read_exr
+
+    try:
+        return read_exr(path)
+    except NotImplementedError:
+        cv2 = _cv2()
+        data = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+        if data is None:
+            raise
+        return data
+
+
 # ---------------------------------------------------------------------- #
 # PFM
 # ---------------------------------------------------------------------- #
@@ -151,7 +166,7 @@ def readDispReal(camera, filename: str):
     elif ext == ".npy":
         data = np.load(filename)
     elif ext == ".exr":
-        data = cv2.imread(filename, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+        data = _read_exr_file(filename)
         if data is not None and data.ndim == 3 and data.shape[-1] == 3:
             data = data[..., 0]
     else:
@@ -186,7 +201,7 @@ def readDispReal(camera, filename: str):
 def readDispDreds_exr(camera, filename: str):
     """DREDS GT depth exr -> disparity (reference: frame_utils.py:218-231)."""
     cv2 = _cv2()
-    depth = cv2.imread(filename, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+    depth = _read_exr_file(filename)
     if depth.ndim == 3 and depth.shape[-1] == 3:
         depth = depth[..., 0]
     if depth.shape[:2] != tuple(camera.resolution):
@@ -200,8 +215,7 @@ def readDispDreds_exr(camera, filename: str):
 
 
 def readDispSTD_exr(filename: str):
-    cv2 = _cv2()
-    disp = cv2.imread(filename, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+    disp = _read_exr_file(filename)
     valid = (~(np.isinf(disp) | np.isnan(disp))) & (disp != 0)
     return disp, valid
 
@@ -255,8 +269,7 @@ def read_gen(file_name: str, pil: bool = False):
         flow = readPFM(file_name).astype(np.float32)
         return flow if flow.ndim == 2 else flow[:, :, :-1]
     if ext == ".exr":
-        cv2 = _cv2()
-        return cv2.imread(file_name, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+        return _read_exr_file(file_name)
     return []
 
 

@@ -62,8 +62,10 @@ def main(argv=None):
                            args.block, args.beta)
         depth = np.asarray(out.depth)
         disp = np.asarray(out.disp)
+        from d3roma_tpu.utils.exr import write_exr
+
         for j, (lf, rf, out_path) in enumerate(chunk):
-            cv2.imwrite(out_path, depth[j].astype(np.float32))
+            write_exr(out_path, depth[j].astype(np.float32))
             disp_png = np.clip(disp[j], 0, 255).astype(np.uint8)
             cv2.imwrite(out_path.replace("_simDepthImage.exr", "_simDispImage.png"), disp_png)
         print(f"[{i + len(chunk)}/{len(pairs)}] wrote {len(chunk)} sim depth maps")

@@ -180,3 +180,28 @@ def test_viz_outputs(tmp_path):
     assert c.shape == (16, 16, 3) and c.dtype == np.uint8
     canvas = make_image_grid([c, c, c], 2, 2)
     assert canvas.shape == (32, 32, 3)
+
+
+def test_exr_roundtrip(tmp_path):
+    from d3roma_tpu.utils.exr import read_exr, write_exr
+
+    img = np.random.default_rng(9).uniform(0, 5, (17, 23)).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img)
+    np.testing.assert_allclose(read_exr(p), img, rtol=1e-7)
+
+    img3 = np.random.default_rng(10).uniform(size=(8, 9, 3)).astype(np.float32)
+    p3 = str(tmp_path / "t3.exr")
+    write_exr(p3, img3, ["R", "G", "B"])
+    out = read_exr(p3)
+    np.testing.assert_allclose(out, img3, rtol=1e-7)
+
+
+def test_exr_via_frame_utils(tmp_path):
+    from d3roma_tpu.utils.exr import write_exr
+    from d3roma_tpu.utils.frame_utils import read_gen
+
+    img = np.random.default_rng(11).uniform(0.2, 2.0, (12, 16)).astype(np.float32)
+    p = str(tmp_path / "d.exr")
+    write_exr(p, img)
+    np.testing.assert_allclose(np.asarray(read_gen(p)), img, rtol=1e-7)
