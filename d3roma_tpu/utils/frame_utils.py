@@ -30,10 +30,17 @@ def _cv2():
 
 
 def _read_exr_file(path):
-    """EXR read via the native reader (the environment's OpenCV lacks the
-    EXR codec); falls back to cv2 for exotic compressions."""
+    """EXR read: native C++ decoder first (threaded, no-GIL), then the
+    pure-Python reader, then cv2 (the environment's OpenCV lacks the EXR
+    codec, but other builds may support exotic compressions)."""
+    from d3roma_tpu.utils import native_io
     from d3roma_tpu.utils.exr import read_exr
 
+    try:
+        if native_io.available():
+            return native_io.read_exr(path)
+    except (NotImplementedError, ValueError, OSError):
+        pass
     try:
         return read_exr(path)
     except NotImplementedError:

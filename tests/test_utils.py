@@ -205,3 +205,41 @@ def test_exr_via_frame_utils(tmp_path):
     p = str(tmp_path / "d.exr")
     write_exr(p, img)
     np.testing.assert_allclose(np.asarray(read_gen(p)), img, rtol=1e-7)
+
+
+def test_native_exr_matches_python(tmp_path):
+    from d3roma_tpu.utils import native_io
+    from d3roma_tpu.utils.exr import write_exr
+
+    if not native_io.available():
+        pytest.skip("no compiler/native lib")
+    rng = np.random.default_rng(12)
+    img = rng.uniform(0, 3, (33, 47)).astype(np.float32)
+    p = str(tmp_path / "n.exr")
+    write_exr(p, img)
+    np.testing.assert_allclose(native_io.read_exr(p), img, rtol=1e-7)
+    # native writer roundtrip through the python reader
+    p2 = str(tmp_path / "n2.exr")
+    native_io.write_exr(p2, img)
+    from d3roma_tpu.utils.exr import read_exr
+
+    np.testing.assert_allclose(read_exr(p2), img, rtol=1e-7)
+
+
+def test_native_exr_batch(tmp_path):
+    from d3roma_tpu.utils import native_io
+    from d3roma_tpu.utils.exr import write_exr
+
+    if not native_io.available():
+        pytest.skip("no compiler/native lib")
+    rng = np.random.default_rng(13)
+    paths, imgs = [], []
+    for i in range(6):
+        img = rng.uniform(0, 2, (20, 30)).astype(np.float32)
+        p = str(tmp_path / f"b{i}.exr")
+        write_exr(p, img)
+        paths.append(p)
+        imgs.append(img)
+    out, status = native_io.read_exr_batch(paths, num_threads=3)
+    assert (status > 0).all()
+    np.testing.assert_allclose(out, np.stack(imgs), rtol=1e-7)
