@@ -235,3 +235,31 @@ def evaluate_dataset(
     if not all_disp:
         return {}, stat
     return metrics_to_dict(np.stack(all_disp), np.stack(all_depth)), stat
+
+
+def evaluate_intermediate_metrics(
+    config, fxb, intermediates: jnp.ndarray, gt_disp: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+):
+    """Metric curves over denoising steps (reference: evaluate.py:28-57).
+
+    intermediates: [S, B, H, W, 1] *denormalized* per-step x_hat0 stacks;
+    gt_disp/gt_mask: [B, H, W, 1]. Returns (disp_metrics [B,S,5],
+    depth_metrics [B,S,6]).
+    """
+    S, B, H, W, _ = intermediates.shape
+    preds = jnp.moveaxis(intermediates[..., 0], 0, 1).reshape(B * S, H, W)
+    gts = jnp.repeat(gt_disp[..., 0], S, axis=0)  # [B*S,H,W], b-major
+    masks = jnp.repeat(gt_mask[..., 0] > 0, S, axis=0)
+
+    if config.eval_dataset and config.eval_dataset[0] == "SceneFlow":
+        scale = 960.0 / float(config.camera_resolution.split("x")[0])
+        lo, hi = 0.5 / scale, 192.0 / scale
+        masks = masks & (preds >= lo) & (preds < hi)
+        preds = jnp.clip(preds, lo, hi)
+    else:
+        preds = jnp.maximum(preds, 0.25)  # prevent 0 disparities
+
+    fxb_rep = jnp.repeat(fxb, S, axis=0) if fxb is not None else None
+    md, me = compute_errors(gts, preds, config.prediction_space, masks, fxb_rep)
+    return (np.asarray(md).reshape(B, S, -1), np.asarray(me).reshape(B, S, -1))

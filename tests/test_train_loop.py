@@ -124,3 +124,22 @@ def test_running_averager_anomaly():
     assert not ra.append({"epe": 100.0}, index=7)  # rejected
     assert ra.abnormal_indexes == [7]
     assert ra.average()["epe"] == pytest.approx(1.0)
+
+
+def test_evaluate_intermediate_metrics():
+    import jax.numpy as jnp
+
+    from d3roma_tpu.evaluation import evaluate_intermediate_metrics
+
+    cfg = _config()
+    B, S, H, W = 2, 3, 8, 8
+    gt = jnp.full((B, H, W, 1), 10.0)
+    # steps converge toward gt
+    inter = jnp.stack([gt + (3 - s) for s in range(S)]) * jnp.ones((S, B, H, W, 1))
+    mask = jnp.ones((B, H, W, 1))
+    md, me = evaluate_intermediate_metrics(
+        cfg, jnp.asarray([100.0, 100.0]), inter, gt, mask
+    )
+    assert md.shape == (B, S, 5) and me.shape == (B, S, 6)
+    # EPE decreases over denoising steps
+    assert md[0, 0, 0] > md[0, -1, 0]
