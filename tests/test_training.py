@@ -213,3 +213,49 @@ def test_lr_schedules():
     cfg.lr_scheduler = "linear"
     s = build_lr_schedule(cfg, steps_per_epoch=1)
     assert float(s(cfg.num_epochs * 1)) < 1e-4
+
+
+def test_ldm_train_step():
+    """Latent-family train step: VAE encodes inside the jitted program,
+    v-prediction loss + recon diagnostic."""
+    from d3roma_tpu.models import AutoencoderKL, UNet2DCondition
+
+    cfg = _tiny_config(
+        ldm=True, depth_channels=4, prediction_type="v_prediction",
+        cond_channels="rgb+raw", image_size=(16, 16),
+        clip_sample=False,
+    )
+    unet = UNet2DCondition(
+        in_channels=12, out_channels=4, block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=8, cross_attention_dim=16,
+        norm_groups=4,
+    )
+    vae = AutoencoderKL(block_out_channels=(4, 8), latent_channels=4, norm_groups=2)
+    key = jax.random.PRNGKey(0)
+    # VAE with 2 blocks halves resolution once: 16 -> 8 latent
+    unet_params = jax.jit(unet.init)(
+        key, jnp.zeros((1, 8, 8, 12)), jnp.array([0]), jnp.zeros((1, 4, 16))
+    )["params"]
+    vae_params = jax.jit(vae.init)(
+        jax.random.fold_in(key, 1), jnp.zeros((1, 16, 16, 3))
+    )["params"]
+
+    def vae_apply(x, method):
+        return vae.apply({"params": vae_params}, x, method=method)
+
+    def unet_apply(p, x, t, ctx):
+        return unet.apply({"params": p}, x, t, ctx)
+
+    text = jnp.zeros((1, 4, 16))
+    tables = cfg.schedule_config(train=True).tables()
+    tx = build_optimizer(cfg, 10)
+    state = create_train_state(cfg, unet_params, 10)
+    step_fn = jax.jit(make_train_step(cfg, unet_apply, tx, tables,
+                                      vae_apply=vae_apply, text_embed=text))
+    batch = _batch(cfg, key)
+    state, metrics = step_fn(state, batch, key)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "recon_mae" in metrics and np.isfinite(float(metrics["recon_mae"]))
+    assert int(state.step) == 1
