@@ -207,3 +207,36 @@ def stereo_match(
     valid = disp > 0
     depth = jnp.where(valid, fxb / jnp.maximum(disp, eps), 0.0)
     return StereoMatchOutput(disp, valid, depth)
+
+
+def bilateral_filter(
+    x: jnp.ndarray, ksize: int = 5,
+    sigma_color: float | None = None, sigma_space: float | None = None,
+) -> jnp.ndarray:
+    """Edge-preserving bilateral filter, [B,H,W]
+    (reference: scripts/stereo_matching.py:29-57: gaussian spatial kernel x
+    per-patch color-difference kernel, reflect padding). Expressed as a
+    stack of kxk shifted views so XLA fuses the whole weighting into one
+    elementwise program."""
+    if sigma_space is None:
+        sigma_space = 0.15 * ksize + 0.35
+    if sigma_color is None:
+        sigma_color = sigma_space
+    pad = (ksize - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    views = jnp.stack(
+        [xp[:, i : i + x.shape[1], j : j + x.shape[2]]
+         for i in range(ksize) for j in range(ksize)],
+        axis=-1,
+    )  # [B,H,W,k*k]
+    diff = views - x[..., None]
+    w_color = jnp.exp(-(diff**2) / (2 * sigma_color**2))
+    w_color = w_color / jnp.sum(w_color, axis=-1, keepdims=True)
+
+    ax = jnp.arange(ksize, dtype=x.dtype) - (ksize - 1) / 2.0
+    g = jnp.exp(-(ax**2) / (2 * sigma_space**2))
+    w_space = (g[:, None] * g[None, :]).reshape(-1)
+    w_space = w_space / jnp.sum(w_space)
+
+    w = w_color * w_space
+    return jnp.sum(w * views, axis=-1) / jnp.sum(w, axis=-1)

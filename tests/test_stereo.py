@@ -75,3 +75,18 @@ def test_median_blur_removes_speckle():
     x[0, 8, 8] = 100.0
     out = np.asarray(median_blur(jnp.asarray(x), 5))
     assert out[0, 8, 8] == 1.0
+
+
+def test_bilateral_filter_preserves_edges():
+    from d3roma_tpu.ops.stereo import bilateral_filter
+
+    # step edge + speckle noise
+    x = np.zeros((1, 16, 32), np.float32)
+    x[:, :, 16:] = 10.0
+    rng = np.random.default_rng(0)
+    noisy = x + rng.normal(0, 0.1, x.shape).astype(np.float32)
+    out = np.asarray(bilateral_filter(jnp.asarray(noisy), 5, sigma_color=1.0))
+    # noise reduced on flats
+    assert np.std(out[0, :, :12]) < np.std(noisy[0, :, :12])
+    # edge magnitude preserved (no blur across the jump)
+    assert abs(out[0, 8, 20] - out[0, 8, 10]) > 9.0
