@@ -145,3 +145,26 @@ def test_crop_workspace():
     pts = np.array([[0, 0, 0.5], [2, 2, 2.0]], np.float32)
     kept, _ = crop_workspace(pts, None)
     assert len(kept) == 1
+
+
+def test_isaac_replicator_math_without_isaac():
+    """Pose sampling + material protocol are pure math; the Isaac app
+    itself gates on the import."""
+    from d3roma_tpu.synthetic.isaac import (
+        IsaacReplicator,
+        ReplicatorConfig,
+        assign_materials,
+        camera_orbit_poses,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = ReplicatorConfig()
+    poses = camera_orbit_poses(rng, np.array([0.0, 0, 0.8]), cfg, 8)
+    assert len(poses) == 8
+    for pos, quat in poses:
+        assert pos[2] > 0.8  # above the surface
+        np.testing.assert_allclose(np.linalg.norm(quat), 1.0, atol=1e-5)
+    mats = assign_materials(rng, 20, cfg.material_probs)
+    assert set(mats) <= {"diffuse", "specular", "transparent"}
+    with pytest.raises(ImportError, match="Isaac Sim is not installed"):
+        IsaacReplicator(cfg)
