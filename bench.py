@@ -55,7 +55,7 @@ def bench_ldm(batch, reps):
         guidance=FlowGuidance(flow_guidance_weight=0.0, flow_guidance_mode="gradient"),
         normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
                               ch_bounds=(128.0,), ch_gammas=(1.0,)),
-    )
+    ).half_precision()
     rgb = jnp.zeros((batch, H, W, 3))
     raw = jnp.zeros((batch, H, W, 1))
 
@@ -88,7 +88,7 @@ def bench_pixel(batch, reps):
         spec=SamplerSpec("my_ddpm", sched),
         guidance=FlowGuidance(flow_guidance_weight=0.0),
         normalizer=Normalizer(ssi=True, safe_ssi=False),
-    )
+    ).half_precision()
     rgb = jnp.zeros((batch, H + 8, W, 3))  # divis_by-padded
     raw = jnp.zeros((batch, H + 8, W, 1))
 

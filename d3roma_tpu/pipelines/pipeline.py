@@ -59,6 +59,16 @@ def _dc_dict(dc) -> dict:
     return dataclasses.asdict(dc)
 
 
+def _cast_tree_bf16(tree):
+    import jax
+
+    return jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+        tree,
+    )
+
+
+
 @dataclasses.dataclass
 class GuidedDiffusionPipeline:
     """Pixel-space pipeline (reference: core/custom_pipelines.py:90-213)."""
@@ -76,6 +86,18 @@ class GuidedDiffusionPipeline:
     def replace_sampler(self, spec: SamplerSpec) -> "GuidedDiffusionPipeline":
         return GuidedDiffusionPipeline(
             self.unet, self.unet_params, spec, self.guidance, self.normalizer
+        )
+
+    def half_precision(self) -> "GuidedDiffusionPipeline":
+        """Inference-only: hold params in bf16 (halves weight-streaming HBM
+        traffic per denoise step and removes the per-scan-iteration fp32->
+        bf16 casts XLA cannot hoist out of the sampling while-loop)."""
+        import dataclasses as _dc
+
+        unet = _dc.replace(self.unet, dtype=jnp.bfloat16) if self.unet.dtype != jnp.bfloat16 else self.unet
+        return GuidedDiffusionPipeline(
+            unet, _cast_tree_bf16(self.unet_params), self.spec,
+            self.guidance, self.normalizer,
         )
 
     def __call__(
@@ -183,6 +205,18 @@ class GuidedLatentDiffusionPipeline:
         return GuidedLatentDiffusionPipeline(
             self.unet, self.unet_params, self.vae, self.vae_params,
             self.text_embed, spec, self.guidance, self.normalizer,
+        )
+
+    def half_precision(self) -> "GuidedLatentDiffusionPipeline":
+        """Inference-only bf16 params (see GuidedDiffusionPipeline.half_precision)."""
+        import dataclasses as _dc
+
+        unet = _dc.replace(self.unet, dtype=jnp.bfloat16) if self.unet.dtype != jnp.bfloat16 else self.unet
+        vae = _dc.replace(self.vae, dtype=jnp.bfloat16) if self.vae.dtype != jnp.bfloat16 else self.vae
+        return GuidedLatentDiffusionPipeline(
+            unet, _cast_tree_bf16(self.unet_params),
+            vae, _cast_tree_bf16(self.vae_params),
+            self.text_embed, self.spec, self.guidance, self.normalizer,
         )
 
     # vae helpers bound to params

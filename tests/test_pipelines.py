@@ -201,3 +201,29 @@ def test_photometric_grad_direction():
                                    num_iters=10)
     assert refined.shape == (1, H, W)
     assert np.all(np.isfinite(np.asarray(refined)))
+
+
+def test_half_precision_pipeline_matches_fp32_roughly(tmp_path):
+    unet = UNet2D(in_channels=5, out_channels=1,
+                  block_out_channels=(16, 32),
+                  down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                  up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                  layers_per_block=1, norm_groups=8)
+    x = jnp.zeros((1, 16, 16, 5))
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, jnp.array([0]))["params"]
+    pipe = GuidedDiffusionPipeline(
+        unet=unet, unet_params=params,
+        spec=SamplerSpec("my_ddpm", SMALL_SCHED),
+        guidance=FlowGuidance(flow_guidance_weight=0.0),
+        normalizer=Normalizer(ssi=True, safe_ssi=False),
+    )
+    hp = pipe.half_precision()
+    assert jax.tree.leaves(hp.unet_params)[0].dtype == jnp.bfloat16
+    rgb = jnp.zeros((1, 16, 16, 3)); raw = jnp.zeros((1, 16, 16, 1))
+    kw = dict(num_inference_steps=4, num_intermediate_images=2,
+              depth_channels=1, cond_channels="rgb+raw",
+              rgb_images=rgb, sim_disp=raw)
+    a = pipe(jax.random.PRNGKey(1), **kw).images
+    b = hp(jax.random.PRNGKey(1), **kw).images
+    # bf16 params change numerics but must stay close on this tiny model
+    assert float(jnp.abs(a - b).mean()) < 0.1
