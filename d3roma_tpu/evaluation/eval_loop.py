@@ -223,6 +223,22 @@ def evaluate_dataset(
                 plot_uncertainties(
                     unc[0], os.path.join(eval_output_dir, f"idx{i}_uncertainty.png")
                 )
+            if config.plot_intermediate_metrics and out is not None and hasattr(out, "intermediates"):
+                inter = denormalize(
+                    config,
+                    jnp.moveaxis(out.intermediates[..., 0], 0, -1),
+                    batch["raw_disp"], batch["mask"],
+                )  # [B,H,W,S]
+                inter = jnp.moveaxis(inter, -1, 0)[..., None]
+                imd, ime = evaluate_intermediate_metrics(
+                    config, batch.get("fxb"), inter, batch["raw_disp"], batch["mask"]
+                )
+                from d3roma_tpu.utils.viz import plot_intermediate_metrics
+
+                plot_intermediate_metrics(
+                    {"epe": imd[0, :, 0], "rel": ime[0, :, 4]},
+                    os.path.join(eval_output_dir, f"idx{i}_intermediate_metrics.png"),
+                )
             if config.write_pcd and "fxb" in batch:
                 from d3roma_tpu.utils.pointcloud import write_ply, backproject_depth
 

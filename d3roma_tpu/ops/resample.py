@@ -92,3 +92,19 @@ def snr_weights(tables) -> jnp.ndarray:
     """SNR-proportional sampling (reference: core/resample.py:72-77)."""
     ab = tables.alphas_cumprod
     return ab / (1.0 - ab)
+
+
+def create_named_schedule_sampler(name: str, T: int, tables=None):
+    """Name-based factory (reference: core/resample.py:8-22). Returns
+    (weights_fn, state | None): uniform and snr are stateless; the
+    loss-aware sampler carries a SamplerState updated per step."""
+    if name == "uniform":
+        return (lambda state=None: uniform_weights(T)), None
+    if name == "snr":
+        assert tables is not None, "snr sampler needs schedule tables"
+        w = snr_weights(tables)
+        return (lambda state=None: w), None
+    if name == "loss-second-moment":
+        state = init_loss_aware_state(T)
+        return loss_aware_weights, state
+    raise NotImplementedError(f"unknown schedule sampler: {name}")

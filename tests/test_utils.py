@@ -243,3 +243,31 @@ def test_native_exr_batch(tmp_path):
     out, status = native_io.read_exr_batch(paths, num_threads=3)
     assert (status > 0).all()
     np.testing.assert_allclose(out, np.stack(imgs), rtol=1e-7)
+
+
+def test_flatten_and_seed():
+    from d3roma_tpu.utils.misc import flatten, pretty_json, seed_everything
+
+    seed_everything(7)
+    a = np.random.rand()
+    seed_everything(7)
+    assert np.random.rand() == a
+    d = flatten({"disp": {"epe": 1.0, "d1": 0.5}, "n": 2})
+    assert d == {"disp_epe": 1.0, "disp_d1": 0.5, "n": 2}
+    assert "epe" in pretty_json({"epe": 1.0})
+
+
+def test_named_schedule_sampler_factory():
+    from d3roma_tpu.ops.resample import create_named_schedule_sampler
+    from d3roma_tpu.ops.schedules import ScheduleConfig
+
+    wfn, state = create_named_schedule_sampler("uniform", 10)
+    assert state is None and wfn().shape == (10,)
+    tables = ScheduleConfig(num_train_timesteps=10).tables()
+    wfn, _ = create_named_schedule_sampler("snr", 10, tables)
+    w = np.asarray(wfn())
+    assert w[0] > w[-1]  # early timesteps have higher SNR
+    wfn, st = create_named_schedule_sampler("loss-second-moment", 10)
+    assert st is not None and wfn(st).shape == (10,)
+    with pytest.raises(NotImplementedError):
+        create_named_schedule_sampler("bogus", 10)
