@@ -19,10 +19,10 @@ def synth_real(tmp_path, monkeypatch):
     rng = np.random.default_rng(0)
     for i in range(4):
         cv2.imwrite(str(scene / f"{i:04d}_color.png"),
-                    rng.integers(0, 255, (360, 640, 3), np.uint8))
+                    rng.integers(0, 255, (96, 128, 3), np.uint8))
         cv2.imwrite(str(scene / f"{i:04d}_depth.png"),
-                    rng.integers(400, 2000, (360, 640)).astype(np.uint16))
-        ir = rng.integers(0, 255, (360, 640), np.uint8)
+                    rng.integers(400, 2000, (96, 128)).astype(np.uint16))
+        ir = rng.integers(0, 255, (96, 128), np.uint8)
         cv2.imwrite(str(scene / f"{i:04d}_ir_l.png"), ir)
         cv2.imwrite(str(scene / f"{i:04d}_ir_r.png"), ir)
     monkeypatch.chdir(tmp_path)
@@ -32,7 +32,7 @@ def synth_real(tmp_path, monkeypatch):
 def _config():
     return TrainingConfig(
         name="smoke", ldm=False, depth_channels=1, cond_channels="rgb+raw",
-        camera_resolution="160x96", image_size=(64, 128), divis_by=32,
+        camera_resolution="96x64", image_size=(32, 64), divis_by=32,
         num_train_timesteps=8, num_inference_timesteps=4,
         num_intermediate_images=2, prediction_type="sample",
         noise_strategy="randn", sampler="my_ddpm",
