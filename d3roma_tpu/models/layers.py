@@ -216,15 +216,24 @@ class Transformer2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 conv downsample. diffusers convention: the UNet's
+    downsamplers use symmetric padding=1; the VAE encoder uses padding=0
+    with an asymmetric (0,1) pre-pad."""
+
     channels: int
+    asymmetric_padding: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # diffusers uses asymmetric (0,1) padding for stride-2 convs
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        if self.asymmetric_padding:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(
+                self.channels, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, name="conv",
+            )(x)
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding="VALID",
+            self.channels, (3, 3), strides=(2, 2), padding=1,
             dtype=self.dtype, name="conv",
         )(x)
 

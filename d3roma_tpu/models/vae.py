@@ -43,7 +43,8 @@ class Encoder(nn.Module):
                                   eps=1e-6, dtype=self.dtype,
                                   name=f"down_{i}_res_{j}")(x)
             if not is_last:
-                x = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+                x = Downsample2D(ch, asymmetric_padding=True, dtype=self.dtype,
+                                 name=f"down_{i}_downsample")(x)
         ch = self.block_out_channels[-1]
         x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
                           eps=1e-6, dtype=self.dtype, name="mid_res_0")(x)
