@@ -9,6 +9,7 @@ Env knobs:
   BENCH_MODEL=ldm|pixel   flagship latent model (default) or pixel family
   BENCH_BATCH=N           frames per pipeline call (default 1)
   BENCH_REPS=N            timed repetitions (default 5)
+  BENCH_FLASH=0|1         Pallas flash attention in the UNet (default 1)
 """
 
 import json
@@ -34,7 +35,9 @@ def bench_ldm(batch, reps):
 
     H, W = 360, 640
     in_ch = widened_in_channels("rgb+raw")  # 12
-    unet = UNet2DCondition(in_channels=in_ch, out_channels=4, dtype=jnp.bfloat16)
+    use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
+    unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
+                           use_flash_attention=use_flash, dtype=jnp.bfloat16)
     vae = AutoencoderKL(dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)

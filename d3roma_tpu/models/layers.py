@@ -36,6 +36,46 @@ def timestep_embedding(
     return out
 
 
+
+
+def flash_self_attention(q, k, v):
+    """Spatial self-attention via the Pallas TPU flash-attention kernel.
+
+    q/k/v: [B, N, heads, head_dim]. Tokens are padded to a 512 multiple and
+    masked out with segment ids, so the N^2 score matrix never materializes
+    in HBM (the dominant memory traffic of the UNet's top attention levels
+    at 45x80+ latents).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, N, H, D = q.shape
+    pad = (-N) % 512
+    Np = N + pad
+
+    def prep(x):
+        x = jnp.swapaxes(x, 1, 2)  # [B,H,N,D]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    seg = jnp.concatenate(
+        [jnp.zeros((B, N), jnp.int32), jnp.ones((B, pad), jnp.int32)], axis=1
+    )
+    block = min(512, Np)
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+    )
+    out = flash_attention(
+        prep(q), prep(k), prep(v),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        sm_scale=1.0 / math.sqrt(D),
+        block_sizes=sizes,
+    )
+    return jnp.swapaxes(out[:, :, :N, :], 1, 2)
+
+
 class TimestepEmbedding(nn.Module):
     """2-layer MLP lifting the sinusoidal embedding."""
 
@@ -115,16 +155,21 @@ class SelfAttention2D(nn.Module):
 
 class CrossAttention(nn.Module):
     """Multi-head attention over [B, N, C] queries with optional [B, M, D]
-    context (self-attention when context is None)."""
+    context (self-attention when context is None). With use_flash, long
+    self-attention runs through the Pallas TPU flash kernel (no N^2 score
+    materialization)."""
 
     query_dim: int
     heads: int
     head_dim: int
     context_dim: Optional[int] = None
+    use_flash: bool = False
+    flash_min_seq: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.head_dim
         B, N, _ = x.shape
@@ -135,7 +180,10 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, N, self.heads, self.head_dim)
         k = k.reshape(B, M, self.heads, self.head_dim)
         v = v.reshape(B, M, self.heads, self.head_dim)
-        attn = jax.nn.dot_product_attention(q, k, v).reshape(B, N, inner)
+        if self.use_flash and is_self and N >= self.flash_min_seq:
+            attn = flash_self_attention(q, k, v).reshape(B, N, inner)
+        else:
+            attn = jax.nn.dot_product_attention(q, k, v).reshape(B, N, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(attn)
 
 
@@ -169,13 +217,15 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     head_dim: int
     context_dim: int
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
-            self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
+            self.dim, self.heads, self.head_dim, use_flash=self.use_flash,
+            dtype=self.dtype, name="attn1"
         )(h)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
@@ -197,6 +247,7 @@ class Transformer2D(nn.Module):
     context_dim: int
     depth: int = 1
     groups: int = 32
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -209,7 +260,8 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads * self.head_dim, self.heads, self.head_dim,
-                self.context_dim, dtype=self.dtype, name=f"transformer_blocks_{i}",
+                self.context_dim, use_flash=self.use_flash,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(h, context)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         return residual + h.reshape(B, H, W, C)

@@ -42,6 +42,7 @@ class UNet2DCondition(nn.Module):
     attention_head_dim: int = 64
     cross_attention_dim: int = 1024
     norm_groups: int = 32
+    use_flash_attention: bool = False
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     dtype: jnp.dtype = jnp.float32
@@ -82,6 +83,7 @@ class UNet2DCondition(nn.Module):
                     x = Transformer2D(
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
+                        use_flash=self.use_flash_attention,
                         dtype=self.dtype, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
@@ -95,6 +97,7 @@ class UNet2DCondition(nn.Module):
                           name="mid_res_0")(x, t_emb)
         x = Transformer2D(mid_ch, heads_for(mid_ch), self.attention_head_dim,
                           self.cross_attention_dim, groups=self.norm_groups,
+                          use_flash=self.use_flash_attention,
                           dtype=self.dtype, name="mid_attn")(x, context)
         x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dtype=self.dtype,
                           name="mid_res_1")(x, t_emb)
@@ -113,6 +116,7 @@ class UNet2DCondition(nn.Module):
                     x = Transformer2D(
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
+                        use_flash=self.use_flash_attention,
                         dtype=self.dtype, name=f"up_{i}_attn_{j}",
                     )(x, context)
             if not is_last:

@@ -161,3 +161,25 @@ def test_conv_in_widening_rule():
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=hi,
     ) + widened["conv_in"]["bias"]
     np.testing.assert_allclose(np.asarray(out_wide), np.asarray(out_orig), atol=1e-4)
+
+
+def test_flash_attention_matches_xla_path():
+    """Pallas flash self-attention (interpret mode on CPU) must match the
+    einsum/XLA attention numerically."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from d3roma_tpu.models.layers import CrossAttention
+
+    B, N, heads, hd = 1, 1088, 2, 64  # N >= flash_min_seq, non-512-multiple
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, N, heads * hd), jnp.float32)
+
+    ref_attn = CrossAttention(heads * hd, heads, hd, use_flash=False)
+    params = jax.jit(ref_attn.init)(key, x)["params"]
+    ref = ref_attn.apply({"params": params}, x)
+
+    flash_attn = CrossAttention(heads * hd, heads, hd, use_flash=True,
+                                flash_min_seq=1024)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attn.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
