@@ -63,8 +63,10 @@ def bench_ldm(batch, reps):
     raw = jnp.zeros((batch, H, W, 1))
 
     def run(i):
+        # deployment setting decodes only the final x_hat0
+        # (reference: d3roma_processor.py overrides num_intermediate_images=1)
         out = pipe(jax.random.PRNGKey(i), num_inference_steps=10,
-                   num_intermediate_images=5, cond_channels="rgb+raw",
+                   num_intermediate_images=1, cond_channels="rgb+raw",
                    rgb_images=rgb, sim_disp=raw)
         jax.block_until_ready(out.images)
         return out

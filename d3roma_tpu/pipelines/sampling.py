@@ -281,7 +281,9 @@ def latent_pipeline(
 
     every = max(1, num_inference_steps // num_intermediate_images)
     kept = x0_stack[every - 1 :: every]
+    # the last kept intermediate IS the final step's x_hat0, so one decode
+    # pass serves both (each full-res VAE decode costs ~2 UNet steps)
     decoded = jax.vmap(vae_decode)(kept)
     inter = jnp.clip(decoded, -1.0, 1.0)
-    final = jnp.clip(vae_decode(x0_stack[-1]), -1.0, 1.0)
+    final = inter[-1]
     return PipelineOutput(final, inter)
