@@ -167,3 +167,34 @@ def test_normalize_rgb():
     out = normalize_rgb(jnp.asarray([0.0, 127.5, 255.0]), None)
     np.testing.assert_allclose(np.asarray(out[0]), [-1.0, 0.0, 1.0], atol=1e-6)
     assert out[1] is None
+
+
+def test_compute_errors_depth_space():
+    rng = np.random.default_rng(14)
+    gt_depth = rng.uniform(0.5, 2.0, size=(2, 8, 8)).astype(np.float32)
+    pred = gt_depth * 1.02  # 2% relative error
+    fxb = np.array([400.0, 400.0], np.float32)
+    md, me = compute_errors(jnp.asarray(gt_depth), jnp.asarray(pred),
+                            "depth", fxb=jnp.asarray(fxb))
+    d = metrics_to_dict(md, me)
+    assert d["depth"]["a1"] == 1.0  # within 5%
+    np.testing.assert_allclose(d["depth"]["rel"], 0.02, rtol=1e-3)
+
+
+def test_input_padder_kitti_mode():
+    x = jnp.zeros((1, 37, 50, 1))
+    p = InputPadder(x.shape, mode="kitti", divis_by=8)
+    (out,) = p.pad(x)
+    # kitti mode pads only top=0/bottom and splits width
+    assert out.shape[1] % 8 == 0 and out.shape[2] % 8 == 0
+    np.testing.assert_array_equal(np.asarray(p.unpad(out)), np.asarray(x))
+
+
+def test_normalizer_piecewise_residual_decomposition():
+    norm = Normalizer(ssi=False, mode="piecewise", num_chs=3,
+                      ch_bounds=(64.0, 32.0, 32.0), ch_gammas=(1.0, 1.0, 1.0))
+    # value 100 = 64 + 32 + 4 -> channels [1.0, 1.0, 0.125]
+    x = jnp.full((1, 1, 1), 100.0)
+    y, _, _ = norm.normalize(x)
+    raw = np.asarray(y / norm.s + norm.t)[0, 0]
+    np.testing.assert_allclose(raw, [1.0, 1.0, 0.125], atol=1e-6)

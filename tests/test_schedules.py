@@ -198,3 +198,56 @@ def test_dynamic_threshold():
     out = dynamic_threshold(x, ratio=0.5, max_value=2.0)
     # s = quantile(|x|, .5) clipped to [1, 2]; values clipped to [-s, s] then / s
     assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-6
+
+
+def test_sigmoid_beta_schedule():
+    betas = make_betas(100, "sigmoid", 1e-4, 2e-2)
+    assert betas.shape == (100,)
+    assert (np.diff(betas) > 0).all()  # monotone increasing
+    assert betas.min() >= 1e-4 - 1e-9 and betas.max() <= 2e-2 + 1e-9
+    with pytest.raises(ValueError):
+        make_betas(10, "bogus")
+
+
+@pytest.mark.parametrize("vt", ["fixed_small", "fixed_small_log",
+                                "fixed_large", "fixed_large_log"])
+def test_ddpm_fixed_variance_modes(vt):
+    cfg = ScheduleConfig(num_train_timesteps=50, prediction_type="epsilon",
+                         clip_sample=False, variance_type=vt)
+    tables = cfg.tables()
+    key = jax.random.PRNGKey(0)
+    xt = jax.random.normal(key, (1, 4, 4, 1))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), (1, 4, 4, 1))
+    out = ddpm_step(tables, cfg, eps, jnp.int32(30), jnp.int32(29), xt,
+                    key=jax.random.fold_in(key, 2))
+    assert np.all(np.isfinite(np.asarray(out.prev_sample)))
+
+
+def test_ddpm_learned_range_variance():
+    cfg = ScheduleConfig(num_train_timesteps=50, prediction_type="epsilon",
+                         clip_sample=False, variance_type="learned_range")
+    tables = cfg.tables()
+    key = jax.random.PRNGKey(3)
+    xt = jax.random.normal(key, (1, 4, 4, 1))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), (1, 4, 4, 1))
+    # v=-1 -> posterior_log_variance (min); v=+1 -> log beta_t (max)
+    for v, _name in ((-jnp.ones_like(xt), "min"), (jnp.ones_like(xt), "max")):
+        out = ddpm_step(tables, cfg, eps, jnp.int32(30), jnp.int32(29), xt,
+                        key=jax.random.fold_in(key, 2), variance_output=v)
+        assert np.all(np.isfinite(np.asarray(out.prev_sample)))
+
+
+def test_posterior_mean_variance_tables():
+    from d3roma_tpu.ops import posterior_mean_variance
+
+    cfg = ScheduleConfig(num_train_timesteps=50)
+    tables = cfg.tables()
+    key = jax.random.PRNGKey(4)
+    x0 = jax.random.normal(key, (2, 4, 4, 1))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    t = jnp.array([10, 40])
+    xt = add_noise(tables, x0, noise, t)
+    mean, var, logvar = posterior_mean_variance(tables, x0, xt, t)
+    assert mean.shape == x0.shape
+    np.testing.assert_allclose(np.asarray(jnp.exp(logvar[1])), np.asarray(var[1]),
+                               rtol=1e-4)
