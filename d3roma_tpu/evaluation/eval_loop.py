@@ -59,6 +59,22 @@ def eval_batch(
         normalized_rgb, left, right, sim_disp, raw_depth
     )
 
+    # guide-source selection (reference: evaluate.py:171-182,
+    # distributed_evaluate.py:128-142 — the stereo-match branch is a dead
+    # stub there; here it runs the device block matcher on the IR pair)
+    if (config.guide_source == "stereo-match" and left is not None
+            and right is not None):
+        from d3roma_tpu.ops.stereo import stereo_match
+
+        W_img = left.shape[2]
+        scale = W_img / 640.0
+        fxb_val = float(np.asarray(batch["fxb"])[0]) if "fxb" in batch else 24.0
+        sm = stereo_match(
+            (left + 1.0) / 2.0, (right + 1.0) / 2.0, fxb_val,
+            min_disp=max(1, int(10 * scale)), max_disp=max(8, int(110 * scale)),
+        )
+        raw_depth_p = sm.depth[..., None]
+
     def denormer(x):
         return denormalize(config, x, raw_depth_p, None)
 

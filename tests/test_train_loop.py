@@ -143,3 +143,31 @@ def test_evaluate_intermediate_metrics():
     assert md.shape == (B, S, 5) and me.shape == (B, S, 6)
     # EPE decreases over denoising steps
     assert md[0, 0, 0] > md[0, -1, 0]
+
+
+def test_guide_source_stereo_match(synth_real, monkeypatch):
+    """guide_source=stereo-match computes guidance depth from the IR pair
+    with the device block matcher (the reference's dead stub made real)."""
+    _patch_real_root(monkeypatch)
+    from functools import partial
+
+    from d3roma_tpu.data import fetch_dataloader
+    from d3roma_tpu.ops.normalizer import Normalizer
+    from d3roma_tpu.training import build_models, create_pipeline
+    from d3roma_tpu.training.train_loop import _preprocess_eval
+
+    cfg = _config()
+    cfg.guide_source = "stereo-match"
+    cfg.cond_channels = "left+right+raw"
+    _, val_loaders = fetch_dataloader(cfg)
+    models = build_models(cfg, jax.random.PRNGKey(0))
+    pipeline = create_pipeline(cfg, models)
+    norm = Normalizer.from_config(cfg)
+    from d3roma_tpu.evaluation import evaluate_dataset
+
+    metrics, _ = evaluate_dataset(
+        cfg, pipeline, val_loaders[0], jax.random.PRNGKey(1),
+        preprocess=partial(_preprocess_eval, config=cfg, normalizer=norm),
+        max_batches=1,
+    )
+    assert "disp" in metrics
