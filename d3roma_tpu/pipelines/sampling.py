@@ -239,15 +239,21 @@ def latent_pipeline(
     ref = next(x for x in (rgb, left, right, sim_disp) if x is not None)
     B, H, W, _ = ref.shape
 
-    lat = {}
-    if rgb is not None:
-        lat["rgb"] = vae_encode(rgb)
-    if left is not None:
-        lat["left"] = vae_encode(left)
-    if right is not None:
-        lat["right"] = vae_encode(right)
+    # one batched VAE encode for all conditions (better MXU utilization
+    # than 2-4 separate encodes; disparity tiled to 3 channels first)
+    to_encode = []
+    names = []
+    for name, img in (("rgb", rgb), ("left", left), ("right", right)):
+        if img is not None:
+            to_encode.append(img)
+            names.append(name)
     if sim_disp is not None:
-        lat["raw"] = vae_encode_disp(sim_disp)
+        to_encode.append(jnp.tile(sim_disp, (1, 1, 1, 3)))
+        names.append("raw")
+    stacked = jnp.concatenate(to_encode, axis=0)
+    encoded = vae_encode(stacked)
+    parts = jnp.split(encoded, len(names), axis=0)
+    lat = dict(zip(names, parts))
 
     conds = build_cond_concat(
         cond_channels, lat.get("rgb"), lat.get("left"), lat.get("right"), lat.get("raw")
