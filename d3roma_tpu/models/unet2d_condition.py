@@ -43,6 +43,7 @@ class UNet2DCondition(nn.Module):
     cross_attention_dim: int = 1024
     norm_groups: int = 32
     use_flash_attention: bool = False
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     dtype: jnp.dtype = jnp.float32
@@ -70,6 +71,9 @@ class UNet2DCondition(nn.Module):
         def heads_for(ch):
             return max(1, ch // self.attention_head_dim)
 
+        ResBlock = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
+        AttnBlock = nn.remat(Transformer2D) if self.remat else Transformer2D
+
         x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
 
         # ---- down ----
@@ -77,10 +81,10 @@ class UNet2DCondition(nn.Module):
         for i, (btype, ch) in enumerate(zip(self.down_block_types, self.block_out_channels)):
             is_last = i == len(self.block_out_channels) - 1
             for j in range(self.layers_per_block):
-                x = ResnetBlock2D(ch, groups=self.norm_groups, eps=1e-5,
+                x = ResBlock(ch, groups=self.norm_groups, eps=1e-5,
                                   dtype=self.dtype, name=f"down_{i}_res_{j}")(x, t_emb)
                 if btype == "CrossAttnDownBlock2D":
-                    x = Transformer2D(
+                    x = AttnBlock(
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
                         use_flash=self.use_flash_attention,
@@ -93,13 +97,13 @@ class UNet2DCondition(nn.Module):
 
         # ---- mid (UNetMidBlock2DCrossAttn) ----
         mid_ch = self.block_out_channels[-1]
-        x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dtype=self.dtype,
+        x = ResBlock(mid_ch, groups=self.norm_groups, dtype=self.dtype,
                           name="mid_res_0")(x, t_emb)
-        x = Transformer2D(mid_ch, heads_for(mid_ch), self.attention_head_dim,
+        x = AttnBlock(mid_ch, heads_for(mid_ch), self.attention_head_dim,
                           self.cross_attention_dim, groups=self.norm_groups,
                           use_flash=self.use_flash_attention,
                           dtype=self.dtype, name="mid_attn")(x, context)
-        x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dtype=self.dtype,
+        x = ResBlock(mid_ch, groups=self.norm_groups, dtype=self.dtype,
                           name="mid_res_1")(x, t_emb)
 
         # ---- up ----
@@ -110,10 +114,10 @@ class UNet2DCondition(nn.Module):
             for j in range(self.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock2D(ch, groups=self.norm_groups, dtype=self.dtype,
+                x = ResBlock(ch, groups=self.norm_groups, dtype=self.dtype,
                                   name=f"up_{i}_res_{j}")(x, t_emb)
                 if btype == "CrossAttnUpBlock2D":
-                    x = Transformer2D(
+                    x = AttnBlock(
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
                         use_flash=self.use_flash_attention,

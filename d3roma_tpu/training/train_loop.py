@@ -50,11 +50,15 @@ from d3roma_tpu.training.train_step import make_train_step
 logger = logging.getLogger(__name__)
 
 
-def build_models(config, key: jax.Array, dtype=jnp.float32):
+def build_models(config, key: jax.Array, dtype=None):
     """Construct the model family (reference: train.py:743-860).
 
     Returns dict with unet/unet_params (+ vae/vae_params/text_embed for LDM).
+    config.mixed_precision == "bf16" selects bf16 compute with fp32 params
+    (the TPU-native analog of the reference's Accelerate AMP).
     """
+    if dtype is None:
+        dtype = jnp.bfloat16 if config.mixed_precision in ("bf16", "fp16") else jnp.float32
     h, w = config.image_hw
     padder = InputPadder((h, w), divis_by=config.divis_by)
     ph, pw = padder.padded_size
@@ -62,7 +66,8 @@ def build_models(config, key: jax.Array, dtype=jnp.float32):
     if config.ldm:
         assert config.depth_channels == 4, "ldm only support 4 channels"
         in_ch = widened_in_channels(config.cond_channels)
-        unet = UNet2DCondition(in_channels=in_ch, out_channels=4, dtype=dtype)
+        unet = UNet2DCondition(in_channels=in_ch, out_channels=4, dtype=dtype,
+                               remat=True)
         sample = jnp.zeros((1, ph // 8, pw // 8, in_ch))
         ctx = jnp.zeros((1, 77, unet.cross_attention_dim))
         unet_params = jax.jit(unet.init)(key, sample, jnp.array([0]), ctx)["params"]
@@ -196,7 +201,8 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
             return unet.apply({"params": params}, x, t)
 
     step_fn = jax.jit(
-        make_train_step(config, unet_apply, tx, tables, vae_apply, text_embed)
+        make_train_step(config, unet_apply, tx, tables, vae_apply, text_embed),
+        donate_argnums=(0,),  # reuse the old state's buffers in-place
     )
     preprocess = partial(_preprocess_and_pad, config=config,
                          normalizer=normalizer, mesh=mesh)
