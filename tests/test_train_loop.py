@@ -171,3 +171,71 @@ def test_guide_source_stereo_match(synth_real, monkeypatch):
         max_batches=1,
     )
     assert "disp" in metrics
+
+
+def _mini_pipeline_and_batch(cfg, key):
+    from d3roma_tpu.training import build_models, create_pipeline
+
+    models = build_models(cfg, key)
+    pipeline = create_pipeline(cfg, models)
+    import jax.numpy as jnp
+
+    h, w = 32, 64
+    rng = np.random.default_rng(0)
+    disp = rng.uniform(5, 50, (1, h, w, 1)).astype(np.float32)
+    batch = {
+        "raw_disp": jnp.asarray(disp),
+        "normalized_disp": jnp.asarray((disp / 64 - 0.5) * 2),
+        "sim_disp": jnp.asarray((disp / 64 - 0.5) * 2),
+        "normalized_rgb": jnp.zeros((1, h, w, 3)),
+        "left_image": jnp.zeros((1, h, w, 3)),
+        "right_image": jnp.zeros((1, h, w, 3)),
+        "mask": jnp.ones((1, h, w, 1)),
+        "raw_depth": jnp.asarray(400.0 / np.maximum(disp, 1e-3)),
+        "fxb": jnp.asarray([400.0]),
+    }
+    return pipeline, batch
+
+
+def test_eval_batch_multiround_uncertainty_and_ensemble():
+    from d3roma_tpu.evaluation import eval_batch
+
+    cfg = _config()
+    cfg.num_inference_rounds = 2
+    pipeline, batch = _mini_pipeline_and_batch(cfg, jax.random.PRNGKey(0))
+    pred, metrics, unc, err, out = eval_batch(cfg, pipeline, batch, jax.random.PRNGKey(1))
+    assert unc is not None and unc.shape == pred.shape
+    assert np.isfinite(pred).all()
+
+    cfg.ensemble = True
+    pred2, m2, unc2, _, _ = eval_batch(cfg, pipeline, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(pred2).all()
+    assert unc2 is None  # ensembling collapses rounds before uncertainty
+
+
+def test_coarse_to_fine_quadrants(monkeypatch):
+    import d3roma_tpu.evaluation.eval_loop as EL
+    from d3roma_tpu.evaluation import evaluate_dataset
+
+    cfg = _config()
+    cfg.coarse_to_fine = True
+    # shrink the quadrant grid to the test image size (32x64 -> 16x32 tiles)
+    monkeypatch.setattr(EL, "QUADRANTS", [
+        (slice(0, 16), slice(0, 32)), (slice(16, None), slice(0, 32)),
+        (slice(0, 16), slice(32, None)), (slice(16, None), slice(32, None)),
+    ])
+    pipeline, batch = _mini_pipeline_and_batch(cfg, jax.random.PRNGKey(0))
+    metrics, stat = evaluate_dataset(
+        cfg, pipeline, [batch], jax.random.PRNGKey(1), max_batches=1,
+    )
+    assert "disp" in metrics and np.isfinite(metrics["disp"]["epe"])
+
+
+def test_eval_sliced_batch_guidance_sweep():
+    from d3roma_tpu.evaluation import eval_sliced_batch
+
+    cfg = _config()
+    pipeline, batch = _mini_pipeline_and_batch(cfg, jax.random.PRNGKey(0))
+    results = eval_sliced_batch(cfg, pipeline, batch, jax.random.PRNGKey(1),
+                                guidance_weights=[0.0, 1.0])
+    assert set(results.keys()) == {0.0, 1.0}
