@@ -303,3 +303,34 @@ def config_to_dict(cfg: Any) -> dict:
     if isinstance(cfg, (list, tuple)):
         return type(cfg)(config_to_dict(x) for x in cfg)
     return cfg
+
+
+if __name__ == "__main__":
+    # Schedule visualization (reference: config.py:216-371 reproduces iDDPM
+    # figures): plots beta schedules, alpha-bar, and SNR curves.
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as _np
+
+    from d3roma_tpu.ops.schedules import make_betas
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for name, kw in (
+        ("linear", dict(beta_start=1e-4, beta_end=2e-2)),
+        ("scaled_linear", dict(beta_start=0.00085, beta_end=0.012)),
+        ("squaredcos_cap_v2", {}),
+        ("sigmoid", dict(beta_start=1e-4, beta_end=2e-2)),
+    ):
+        betas = make_betas(1000, name, **kw)
+        ab = _np.cumprod(1 - betas)
+        axes[0].plot(betas, label=name)
+        axes[1].plot(ab, label=name)
+        axes[2].semilogy(ab / (1 - ab), label=name)
+    for ax, title in zip(axes, ("beta_t", "alpha_bar_t", "SNR(t)")):
+        ax.set_title(title)
+        ax.legend()
+    out = "schedule_curves.png"
+    fig.savefig(out, bbox_inches="tight")
+    print(f"wrote {out}")
