@@ -7,7 +7,8 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Env knobs:
   BENCH_MODEL=ldm|pixel   flagship latent model (default) or pixel family
-  BENCH_BATCH=N           frames per pipeline call (default 1)
+  BENCH_BATCH=N           frames per pipeline call (default 8; throughput
+                          saturates at ~batch 8 on v5e, see docs/PERFORMANCE.md)
   BENCH_REPS=N            timed repetitions (default 5)
   BENCH_FLASH=0|1         Pallas flash attention in the UNet (default 1)
 """
@@ -108,7 +109,7 @@ def bench_pixel(batch, reps):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     model = os.environ.get("BENCH_MODEL", "ldm")
 
