@@ -91,9 +91,11 @@ def build_models(config, key: jax.Array, dtype=None):
         in_ch = pixel_in_channels(config.cond_channels, config.depth_channels)
         # block layout scales with block_out_channels: attention on the
         # second-deepest level, as in the reference's fixed 6-block layout
-        # (train.py:795-810)
+        # (train.py:795-810). For shallow configs the second-deepest level
+        # sits at high resolution, where quadratic attention is both useless
+        # and ruinous (a 96x160 level is 15k tokens) — use the deepest level.
         n_blocks = len(config.block_out_channels)
-        attn_idx = max(0, n_blocks - 2)
+        attn_idx = n_blocks - 2 if n_blocks >= 4 else n_blocks - 1
         down_types = tuple(
             "AttnDownBlock2D" if i == attn_idx else "DownBlock2D"
             for i in range(n_blocks)

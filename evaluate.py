@@ -48,7 +48,9 @@ def main(argv):
     )
     os.makedirs(out_dir, exist_ok=True)
     fh = logging.FileHandler(os.path.join(out_dir, "eval.log"))
+    fh.setLevel(logging.INFO)
     logging.getLogger().addHandler(fh)
+    logging.getLogger().setLevel(logging.INFO)
 
     _, val_loaders = fetch_dataloader(config)
     norm = Normalizer.from_config(config)

@@ -72,3 +72,81 @@ def test_check_sceneflow_cli(tmp_path):
     )
     assert bad == ["bad.png"]
     assert open(out).read().strip() == "bad.png"
+
+
+def test_evaluate_cli_end_to_end(tmp_path, monkeypatch):
+    """Full evaluate.py CLI: exported pipeline dir + synthetic Real data."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from d3roma_tpu.guidance import FlowGuidance
+    from d3roma_tpu.models import UNet2D
+    from d3roma_tpu.ops import Normalizer, ScheduleConfig
+    from d3roma_tpu.pipelines import GuidedDiffusionPipeline, SamplerSpec
+
+    # synthetic Real capture
+    scene = tmp_path / "datasets" / "Real" / "synth"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(scene / f"{i:04d}_color.png"),
+                    rng.integers(0, 255, (96, 128, 3), np.uint8))
+        cv2.imwrite(str(scene / f"{i:04d}_depth.png"),
+                    rng.integers(400, 2000, (96, 128)).astype(np.uint16))
+        ir = rng.integers(0, 255, (96, 128), np.uint8)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_l.png"), ir)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_r.png"), ir)
+
+    # tiny exported pipeline
+    sched = ScheduleConfig(num_train_timesteps=8, prediction_type="sample")
+    unet = UNet2D(in_channels=5, out_channels=1, block_out_channels=(8, 16),
+                  down_block_types=("DownBlock2D", "DownBlock2D"),
+                  up_block_types=("UpBlock2D", "UpBlock2D"),
+                  layers_per_block=1, norm_groups=4)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 32, 64, 5)), jnp.array([0]))["params"]
+    pipe = GuidedDiffusionPipeline(
+        unet=unet, unet_params=params, spec=SamplerSpec("my_ddpm", sched),
+        guidance=FlowGuidance(flow_guidance_weight=0.0),
+        normalizer=Normalizer(ssi=True, safe_ssi=False),
+    )
+    pretrained = str(tmp_path / "pre")
+    pipe.save_pretrained(pretrained)
+
+    # patch the Real dataset at the synthetic root
+    from functools import partial
+
+    import d3roma_tpu.data.loader as L
+    from d3roma_tpu.data.datasets import Real
+    from d3roma_tpu.utils import frame_utils
+    from d3roma_tpu.utils.camera import Realsense
+
+    def patched(config, name, split):
+        cam = Realsense.default_real("fxm")
+        cam.change_resolution(config.camera_resolution)
+        return Real(cam, tuple(config.image_size), split=split,
+                    root=str(tmp_path / "datasets" / "Real"), scene="synth",
+                    reader=partial(frame_utils.readDispReal, cam), seed=0)
+
+    monkeypatch.setattr(L, "create_dataset", patched)
+    monkeypatch.chdir(tmp_path)
+
+    import evaluate as eval_cli
+
+    eval_cli.main([
+        "task=train_dreds_reprod",
+        f"task.resume_pretrained={pretrained}",
+        "task.ldm=false", "task.depth_channels=1",
+        "task.cond_channels=rgb+raw", "task.camera_resolution=128x96",
+        "task.image_size=[32,64]", "task.divis_by=32",
+        "task.num_train_timesteps=8", "task.num_inference_timesteps=4",
+        "task.num_intermediate_images=2", "task.eval_dataset=[Real]",
+        "task.eval_batch_size=1", "task.eval_num_batch=1",
+        "task.ssi=true", "task.safe_ssi=false",
+        "task.plot_error_map=false", "task.write_pcd=false",
+        f"task.eval_output={tmp_path}/evalout",
+    ])
+    assert os.path.exists(tmp_path / "evalout" / "eval.log")
+    log = open(tmp_path / "evalout" / "eval.log").read()
+    assert "metrics" in log and "epe" in log

@@ -35,7 +35,9 @@ def main(argv):
     os.makedirs(output_dir, exist_ok=True)
 
     fh = logging.FileHandler(os.path.join(output_dir, "train.log"))
+    fh.setLevel(logging.INFO)
     logging.getLogger().addHandler(fh)
+    logging.getLogger().setLevel(logging.INFO)
     logging.info("output dir: %s", output_dir)
 
     writer = None
