@@ -115,7 +115,13 @@ def main():
 
     try:
         run, tag = (bench_ldm if model == "ldm" else bench_pixel)(batch, reps)
-        run(0)  # compile + warmup
+        try:
+            run(0)  # compile + warmup
+        except Exception:
+            # the environment's remote-compile relay occasionally drops the
+            # connection on large programs; one retry usually succeeds
+            time.sleep(10)
+            run(0)
         t0 = time.time()
         for i in range(1, reps + 1):
             run(i)

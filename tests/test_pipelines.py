@@ -227,3 +227,57 @@ def test_half_precision_pipeline_matches_fp32_roughly(tmp_path):
     b = hp(jax.random.PRNGKey(1), **kw).images
     # bf16 params change numerics but must stay close on this tiny model
     assert float(jnp.abs(a - b).mean()) < 0.1
+
+
+def test_ddim_eta_stochastic_path():
+    """eta > 0 adds noise but still denoises with the oracle model."""
+    tables = SMALL_SCHED.tables()
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (1, 8, 8, 1)) * 0.3
+    conds = jnp.zeros((1, 8, 8, 2))
+
+    def model_fn(model_input, t):
+        x = model_input[..., :1]
+        ab = tables.alphas_cumprod[t]
+        return (x - jnp.sqrt(ab) * x0) / jnp.sqrt(1 - ab)
+
+    spec = SamplerSpec(kind="my_ddim", schedule=SMALL_SCHED, eta=1.0)
+    final, stack = run_sampler(model_fn, spec, tables,
+                               jax.random.normal(jax.random.fold_in(key, 1), x0.shape),
+                               conds, key, num_inference_steps=20)
+    np.testing.assert_allclose(np.asarray(stack[-1]), np.asarray(x0), atol=0.2)
+    assert np.isfinite(np.asarray(final)).all()
+
+
+def test_pixel_pipeline_with_imputation_guidance():
+    """Imputation guidance drags x_hat0 toward the raw disparity where the
+    sensor saw something — with a zero model, the output inherits the raw
+    values in the masked region."""
+    unet = UNet2D(in_channels=5, out_channels=1, block_out_channels=(8, 16),
+                  down_block_types=("DownBlock2D", "DownBlock2D"),
+                  up_block_types=("UpBlock2D", "UpBlock2D"),
+                  layers_per_block=1, norm_groups=4)
+    x = jnp.zeros((1, 16, 16, 5))
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, jnp.array([0]))["params"]
+    # zero out the final conv so the model predicts x0 = 0 everywhere
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.zeros_like(p) if "conv_out" in str(path) else p, params
+    )
+    sched = ScheduleConfig(num_train_timesteps=20, prediction_type="sample",
+                           clip_sample=True)
+    pipe = GuidedDiffusionPipeline(
+        unet=unet, unet_params=params,
+        spec=SamplerSpec("my_ddpm", sched),
+        guidance=FlowGuidance(flow_guidance_weight=1.0,
+                              flow_guidance_mode="imputation"),
+        normalizer=Normalizer(ssi=True, safe_ssi=False),
+    )
+    raw = jnp.full((1, 16, 16, 1), 0.7)
+    mask = jnp.ones((1, 16, 16, 1), bool)
+    out = pipe(jax.random.PRNGKey(1), num_inference_steps=10,
+               num_intermediate_images=2, depth_channels=1,
+               cond_channels="rgb+raw", rgb_images=jnp.zeros((1, 16, 16, 3)),
+               sim_disp=raw, raw_mask=mask)
+    # final x_hat0 (perturbed) should equal the imputed raw value
+    inter = np.asarray(out.intermediates[-1])
+    np.testing.assert_allclose(inter, 0.7, atol=1e-4)
