@@ -10,7 +10,6 @@ index, path, device.
 from __future__ import annotations
 
 import glob
-import os
 import os.path as osp
 from typing import Callable, List, Optional, Sequence, Tuple
 

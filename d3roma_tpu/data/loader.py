@@ -22,7 +22,7 @@ import numpy as np
 from d3roma_tpu.data import datasets as D
 from d3roma_tpu.data import mono_datasets as M
 from d3roma_tpu.utils import frame_utils
-from d3roma_tpu.utils.camera import DepthCamera, Realsense, RGBDCamera
+from d3roma_tpu.utils.camera import Realsense, RGBDCamera
 
 STEREO_DATASETS = ["Dreds", "SceneFlow", "Real", "HISS", "ClearPose",
                    "SynTODDRgbd", "Gapartnet2", "Middlebury"]

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import glob
 import os.path as osp
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

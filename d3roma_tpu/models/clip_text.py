@@ -14,8 +14,6 @@ precomputed once and baked into the exported pipeline — see
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -11,7 +11,7 @@ process_local_data` so each host feeds only its local shard.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -18,7 +18,6 @@ is d3roma_tpu/synthetic/procedural.py. File naming is shared through
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

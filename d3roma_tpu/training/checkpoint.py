@@ -17,7 +17,6 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from d3roma_tpu.training.state import StepCounter, TrainState

@@ -14,7 +14,7 @@ reference's aggressive 4-corner fill), and a jittable TPU variant is in
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 import re
 from os.path import splitext
-from typing import Optional, Tuple
-
 import numpy as np
 
 os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")

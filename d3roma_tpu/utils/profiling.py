@@ -10,7 +10,7 @@ import contextlib
 import logging
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 

@@ -7,7 +7,6 @@ export. All take numpy/JAX arrays (channel-last)."""
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
