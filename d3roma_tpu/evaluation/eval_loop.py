@@ -48,7 +48,12 @@ def eval_batch(
     left = batch.get("left_image")
     right = batch.get("right_image")
     sim_disp = batch.get("sim_disp")
-    raw_depth = batch.get("raw_depth")
+    # guidance + SSI alignment target: the UNNORMALIZED raw disparity. The
+    # reference's eval path passes the metric raw depth here while its
+    # denormalizer produces disparity (units mismatch, evaluate.py:66-102);
+    # its inference path passes raw disparity (inference.py:212), which is
+    # the consistent convention adopted throughout.
+    raw_depth = batch.get("sim_disp_unnorm", batch.get("raw_depth"))
     raw_disp = batch["raw_disp"]
     mask = batch["mask"]
     fxb = batch.get("fxb")
