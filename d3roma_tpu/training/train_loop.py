@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3roma_tpu.data import device_preprocess, fetch_dataloader
+from d3roma_tpu.data.prefetch import device_prefetch
 from d3roma_tpu.evaluation.eval_loop import evaluate_dataset
 from d3roma_tpu.guidance import FlowGuidance
 from d3roma_tpu.models import (
@@ -217,10 +218,13 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
 
     for epoch in range(start_epoch, config.num_epochs):
         train_loader.set_epoch(epoch)
-        for bi, raw_batch in enumerate(train_loader):
+        prefetched = device_prefetch(
+            ((bi, rb) for bi, rb in enumerate(train_loader)),
+            prepare=lambda item: (item[0], item[1], preprocess(item[1])),
+        )
+        for bi, raw_batch, batch in prefetched:
             if epoch == start_epoch and bi < skip_batches:
                 continue
-            batch = preprocess(raw_batch)
             key, step_key = jax.random.split(key)
             state, metrics = step_fn(state, batch, step_key)
 

@@ -146,3 +146,21 @@ def test_dataloader_surfaces_worker_errors(real_scene):
     dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=1)
     with pytest.raises(Exception):
         list(dl)
+
+
+def test_device_prefetch():
+    from d3roma_tpu.data.prefetch import device_prefetch
+
+    calls = []
+
+    def prepare(x):
+        calls.append(x)
+        return x * 10
+
+    out = list(device_prefetch(range(5), prepare, size=2))
+    assert out == [0, 10, 20, 30, 40]
+    assert calls == [0, 1, 2, 3, 4]
+    # prefetch depth: by the time the first item is yielded, two were prepared
+    gen = device_prefetch(range(5), prepare=lambda x: x, size=3)
+    first = next(gen)
+    assert first == 0
