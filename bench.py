@@ -11,6 +11,7 @@ Env knobs:
                           saturates at ~batch 8 on v5e, see docs/PERFORMANCE.md)
   BENCH_REPS=N            timed repetitions (default 5)
   BENCH_FLASH=0|1         Pallas flash attention in the UNet (default 1)
+  BENCH_QUANT=0|1         int8 MXU path for UNet+VAE matmuls/convs (default 0)
 """
 
 import json
@@ -60,8 +61,11 @@ def bench_ldm(batch, reps):
         normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
                               ch_bounds=(128.0,), ch_gammas=(1.0,)),
     ).half_precision()
-    rgb = jnp.zeros((batch, H, W, 3))
-    raw = jnp.zeros((batch, H, W, 1))
+    if os.environ.get("BENCH_QUANT", "0") == "1":
+        pipe = pipe.quantize_int8()
+    # random (not zero) inputs so dynamic activation-quant scales are realistic
+    rgb = jax.random.normal(jax.random.PRNGKey(7), (batch, H, W, 3)) * 0.5
+    raw = jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (batch, H, W, 1))) * 0.5
 
     def run(i):
         # deployment setting decodes only the final x_hat0

@@ -106,6 +106,10 @@ class TrainingConfig:
 
     sampler: str = "my_ddpm"
     prediction_type: str = "v_prediction"
+    # DDIM eta (stochasticity) for eval sampling; the reference's
+    # MyDDIMScheduler.step takes eta per call with default 0
+    # (scheduler_ddim.py:346) but exposes no config knob — here it is one.
+    eta: float = 0.0
 
     # guidance
     flow_guidance_weights: List[float] = field(default_factory=lambda: [0.0])
@@ -156,8 +160,13 @@ class TrainingConfig:
         (reference: config.py:182-212)."""
         if self.sampler not in SUPPORTED_SAMPLERS:
             raise ValueError(f"Sampler not found: {self.sampler!r}")
-        if train and "ddim" in self.sampler:
-            raise AssertionError("DDIM should not be used for training")
+        if train and self.sampler not in ("ddpm", "my_ddpm"):
+            # reference: config.py:191-192 asserts DDIM is not for training;
+            # the ODE samplers (euler/heun) are eval-only for the same reason
+            raise AssertionError(
+                f"sampler {self.sampler!r} should not be used for training "
+                "(only ddpm/my_ddpm define the forward noising process)"
+            )
         is_ddim = "ddim" in self.sampler
         return ScheduleConfig(
             num_train_timesteps=self.num_train_timesteps,

@@ -78,10 +78,22 @@ def eval_batch(
             (left + 1.0) / 2.0, (right + 1.0) / 2.0, fxb_val,
             min_disp=max(1, int(10 * scale)), max_disp=max(8, int(110 * scale)),
         )
-        raw_depth_p = sm.depth[..., None]
+        # The guidance/SSI target convention is the raw *disparity* (see the
+        # docstring above): use the matcher's disparity masked by its LRC
+        # validity, converting to metric depth only for depth-space models.
+        disp = jnp.where(sm.valid, sm.disp, 0.0)
+        if config.prediction_space == "depth":
+            raw_depth_p = jnp.where(
+                disp > 0, fxb_val / jnp.maximum(disp, 1e-6), 0.0
+            )[..., None]
+        else:
+            raw_depth_p = disp[..., None]
 
     def denormer(x):
-        return denormalize(config, x, raw_depth_p, None)
+        # SSI re-alignment inside the guidance loop aligns against the raw
+        # target over its validity mask (Normalizer.denormalize requires a
+        # mask in ssi mode).
+        return denormalize(config, x, raw_depth_p, (raw_depth_p > 0))
 
     rounds = []
     out = None
@@ -155,23 +167,30 @@ _SLICED_KEYS = ("raw_disp", "normalized_disp", "sim_disp", "left_image",
                 "right_image", "normalized_rgb", "mask", "raw_depth", "depth")
 
 
-def eval_sliced_batch(config, pipeline, batch, key, guidance_weights=None):
-    """Sweep over flow_guidance_weights, return results for the LAST weight
-    (matching the reference's sweep that reports per-weight metrics —
-    evaluate.py:188-194)."""
+def _pipelines_per_weight(config, pipeline, guidance_weights=None):
+    """One pipeline object per guidance weight, built ONCE so each keeps its
+    own jit cache across batches (rebuilding per batch would recompile the
+    sampling scan every batch)."""
     import dataclasses as _dc
 
-    weights = guidance_weights or config.flow_guidance_weights
-    results = {}
+    weights = [float(w) for w in (guidance_weights or config.flow_guidance_weights or [0.0])]
+    pipes = {}
     for w in weights:
-        p = pipeline
-        if hasattr(pipeline, "guidance"):
-            p = _dc.replace(
+        if hasattr(pipeline, "guidance") and w != pipeline.guidance.flow_guidance_weight:
+            pipes[w] = _dc.replace(
                 pipeline,
-                guidance=_dc.replace(pipeline.guidance, flow_guidance_weight=float(w)),
+                guidance=_dc.replace(pipeline.guidance, flow_guidance_weight=w),
             )
-        results[w] = eval_batch(config, p, batch, key)
-    return results
+        else:
+            pipes[w] = pipeline
+    return pipes
+
+
+def eval_sliced_batch(config, pipeline, batch, key, guidance_weights=None):
+    """Sweep over flow_guidance_weights for one batch, returning
+    {weight: eval_batch result} (reference: evaluate.py:188-194)."""
+    pipes = _pipelines_per_weight(config, pipeline, guidance_weights)
+    return {w: eval_batch(config, p, batch, key) for w, p in pipes.items()}
 
 
 def evaluate_dataset(
@@ -186,13 +205,45 @@ def evaluate_dataset(
 ):
     """Loop a val loader; returns (metrics dict, RunningAverager).
 
+    Sweeps config.flow_guidance_weights per batch with per-weight metric
+    tracking (reference: evaluate.py:188-194); the returned dict is the LAST
+    weight's aggregate plus a "per_weight" sub-dict when sweeping. Also
+    handles coarse_to_fine quadrant tiling — metrics there are computed on
+    the REASSEMBLED full-resolution prediction, not averaged per quadrant
+    (equal-weight quadrant means would over-weight sparse quadrants).
+
     Reference: evaluate.py:340-427 (incl. coarse_to_fine quadrants) and
     distributed_evaluate.py:109-174 (per-batch metric gathering — here the
     batch is globally sharded so no explicit gather is needed).
     """
-    stat = RunningAverager(detect_anomaly={"epe": 10.0})
-    all_disp, all_depth = [], []
+    import logging
+
+    logger = logging.getLogger("d3roma_tpu.eval")
+    pipes = _pipelines_per_weight(config, pipeline)
+    weights = list(pipes.keys())
+    stats = {w: RunningAverager(detect_anomaly={"epe": 10.0}) for w in weights}
+    acc = {w: ([], []) for w in weights}  # (disp rows, depth rows)
     limit = max_batches if max_batches is not None else config.eval_num_batch
+
+    def run_one(pipe, batch, bkey):
+        if config.coarse_to_fine:
+            B, H, W = batch["raw_disp"].shape[:3]
+            pred = np.zeros((B, H, W), np.float32)
+            for (ys, xs) in QUADRANTS:
+                mini = {
+                    k: (v[:, ys, xs] if k in _SLICED_KEYS and hasattr(v, "ndim") and v.ndim == 4 else v)
+                    for k, v in batch.items()
+                }
+                p_mini, _, _, _, _ = eval_batch(config, pipe, mini, bkey)
+                pred[:, ys, xs] = p_mini
+            gt = np.asarray(batch["raw_disp"][..., 0])
+            m = np.asarray(batch["mask"][..., 0]).astype(bool)
+            md, me = compute_errors(
+                jnp.asarray(gt), jnp.asarray(pred), config.prediction_space,
+                jnp.asarray(m), batch.get("fxb"),
+            )
+            return pred, (np.asarray(md), np.asarray(me)), None, None, None
+        return eval_batch(config, pipe, batch, bkey)
 
     for i, raw_batch in enumerate(loader):
         if limit and limit > 0 and i >= limit:
@@ -200,32 +251,20 @@ def evaluate_dataset(
         batch = preprocess(raw_batch) if preprocess is not None else raw_batch
         bkey = jax.random.fold_in(key, i)
 
-        if config.coarse_to_fine:
-            B, H, W = batch["raw_disp"].shape[:3]
-            pred = np.zeros((B, H, W), np.float32)
-            quad_metrics = []
-            for (ys, xs) in QUADRANTS:
-                mini = {
-                    k: (v[:, ys, xs] if k in _SLICED_KEYS and hasattr(v, "ndim") and v.ndim == 4 else v)
-                    for k, v in batch.items()
-                }
-                p_mini, m_mini, _, _, _ = eval_batch(config, pipeline, mini, bkey)
-                pred[:, ys, xs] = p_mini
-                quad_metrics.append(m_mini)
-            md = np.mean([m[0] for m in quad_metrics], axis=0)
-            me = np.mean([m[1] for m in quad_metrics], axis=0)
-            metrics = (md, me)
-            unc = err = None
-        else:
-            pred, metrics, unc, err, out = eval_batch(config, pipeline, batch, bkey)
-
-        md, me = metrics
-        for b in range(md.shape[0]):
-            sample = dict(zip(["epe", "d1", "d2", "d3", "d5"], md[b]))
-            sample.update(zip(["a1", "a2", "a3", "rmse", "rel", "mae"], me[b]))
-            if stat.append(sample, index=(i, b)):
-                all_disp.append(md[b])
-                all_depth.append(me[b])
+        for w in weights:
+            pred, metrics, unc, err, out = run_one(pipes[w], batch, bkey)
+            md, me = metrics
+            for b in range(md.shape[0]):
+                sample = dict(zip(["epe", "d1", "d2", "d3", "d5"], md[b]))
+                sample.update(zip(["a1", "a2", "a3", "rmse", "rel", "mae"], me[b]))
+                if stats[w].append(sample, index=(i, b)):
+                    acc[w][0].append(md[b])
+                    acc[w][1].append(me[b])
+            if len(weights) > 1:
+                logger.info(
+                    "batch %d guidance_weight=%g epe=%.4f rel=%.4f",
+                    i, w, float(np.mean(md[:, 0])), float(np.mean(me[:, 4])),
+                )
 
         if write_artifacts and eval_output_dir:
             os.makedirs(eval_output_dir, exist_ok=True)
@@ -244,6 +283,32 @@ def evaluate_dataset(
                 plot_uncertainties(
                     unc[0], os.path.join(eval_output_dir, f"idx{i}_uncertainty.png")
                 )
+            if (config.plot_denoised_images and out is not None
+                    and hasattr(out, "intermediates")):
+                # denoise-step grid (reference: evaluate.py:213-226 via
+                # camera.py:887-942)
+                from d3roma_tpu.utils.viz import plot_denoised_images
+
+                plot_denoised_images(
+                    [np.asarray(out.intermediates[s, 0, ..., 0])
+                     for s in range(out.intermediates.shape[0])],
+                    os.path.join(eval_output_dir, f"idx{i}_denoised.png"),
+                )
+            if (config.eval_dataset and config.eval_dataset[0] == "HISS"
+                    and "fxb" in batch):
+                # per-item predicted sim-depth EXR dump for the HISS protocol
+                # (reference: evaluate.py:246-261)
+                from d3roma_tpu.utils.exr import write_exr
+
+                fxb0 = float(np.asarray(batch["fxb"])[0])
+                for b in range(pred.shape[0]):
+                    depth_b = np.where(
+                        pred[b] > 0, fxb0 / np.maximum(pred[b], 1e-6), 0.0
+                    ).astype(np.float32)
+                    write_exr(
+                        os.path.join(eval_output_dir, f"idx{i}_{b}_simDepthImage.exr"),
+                        depth_b,
+                    )
             if config.plot_intermediate_metrics and out is not None and hasattr(out, "intermediates"):
                 inter = denormalize(
                     config,
@@ -269,9 +334,24 @@ def evaluate_dataset(
                 pts, _ = backproject_depth(depth.astype(np.float32), K)
                 write_ply(os.path.join(eval_output_dir, f"idx{i}_pred.ply"), pts)
 
-    if not all_disp:
-        return {}, stat
-    return metrics_to_dict(np.stack(all_disp), np.stack(all_depth)), stat
+    last_w = weights[-1]
+    per_weight = {
+        w: (metrics_to_dict(np.stack(d), np.stack(e)) if d else {})
+        for w, (d, e) in acc.items()
+    }
+    for w in weights:
+        if per_weight[w]:
+            # metrics_to_dict returns {"disp": {...}, "depth": {...}}
+            flat = {
+                f"{grp}/{k}": round(float(v), 4)
+                for grp, sub in per_weight[w].items()
+                for k, v in sub.items()
+            }
+            logger.info("guidance_weight=%g aggregate: %s", w, flat)
+    result = dict(per_weight[last_w])
+    if len(weights) > 1 and result:
+        result["per_weight"] = per_weight
+    return result, stats[last_w]
 
 
 def evaluate_intermediate_metrics(

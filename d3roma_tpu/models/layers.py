@@ -16,6 +16,25 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from d3roma_tpu.ops.quant import int8_conv_general_dilated, int8_dot_general
+
+
+def _dense_q(quant) -> dict:
+    """kwargs enabling the int8 dot path on an nn.Dense (see ops/quant.py).
+
+    `quant` is False (off), True/"all" (dense + conv), or "dense" (dense
+    layers only — attention/FF projections; convolutions stay bf16)."""
+    return {"dot_general": int8_dot_general} if quant else {}
+
+
+def _conv_q(quant) -> dict:
+    """kwargs enabling the int8 conv path on an nn.Conv (off in "dense" mode)."""
+    return (
+        {"conv_general_dilated": int8_conv_general_dilated}
+        if quant and quant != "dense"
+        else {}
+    )
+
 
 def timestep_embedding(
     timesteps: jnp.ndarray,
@@ -98,6 +117,7 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dropout: float = 0.0
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,7 +125,8 @@ class ResnetBlock2D(nn.Module):
         residual = x
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1", **_conv_q(self.quant))(h)
         if self.use_time_emb and t_emb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(t_emb)
@@ -115,10 +136,12 @@ class ResnetBlock2D(nn.Module):
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2", **_conv_q(self.quant))(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(
-                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut",
+                **_conv_q(self.quant),
             )(residual)
         return residual + h
 
@@ -132,6 +155,7 @@ class SelfAttention2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     rescale_output_factor: float = 1.0
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,15 +164,15 @@ class SelfAttention2D(nn.Module):
         num_heads = max(1, C // self.head_dim)
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
-        q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
-        k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
-        v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
+        q = nn.Dense(C, dtype=self.dtype, name="to_q", **_dense_q(self.quant))(h)
+        k = nn.Dense(C, dtype=self.dtype, name="to_k", **_dense_q(self.quant))(h)
+        v = nn.Dense(C, dtype=self.dtype, name="to_v", **_dense_q(self.quant))(h)
         q = q.reshape(B, H * W, num_heads, C // num_heads)
         k = k.reshape(B, H * W, num_heads, C // num_heads)
         v = v.reshape(B, H * W, num_heads, C // num_heads)
         attn = jax.nn.dot_product_attention(q, k, v)
         attn = attn.reshape(B, H * W, C)
-        out = nn.Dense(C, dtype=self.dtype, name="to_out")(attn)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out", **_dense_q(self.quant))(attn)
         out = out.reshape(B, H, W, C)
         return (x + out) / self.rescale_output_factor
 
@@ -165,6 +189,7 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
     use_flash: bool = False
     flash_min_seq: int = 1024
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -174,9 +199,10 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.head_dim
         B, N, _ = x.shape
         M = context.shape[1]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        dq = _dense_q(self.quant)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q", **dq)(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k", **dq)(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v", **dq)(context)
         q = q.reshape(B, N, self.heads, self.head_dim)
         k = k.reshape(B, M, self.heads, self.head_dim)
         v = v.reshape(B, M, self.heads, self.head_dim)
@@ -184,16 +210,18 @@ class CrossAttention(nn.Module):
             attn = flash_self_attention(q, k, v).reshape(B, N, inner)
         else:
             attn = jax.nn.dot_product_attention(q, k, v).reshape(B, N, inner)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(attn)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out", **dq)(attn)
 
 
 class GEGLU(nn.Module):
     dim_out: int
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj",
+                     **_dense_q(self.quant))(x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(gate)
 
@@ -201,12 +229,15 @@ class GEGLU(nn.Module):
 class FeedForward(nn.Module):
     dim: int
     mult: int = 4
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        x = GEGLU(self.dim * self.mult, quant=self.quant, dtype=self.dtype,
+                  name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2",
+                        **_dense_q(self.quant))(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -218,6 +249,7 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     context_dim: int
     use_flash: bool = False
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -225,15 +257,15 @@ class BasicTransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, use_flash=self.use_flash,
-            dtype=self.dtype, name="attn1"
+            quant=self.quant, dtype=self.dtype, name="attn1"
         )(h)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, self.context_dim,
-            dtype=self.dtype, name="attn2",
+            quant=self.quant, dtype=self.dtype, name="attn2",
         )(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(self.dim, quant=self.quant, dtype=self.dtype, name="ff")(h)
         return x
 
 
@@ -248,6 +280,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     groups: int = 32
     use_flash: bool = False
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -256,14 +289,16 @@ class Transformer2D(nn.Module):
         residual = x
         h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         h = h.reshape(B, H * W, C)
-        h = nn.Dense(self.heads * self.head_dim, dtype=self.dtype, name="proj_in")(h)
+        h = nn.Dense(self.heads * self.head_dim, dtype=self.dtype, name="proj_in",
+                     **_dense_q(self.quant))(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads * self.head_dim, self.heads, self.head_dim,
-                self.context_dim, use_flash=self.use_flash,
+                self.context_dim, use_flash=self.use_flash, quant=self.quant,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(h, context)
-        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out",
+                     **_dense_q(self.quant))(h)
         return residual + h.reshape(B, H, W, C)
 
 
@@ -274,6 +309,7 @@ class Downsample2D(nn.Module):
 
     channels: int
     asymmetric_padding: bool = False
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -282,11 +318,11 @@ class Downsample2D(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             return nn.Conv(
                 self.channels, (3, 3), strides=(2, 2), padding="VALID",
-                dtype=self.dtype, name="conv",
+                dtype=self.dtype, name="conv", **_conv_q(self.quant),
             )(x)
         return nn.Conv(
             self.channels, (3, 3), strides=(2, 2), padding=1,
-            dtype=self.dtype, name="conv",
+            dtype=self.dtype, name="conv", **_conv_q(self.quant),
         )(x)
 
 
@@ -297,6 +333,7 @@ class Upsample2D(nn.Module):
     power-of-two multiple)."""
 
     channels: int
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -304,4 +341,5 @@ class Upsample2D(nn.Module):
         B, H, W, C = x.shape
         th, tw = out_hw if out_hw is not None else (H * 2, W * 2)
         x = jax.image.resize(x, (B, th, tw, C), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv", **_conv_q(self.quant))(x)

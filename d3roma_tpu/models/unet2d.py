@@ -44,6 +44,7 @@ class UNet2D(nn.Module):
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     dropout: float = 0.0
+    quant: bool = False  # int8 MXU path for inference (ops/quant.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +60,10 @@ class UNet2D(nn.Module):
         ).astype(self.dtype)
         t_emb = TimestepEmbedding(c0 * 4, dtype=self.dtype, name="time_embedding")(t_emb)
 
-        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
+        from d3roma_tpu.models.layers import _conv_q
+
+        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in",
+                    **_conv_q(self.quant))(sample)
 
         # ---- down path ----
         skips = [x]
@@ -68,26 +72,30 @@ class UNet2D(nn.Module):
             for j in range(self.layers_per_block):
                 x = ResnetBlock2D(
                     ch, groups=self.norm_groups, dropout=self.dropout,
-                    dtype=self.dtype, name=f"down_{i}_res_{j}",
+                    quant=self.quant, dtype=self.dtype, name=f"down_{i}_res_{j}",
                 )(x, t_emb, deterministic)
                 if btype == "AttnDownBlock2D":
                     x = SelfAttention2D(
                         ch, self.attention_head_dim, self.norm_groups,
-                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
+                        quant=self.quant, dtype=self.dtype,
+                        name=f"down_{i}_attn_{j}",
                     )(x)
                 skips.append(x)
             if not is_last:
-                x = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+                x = Downsample2D(ch, quant=self.quant, dtype=self.dtype,
+                                 name=f"down_{i}_downsample")(x)
                 skips.append(x)
 
         # ---- mid ----
         mid_ch = self.block_out_channels[-1]
         x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dropout=self.dropout,
-                          dtype=self.dtype, name="mid_res_0")(x, t_emb, deterministic)
+                          quant=self.quant, dtype=self.dtype,
+                          name="mid_res_0")(x, t_emb, deterministic)
         x = SelfAttention2D(mid_ch, self.attention_head_dim, self.norm_groups,
-                            dtype=self.dtype, name="mid_attn")(x)
+                            quant=self.quant, dtype=self.dtype, name="mid_attn")(x)
         x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dropout=self.dropout,
-                          dtype=self.dtype, name="mid_res_1")(x, t_emb, deterministic)
+                          quant=self.quant, dtype=self.dtype,
+                          name="mid_res_1")(x, t_emb, deterministic)
 
         # ---- up path ----
         rev_channels = tuple(reversed(self.block_out_channels))
@@ -99,15 +107,17 @@ class UNet2D(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlock2D(
                     ch, groups=self.norm_groups, dropout=self.dropout,
-                    dtype=self.dtype, name=f"up_{i}_res_{j}",
+                    quant=self.quant, dtype=self.dtype, name=f"up_{i}_res_{j}",
                 )(x, t_emb, deterministic)
                 if btype == "AttnUpBlock2D":
                     x = SelfAttention2D(
                         ch, self.attention_head_dim, self.norm_groups,
-                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                        quant=self.quant, dtype=self.dtype,
+                        name=f"up_{i}_attn_{j}",
                     )(x)
             if not is_last:
-                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(
+                x = Upsample2D(ch, quant=self.quant, dtype=self.dtype,
+                               name=f"up_{i}_upsample")(
                     x, out_hw=skips[-1].shape[1:3]
                 )
 

@@ -43,6 +43,7 @@ class UNet2DCondition(nn.Module):
     cross_attention_dim: int = 1024
     norm_groups: int = 32
     use_flash_attention: bool = False
+    quant: bool = False  # int8 MXU path for inference (ops/quant.py)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
@@ -74,7 +75,10 @@ class UNet2DCondition(nn.Module):
         ResBlock = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
         AttnBlock = nn.remat(Transformer2D) if self.remat else Transformer2D
 
-        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
+        from d3roma_tpu.models.layers import _conv_q
+
+        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in",
+                    **_conv_q(self.quant))(sample)
 
         # ---- down ----
         skips = [x]
@@ -82,29 +86,31 @@ class UNet2DCondition(nn.Module):
             is_last = i == len(self.block_out_channels) - 1
             for j in range(self.layers_per_block):
                 x = ResBlock(ch, groups=self.norm_groups, eps=1e-5,
-                                  dtype=self.dtype, name=f"down_{i}_res_{j}")(x, t_emb)
+                                  quant=self.quant, dtype=self.dtype,
+                                  name=f"down_{i}_res_{j}")(x, t_emb)
                 if btype == "CrossAttnDownBlock2D":
                     x = AttnBlock(
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
-                        use_flash=self.use_flash_attention,
+                        use_flash=self.use_flash_attention, quant=self.quant,
                         dtype=self.dtype, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
             if not is_last:
-                x = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+                x = Downsample2D(ch, quant=self.quant, dtype=self.dtype,
+                                 name=f"down_{i}_downsample")(x)
                 skips.append(x)
 
         # ---- mid (UNetMidBlock2DCrossAttn) ----
         mid_ch = self.block_out_channels[-1]
-        x = ResBlock(mid_ch, groups=self.norm_groups, dtype=self.dtype,
-                          name="mid_res_0")(x, t_emb)
+        x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
+                          dtype=self.dtype, name="mid_res_0")(x, t_emb)
         x = AttnBlock(mid_ch, heads_for(mid_ch), self.attention_head_dim,
                           self.cross_attention_dim, groups=self.norm_groups,
-                          use_flash=self.use_flash_attention,
+                          use_flash=self.use_flash_attention, quant=self.quant,
                           dtype=self.dtype, name="mid_attn")(x, context)
-        x = ResBlock(mid_ch, groups=self.norm_groups, dtype=self.dtype,
-                          name="mid_res_1")(x, t_emb)
+        x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
+                          dtype=self.dtype, name="mid_res_1")(x, t_emb)
 
         # ---- up ----
         rev = tuple(reversed(self.block_out_channels))
@@ -114,17 +120,18 @@ class UNet2DCondition(nn.Module):
             for j in range(self.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResBlock(ch, groups=self.norm_groups, dtype=self.dtype,
-                                  name=f"up_{i}_res_{j}")(x, t_emb)
+                x = ResBlock(ch, groups=self.norm_groups, quant=self.quant,
+                                  dtype=self.dtype, name=f"up_{i}_res_{j}")(x, t_emb)
                 if btype == "CrossAttnUpBlock2D":
                     x = AttnBlock(
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
-                        use_flash=self.use_flash_attention,
+                        use_flash=self.use_flash_attention, quant=self.quant,
                         dtype=self.dtype, name=f"up_{i}_attn_{j}",
                     )(x, context)
             if not is_last:
-                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(
+                x = Upsample2D(ch, quant=self.quant, dtype=self.dtype,
+                               name=f"up_{i}_upsample")(
                     x, out_hw=skips[-1].shape[1:3]
                 )
 

@@ -30,28 +30,35 @@ class Encoder(nn.Module):
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     layers_per_block: int = 2
     norm_groups: int = 32
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from d3roma_tpu.models.layers import _conv_q
+
         x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
-                    dtype=self.dtype, name="conv_in")(x)
+                    dtype=self.dtype, name="conv_in", **_conv_q(self.quant))(x)
         for i, ch in enumerate(self.block_out_channels):
             is_last = i == len(self.block_out_channels) - 1
             for j in range(self.layers_per_block):
                 x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                                  eps=1e-6, dtype=self.dtype,
+                                  eps=1e-6, quant=self.quant, dtype=self.dtype,
                                   name=f"down_{i}_res_{j}")(x)
             if not is_last:
-                x = Downsample2D(ch, asymmetric_padding=True, dtype=self.dtype,
+                x = Downsample2D(ch, asymmetric_padding=True, quant=self.quant,
+                                 dtype=self.dtype,
                                  name=f"down_{i}_downsample")(x)
         ch = self.block_out_channels[-1]
         x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, dtype=self.dtype, name="mid_res_0")(x)
+                          eps=1e-6, quant=self.quant, dtype=self.dtype,
+                          name="mid_res_0")(x)
         x = SelfAttention2D(ch, head_dim=ch, groups=self.norm_groups,
-                            eps=1e-6, dtype=self.dtype, name="mid_attn")(x)
+                            eps=1e-6, quant=self.quant, dtype=self.dtype,
+                            name="mid_attn")(x)
         x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, dtype=self.dtype, name="mid_res_1")(x)
+                          eps=1e-6, quant=self.quant, dtype=self.dtype,
+                          name="mid_res_1")(x)
         x = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -64,26 +71,34 @@ class Decoder(nn.Module):
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     layers_per_block: int = 3
     norm_groups: int = 32
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z):
+        from d3roma_tpu.models.layers import _conv_q
+
         rev = tuple(reversed(self.block_out_channels))
-        x = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        x = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in",
+                    **_conv_q(self.quant))(z)
         x = ResnetBlock2D(rev[0], use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, dtype=self.dtype, name="mid_res_0")(x)
+                          eps=1e-6, quant=self.quant, dtype=self.dtype,
+                          name="mid_res_0")(x)
         x = SelfAttention2D(rev[0], head_dim=rev[0], groups=self.norm_groups,
-                            eps=1e-6, dtype=self.dtype, name="mid_attn")(x)
+                            eps=1e-6, quant=self.quant, dtype=self.dtype,
+                            name="mid_attn")(x)
         x = ResnetBlock2D(rev[0], use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, dtype=self.dtype, name="mid_res_1")(x)
+                          eps=1e-6, quant=self.quant, dtype=self.dtype,
+                          name="mid_res_1")(x)
         for i, ch in enumerate(rev):
             is_last = i == len(rev) - 1
             for j in range(self.layers_per_block):
                 x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                                  eps=1e-6, dtype=self.dtype,
+                                  eps=1e-6, quant=self.quant, dtype=self.dtype,
                                   name=f"up_{i}_res_{j}")(x)
             if not is_last:
-                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+                x = Upsample2D(ch, quant=self.quant, dtype=self.dtype,
+                               name=f"up_{i}_upsample")(x)
         x = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -109,16 +124,17 @@ class AutoencoderKL(nn.Module):
     latent_channels: int = 4
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     norm_groups: int = 32
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = Encoder(
             self.latent_channels, self.block_out_channels,
-            norm_groups=self.norm_groups, dtype=self.dtype,
+            norm_groups=self.norm_groups, quant=self.quant, dtype=self.dtype,
         )
         self.decoder = Decoder(
             self.out_channels, self.block_out_channels,
-            norm_groups=self.norm_groups, dtype=self.dtype,
+            norm_groups=self.norm_groups, quant=self.quant, dtype=self.dtype,
         )
         # 1x1 convs around the latent (diffusers quant_conv/post_quant_conv)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1), name="quant_conv")

@@ -232,6 +232,91 @@ def ddim_step(
     return StepOutput(prev_sample, pred_x0, perturbed_x0)
 
 
+def sigma_of(alpha_prod: jnp.ndarray) -> jnp.ndarray:
+    """VP-SDE noise level sigma = sqrt((1-abar)/abar) (k-diffusion/Karras
+    convention used by Euler/Heun discrete samplers)."""
+    return jnp.sqrt((1.0 - alpha_prod) / alpha_prod)
+
+
+def euler_step(
+    tables: ScheduleTables,
+    cfg: ScheduleConfig,
+    model_output: jnp.ndarray,
+    t: jnp.ndarray,
+    prev_t: jnp.ndarray,
+    sample: jnp.ndarray,
+    guidance_fn: Optional[GuidanceFn] = None,
+) -> StepOutput:
+    """First-order Euler step of the probability-flow ODE in sigma space.
+
+    The reference registers `euler`/`heun` sampler names but its factory
+    raises for them (reference: config.py:12-19, 209-210); here they are
+    implemented. Works in the rescaled variable x/sqrt(abar) where the ODE
+    is dx/dsigma = (x - x0(x, sigma)) / sigma, then converts back to the
+    VP parameterization the UNet was trained in — so euler/heun reuse the
+    same model and prediction types as DDPM/DDIM.
+    """
+    nd = sample.ndim
+    alpha_prod_t = extract(tables.alphas_cumprod, t, nd)
+    alpha_prod_t_prev = _gather_prev_alpha(tables, prev_t, nd, tables.final_alpha_cumprod)
+
+    pred_x0, _ = predict_x0_and_eps(cfg, model_output, sample, alpha_prod_t)
+    pred_x0 = _maybe_clip(cfg, pred_x0)
+    perturbed_x0 = guidance_fn(pred_x0, t) if guidance_fn is not None else pred_x0
+
+    sigma = sigma_of(alpha_prod_t)
+    sigma_prev = sigma_of(alpha_prod_t_prev)
+    x_hat = sample / jnp.sqrt(alpha_prod_t)
+    d = (x_hat - perturbed_x0) / sigma
+    x_hat_prev = x_hat + (sigma_prev - sigma) * d
+    prev_sample = x_hat_prev * jnp.sqrt(alpha_prod_t_prev)
+    return StepOutput(prev_sample, pred_x0, perturbed_x0)
+
+
+def heun_correct(
+    tables: ScheduleTables,
+    cfg: ScheduleConfig,
+    model_output_t: jnp.ndarray,
+    model_output_prev: jnp.ndarray,
+    t: jnp.ndarray,
+    prev_t: jnp.ndarray,
+    sample: jnp.ndarray,
+    euler_prev_sample: jnp.ndarray,
+    guidance_fn: Optional[GuidanceFn] = None,
+) -> StepOutput:
+    """Second-order Heun correction: average the ODE derivative at (t, x_t)
+    and at (prev_t, x_euler), then re-take the step. Falls back to the plain
+    Euler result at the final step (sigma_prev == 0), where the correction
+    derivative is undefined."""
+    nd = sample.ndim
+    alpha_prod_t = extract(tables.alphas_cumprod, t, nd)
+    alpha_prod_t_prev = _gather_prev_alpha(tables, prev_t, nd, tables.final_alpha_cumprod)
+    sigma = sigma_of(alpha_prod_t)
+    sigma_prev = sigma_of(alpha_prod_t_prev)
+
+    pred_x0, _ = predict_x0_and_eps(cfg, model_output_t, sample, alpha_prod_t)
+    pred_x0 = _maybe_clip(cfg, pred_x0)
+    perturbed_x0 = guidance_fn(pred_x0, t) if guidance_fn is not None else pred_x0
+    x_hat = sample / jnp.sqrt(alpha_prod_t)
+    d1 = (x_hat - perturbed_x0) / sigma
+
+    # derivative at the Euler-predicted point
+    safe_prev_alpha = jnp.maximum(alpha_prod_t_prev, 1e-12)
+    x_hat_prev = euler_prev_sample / jnp.sqrt(safe_prev_alpha)
+    pred_x0_2, _ = predict_x0_and_eps(
+        cfg, model_output_prev, euler_prev_sample, alpha_prod_t_prev
+    )
+    pred_x0_2 = _maybe_clip(cfg, pred_x0_2)
+    safe_sigma_prev = jnp.maximum(sigma_prev, 1e-12)
+    d2 = (x_hat_prev - pred_x0_2) / safe_sigma_prev
+
+    d_avg = 0.5 * (d1 + d2)
+    x_hat_heun = x_hat + (sigma_prev - sigma) * d_avg
+    heun_prev = x_hat_heun * jnp.sqrt(alpha_prod_t_prev)
+    prev_sample = jnp.where(sigma_prev > 1e-10, heun_prev, euler_prev_sample)
+    return StepOutput(prev_sample, pred_x0, perturbed_x0)
+
+
 def posterior_mean_variance(
     tables: ScheduleTables,
     x0: jnp.ndarray,

@@ -28,7 +28,11 @@ import numpy as np
 
 from d3roma_tpu.guidance import FlowGuidance
 from d3roma_tpu.ops.schedules import ScheduleConfig, ScheduleTables, add_noise, set_timesteps
-from d3roma_tpu.ops.scheduler_step import ddim_step, ddpm_step
+from d3roma_tpu.ops.scheduler_step import ddim_step, ddpm_step, euler_step, heun_correct
+
+#: sampler kinds run_sampler can execute (reference registers the same set at
+#: config.py:12-19; its factory raises for euler/heun — here they are real).
+SAMPLER_KINDS = ("ddpm", "my_ddpm", "ddim", "my_ddim", "euler", "heun")
 
 
 class PipelineOutput(NamedTuple):
@@ -45,14 +49,25 @@ class PipelineOutput(NamedTuple):
 class SamplerSpec:
     """Static sampler choice + schedule (reference: config.py:182-212)."""
 
-    kind: str  # "ddpm" | "my_ddpm" | "ddim" | "my_ddim"
+    kind: str  # one of SAMPLER_KINDS
     schedule: ScheduleConfig
     eta: float = 0.0
     use_clipped_model_output: bool = False
 
+    def __post_init__(self):
+        if self.kind not in SAMPLER_KINDS:
+            raise ValueError(
+                f"unknown sampler kind {self.kind!r}; supported: {SAMPLER_KINDS}"
+            )
+
     @property
     def is_ddim(self) -> bool:
         return "ddim" in self.kind
+
+    @property
+    def is_ode(self) -> bool:
+        """Deterministic ODE samplers that support the in-step guidance hook."""
+        return self.is_ddim or self.kind in ("euler", "heun")
 
 
 def build_cond_concat(
@@ -83,6 +98,19 @@ def _timestep_arrays(schedule: ScheduleConfig, num_inference_steps: int):
     ts = set_timesteps(schedule, num_inference_steps)
     prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
     return jnp.asarray(ts), jnp.asarray(prev)
+
+
+def _kept_indices(num_inference_steps: int, num_intermediate_images: int) -> np.ndarray:
+    """Indices of the x_hat0 stack kept as intermediates: every
+    T//num_intermediate_images steps (custom_pipelines.py:177-183), with the
+    LAST step always forced into the set — the final image must be the last
+    step's x_hat0 (custom_pipelines.py:414-415,454) even when the stride
+    does not divide T evenly."""
+    every = max(1, num_inference_steps // max(1, num_intermediate_images))
+    idx = np.arange(every - 1, num_inference_steps, every)
+    if len(idx) == 0 or idx[-1] != num_inference_steps - 1:
+        idx = np.append(idx, num_inference_steps - 1)
+    return idx
 
 
 def run_sampler(
@@ -137,11 +165,28 @@ def run_sampler(
                 use_clipped_model_output=spec.use_clipped_model_output,
                 guidance_fn=guidance_fn,
             )
-        else:
+        elif spec.kind == "euler":
+            out = euler_step(
+                tables, cfg, model_output, t, prev_t, x, guidance_fn=guidance_fn,
+            )
+        elif spec.kind == "heun":
+            e = euler_step(
+                tables, cfg, model_output, t, prev_t, x, guidance_fn=guidance_fn,
+            )
+            # second model evaluation at the Euler-predicted point
+            model_input2 = jnp.concatenate([e.prev_sample, step_conds], axis=-1)
+            model_output2 = model_fn(model_input2, jnp.maximum(prev_t, 0))
+            out = heun_correct(
+                tables, cfg, model_output, model_output2, t, prev_t, x,
+                e.prev_sample, guidance_fn=guidance_fn,
+            )
+        elif spec.kind in ("ddpm", "my_ddpm"):
             out = ddpm_step(
                 tables, cfg, model_output, t, prev_t, x,
                 key=k_noise, guidance_fn=guidance_fn,
             )
+        else:  # unreachable: SamplerSpec.__post_init__ validates the kind
+            raise ValueError(f"unknown sampler kind {spec.kind!r}")
         return (out.prev_sample, k), out.perturbed_original_sample
 
     (x_final, _), x0_stack = jax.lax.scan(body, (x_init, key), (ts, prev_ts))
@@ -198,8 +243,10 @@ def pixel_pipeline(
         unet_apply, spec, tables, x_init, conds, key,
         num_inference_steps, guidance_fn, noise_rgb_cfg,
     )
-    every = max(1, num_inference_steps // num_intermediate_images)
-    inter = jnp.clip(stack[every - 1 :: every], -1.0, 1.0)
+    inter = jnp.clip(
+        stack[_kept_indices(num_inference_steps, num_intermediate_images)],
+        -1.0, 1.0,
+    )
     return PipelineOutput(jnp.clip(final, -1.0, 1.0), inter)
 
 
@@ -270,7 +317,11 @@ def latent_pipeline(
 
     guidance_fn = None
     if guidance is not None and guidance.enabled:
-        assert spec.is_ddim, "in-step guidance is routed only for DDIM (reference: custom_pipelines.py:390-402)"
+        assert spec.is_ode, (
+            "in-step guidance is routed only for deterministic samplers "
+            "(reference routes it only for MyDDIM, custom_pipelines.py:390-402; "
+            "euler/heun also support the hook here)"
+        )
         assert raw_depth is not None and denormer is not None
         guidance_fn = guidance.make_latent_guidance_fn(
             vae_decode, denormer, raw_depth
@@ -285,10 +336,10 @@ def latent_pipeline(
         num_inference_steps, guidance_fn, noise_rgb_cfg,
     )
 
-    every = max(1, num_inference_steps // num_intermediate_images)
-    kept = x0_stack[every - 1 :: every]
-    # the last kept intermediate IS the final step's x_hat0, so one decode
-    # pass serves both (each full-res VAE decode costs ~2 UNet steps)
+    kept = x0_stack[_kept_indices(num_inference_steps, num_intermediate_images)]
+    # the last kept intermediate IS the final step's x_hat0 (the last index
+    # is forced into the kept set), so one decode pass serves both (each
+    # full-res VAE decode costs ~2 UNet steps)
     decoded = jax.vmap(vae_decode)(kept)
     inter = jnp.clip(decoded, -1.0, 1.0)
     final = inter[-1]
