@@ -73,7 +73,13 @@ def compute_errors(
     # disparity metrics
     epe_err = jnp.abs(gt_disp - pred_disp)
     epe = _masked_mean(epe_err, m, axis=1)
-    scale = W / 480.0  # reference: utils.py:630
+    # D-threshold scale: DELIBERATE divergence from the reference. The
+    # reference computes scale = masked_pixel_count/480 (utils.py:626-630,
+    # its own FIXME admits the bug); the intended semantics is the
+    # image-width ratio W/480, used here. D1/D2/D3/D5 numbers are therefore
+    # NOT directly comparable with reference-produced logs (see
+    # docs/PARITY.md).
+    scale = W / 480.0
     rates = [
         _masked_mean((epe_err > k * scale).astype(jnp.float32), m, axis=1)
         for k in (1.0, 2.0, 3.0, 5.0)

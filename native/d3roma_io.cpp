@@ -106,25 +106,51 @@ bool parse_header(FILE* f, ExrHeader* hdr) {
     if (size && std::fread(data.data(), 1, size, f) != size_t(size)) return false;
 
     if (name == "channels") {
+      // chlist: [name\0 int32 pixel_type 12 bytes misc]* \0 — every field
+      // is file-controlled, so bounds-check before each read.
       size_t i = 0;
       while (i < data.size() && data[i] != 0) {
         size_t j = i;
         while (j < data.size() && data[j] != 0) j++;
+        if (j + 1 + 16 > data.size()) {
+          hdr->error = "truncated chlist entry";
+          return false;
+        }
         Channel ch;
         ch.name.assign(reinterpret_cast<char*>(&data[i]), j - i);
         int32_t ptype;
         std::memcpy(&ptype, &data[j + 1], 4);
+        if (ptype != kPixelHalf && ptype != kPixelFloat) {
+          hdr->error = "unsupported pixel type";
+          return false;
+        }
         ch.pixel_type = ptype;
         hdr->channels.push_back(ch);
+        if (hdr->channels.size() > 64) {
+          hdr->error = "too many channels";
+          return false;
+        }
         i = j + 1 + 16;
       }
     } else if (name == "compression") {
       hdr->compression = data.empty() ? kNoCompression : data[0];
     } else if (name == "dataWindow") {
+      if (data.size() < 16) {
+        hdr->error = "bad dataWindow";
+        return false;
+      }
       int32_t box[4];
       std::memcpy(box, data.data(), 16);
-      hdr->width = box[2] - box[0] + 1;
-      hdr->height = box[3] - box[1] + 1;
+      int64_t w = int64_t(box[2]) - box[0] + 1;
+      int64_t h = int64_t(box[3]) - box[1] + 1;
+      // sanity: positive and small enough that h*w*c cannot overflow int
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+          w * h > (int64_t(1) << 28)) {
+        hdr->error = "unreasonable dataWindow";
+        return false;
+      }
+      hdr->width = static_cast<int>(w);
+      hdr->height = static_cast<int>(h);
     }
   }
   hdr->data_offset = std::ftell(f);
@@ -138,6 +164,9 @@ bool unzip_block(const uint8_t* src, size_t src_len, std::vector<uint8_t>* out,
   uLongf dst_len = expect;
   std::vector<uint8_t> tmp(expect);
   if (uncompress(tmp.data(), &dst_len, src, src_len) != Z_OK) return false;
+  // the decode loop walks exactly `expect` bytes; a short inflate would be
+  // an out-of-bounds read downstream
+  if (dst_len != expect) return false;
   for (size_t i = 1; i < dst_len; i++) {
     tmp[i] = static_cast<uint8_t>(tmp[i] + tmp[i - 1] - 128);
   }
@@ -145,7 +174,6 @@ bool unzip_block(const uint8_t* src, size_t src_len, std::vector<uint8_t>* out,
   for (size_t i = 0; i < dst_len; i++) {
     (*out)[i] = (i % 2 == 0) ? tmp[i / 2] : tmp[half + i / 2];
   }
-  out->resize(dst_len);
   return true;
 }
 
@@ -178,11 +206,21 @@ int decode_exr(const char* path, float* out, int out_capacity) {
     bytes_per_px += (ch.pixel_type == kPixelFloat) ? 4 : 2;
 
   std::vector<uint8_t> raw, plain;
+  const size_t max_block = bytes_per_px * size_t(W) * lines_per_block;
   for (int b = 0; b < n_blocks; b++) {
     int32_t y = 0, size = 0;
     if (std::fread(&y, 4, 1, f) != 1 || std::fread(&size, 4, 1, f) != 1) {
       std::fclose(f);
       return -5;
+    }
+    // y and size are file-controlled: y indexes the output buffer and size
+    // the read — reject anything outside the header-implied bounds
+    // (compressed blocks can exceed raw size slightly for incompressible
+    // data; allow zlib's worst-case expansion).
+    if (y < 0 || y >= H ||
+        size <= 0 || size_t(size) > max_block + max_block / 64 + 256) {
+      std::fclose(f);
+      return -7;
     }
     raw.resize(size);
     if (std::fread(raw.data(), 1, size, f) != size_t(size)) {
@@ -192,7 +230,12 @@ int decode_exr(const char* path, float* out, int out_capacity) {
     int n_lines = std::min(lines_per_block, H - y);
     size_t expect = bytes_per_px * W * n_lines;
     const uint8_t* data = raw.data();
-    if (hdr.compression != kNoCompression && size_t(size) != expect) {
+    if (size_t(size) != expect) {
+      if (hdr.compression == kNoCompression) {
+        // NONE blocks must be exactly the scanline payload
+        std::fclose(f);
+        return -7;
+      }
       if (!unzip_block(raw.data(), size, &plain, expect)) {
         std::fclose(f);
         return -6;

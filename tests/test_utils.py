@@ -271,3 +271,56 @@ def test_named_schedule_sampler_factory():
     assert st is not None and wfn(st).shape == (10,)
     with pytest.raises(NotImplementedError):
         create_named_schedule_sampler("bogus", 10)
+
+
+def test_native_exr_rejects_malformed(tmp_path):
+    """Hardened decoder: corrupt scanline headers / truncated chlists must
+    produce error codes, never out-of-bounds writes (advisor finding on
+    native/d3roma_io.cpp decode_exr)."""
+    import struct
+
+    from d3roma_tpu.utils import native_io
+
+    if not native_io.available():
+        pytest.skip("no compiler/native lib")
+    rng = np.random.default_rng(21)
+    img = rng.uniform(0, 3, (9, 13)).astype(np.float32)
+    good = str(tmp_path / "good.exr")
+    native_io.write_exr(good, img)  # NONE compression, y=0..8 blocks
+    raw = open(good, "rb").read()
+
+    # (a) block y far outside [0, H) -> heap-offset attack; must error
+    pat = struct.pack("<ii", 0, 13 * 4)
+    idx = raw.find(pat)
+    assert idx > 0
+    bad = raw[:idx] + struct.pack("<ii", 2**20, 13 * 4) + raw[idx + 8:]
+    p = str(tmp_path / "bad_y.exr")
+    open(p, "wb").write(bad)
+    with pytest.raises((ValueError, NotImplementedError)):
+        native_io.read_exr(p)
+
+    # (b) NONE-compression block smaller than the scanline payload
+    bad = raw[:idx] + struct.pack("<ii", 0, 8) + raw[idx + 8:]
+    p = str(tmp_path / "bad_size.exr")
+    open(p, "wb").write(bad)
+    with pytest.raises((ValueError, NotImplementedError)):
+        native_io.read_exr(p)
+
+    # (c) negative block size
+    bad = raw[:idx] + struct.pack("<ii", 0, -4) + raw[idx + 8:]
+    p = str(tmp_path / "bad_neg.exr")
+    open(p, "wb").write(bad)
+    with pytest.raises((ValueError, NotImplementedError)):
+        native_io.read_exr(p)
+
+    # (d) truncated chlist attribute (name with no pixel-type payload)
+    hdr = struct.pack("<II", 0x01312F76, 2)
+    hdr += b"channels\x00chlist\x00" + struct.pack("<i", 3) + b"Y\x00\x00"
+    hdr += b"\x00"
+    p = str(tmp_path / "bad_chlist.exr")
+    open(p, "wb").write(hdr)
+    with pytest.raises((ValueError, NotImplementedError)):
+        native_io.read_exr(p)
+
+    # the good file still decodes
+    np.testing.assert_allclose(native_io.read_exr(good), img, rtol=1e-7)
