@@ -154,6 +154,9 @@ class NYUv2(MonoDataset):
             rgb = np.transpose(np.asarray(f["rgb"]), (1, 2, 0)).astype(np.uint8)
             depth = np.asarray(f["depth"]).astype(np.float32)
         t, b, l, r = self.EIGEN_CROP
+        # valid depths clipped to the NYU working range (reference:
+        # data/mono_datasets.py:393 clips to [1e-3, 10] metres)
+        depth = np.where(depth > 0, np.clip(depth, 1e-3, 10.0), 0.0).astype(np.float32)
         return rgb[t:b, l:r], depth[t:b, l:r], None
 
 
@@ -182,35 +185,206 @@ class HyperSim(MonoDataset):
         return rgb, planar.astype(np.float32), None
 
 
-def _simple_mono(name, rgb_glob, depth_fn):
-    """Factory for file-listing mono datasets (ScanNet, VK2 etc. —
-    reference: data/mono_datasets.py:113-477)."""
-
-    class _DS(MonoDataset):
-        def __init__(self, image_size, split="train", root=f"datasets/{name}", seed=None):
-            super().__init__(image_size, split, seed)
-            self.rgb_list = sorted(glob.glob(osp.join(root, split, rgb_glob), recursive=True))
-            self.depth_list = [depth_fn(p) for p in self.rgb_list]
-
-    _DS.__name__ = name
-    return _DS
+def _read_rgb(path) -> np.ndarray:
+    return _to_rgb3(np.array(frame_utils.read_gen(path)).astype(np.uint8))
 
 
-ScanNet = _simple_mono("ScanNet", "**/color/*.jpg",
-                       lambda p: p.replace("/color/", "/depth/").replace(".jpg", ".png"))
-ScanNetpp = _simple_mono("ScanNetpp", "**/rgb/*.jpg",
-                         lambda p: p.replace("/rgb/", "/depth/").replace(".jpg", ".png"))
-SceneNet = _simple_mono("SceneNet", "**/photo/*.jpg",
-                        lambda p: p.replace("/photo/", "/depth/").replace(".jpg", ".png"))
-VK2 = _simple_mono("VK2", "**/rgb/*.jpg",
-                   lambda p: p.replace("/rgb/", "/depth/").replace("rgb_", "depth_").replace(".jpg", ".png"))
-KITTI = _simple_mono("KITTI", "**/image_02/data/*.png",
-                     lambda p: p.replace("/image_02/data/", "/proj_depth/groundtruth/image_02/"))
-InStereo2K = _simple_mono("InStereo2K", "**/left.png",
-                          lambda p: p.replace("left.png", "left_disp.png"))
-Tartenair = _simple_mono("Tartenair", "**/image_left/*.png",
-                         lambda p: p.replace("/image_left/", "/depth_left/").replace(".png", "_depth.npy"))
-HRWSI = _simple_mono("HRWSI", "imgs/*.jpg",
-                     lambda p: p.replace("/imgs/", "/gts/").replace(".jpg", ".png"))
-SynTODD = _simple_mono("SynTODD", "*_rgb.png",
-                       lambda p: p.replace("_rgb.png", "_gt_depth.exr"))
+def _imread_raw(path) -> np.ndarray:
+    """16-bit/float raw read (cv2 IMREAD_UNCHANGED) as float32."""
+    img = _cv2().imread(path, -1)
+    if img is None:
+        raise IOError(f"cannot read {path}")
+    return np.asarray(img, np.float32)
+
+
+class _ListedMono(MonoDataset):
+    """Shared glob-listing constructor; subclasses own the depth semantics."""
+
+    RGB_GLOB = "*.png"
+    ROOT = "datasets"
+
+    def __init__(self, image_size, split="train", root=None, seed=None):
+        super().__init__(image_size, split, seed)
+        root = root or self.ROOT
+        self.rgb_list = sorted(
+            glob.glob(osp.join(root, split, self.RGB_GLOB), recursive=True)
+        )
+        self.depth_list = [self._depth_path(p) for p in self.rgb_list]
+
+    def _depth_path(self, rgb_path: str) -> str:
+        raise NotImplementedError
+
+
+class ScanNet(_ListedMono):
+    """mm-unit 16-bit depth PNGs: depth/1000 -> metres
+    (reference: data/mono_datasets.py:189-193)."""
+
+    RGB_GLOB = "**/color/*.jpg"
+    ROOT = "datasets/ScanNet"
+
+    def _depth_path(self, p):
+        return p.replace("/color/", "/depth/").replace(".jpg", ".png")
+
+    def _load(self, index):
+        depth = _imread_raw(self.depth_list[index]) / 1000.0
+        return _read_rgb(self.rgb_list[index]), depth, None
+
+
+class ScanNetpp(_ListedMono):
+    """192x256 depth upsampled 4x nearest, /500
+    (reference: data/mono_datasets.py:438-449)."""
+
+    RGB_GLOB = "**/rgb/*.jpg"
+    ROOT = "datasets/ScanNetpp"
+
+    def _depth_path(self, p):
+        return p.replace("/rgb/", "/depth/").replace(".jpg", ".png")
+
+    def _load(self, index):
+        cv2 = _cv2()
+        depth = _imread_raw(self.depth_list[index])
+        depth = cv2.resize(depth, dsize=(4 * depth.shape[1], 4 * depth.shape[0]),
+                           interpolation=cv2.INTER_NEAREST)
+        return _read_rgb(self.rgb_list[index]), depth / 500.0, None
+
+
+class SceneNet(_ListedMono):
+    """240x320 mm depth upsampled 2x nearest, /1000 -> metres
+    (reference: data/mono_datasets.py:343-348)."""
+
+    RGB_GLOB = "**/photo/*.jpg"
+    ROOT = "datasets/SceneNet"
+
+    def _depth_path(self, p):
+        return p.replace("/photo/", "/depth/").replace(".jpg", ".png")
+
+    def _load(self, index):
+        cv2 = _cv2()
+        depth = _imread_raw(self.depth_list[index])
+        depth = cv2.resize(depth, dsize=(2 * depth.shape[1], 2 * depth.shape[0]),
+                           interpolation=cv2.INTER_NEAREST)
+        return _read_rgb(self.rgb_list[index]), depth / 1000.0, None
+
+
+class VK2(_ListedMono):
+    """Virtual KITTI 2 cm-unit depth PNGs, /500 as in the reference's chosen
+    scaling ("make it to around 0~10", data/mono_datasets.py:316-326)."""
+
+    RGB_GLOB = "**/rgb/*.jpg"
+    ROOT = "datasets/VK2"
+
+    def _depth_path(self, p):
+        return (p.replace("/rgb/", "/depth/")
+                 .replace("rgb_", "depth_").replace(".jpg", ".png"))
+
+    def _load(self, index):
+        depth = _imread_raw(self.depth_list[index]) / 500.0
+        return _read_rgb(self.rgb_list[index]), depth, None
+
+
+class KITTI(_ListedMono):
+    """KITTI sparse LiDAR GT: 16-bit PNG /256 -> metres, 0 = missing
+    (reference convention: utils_d3roma/frame_utils.py:129-132)."""
+
+    RGB_GLOB = "**/image_02/data/*.png"
+    ROOT = "datasets/KITTI"
+
+    def _depth_path(self, p):
+        return p.replace("/image_02/data/", "/proj_depth/groundtruth/image_02/")
+
+    def _load(self, index):
+        depth = _imread_raw(self.depth_list[index]) / 256.0
+        return _read_rgb(self.rgb_list[index]), depth, depth > 0
+
+
+class InStereo2K(_ListedMono):
+    """Stores *disparity* PNGs: depth = 10000/disp (metres, ~0-5 range); RGB
+    is resized to the depth resolution (reference:
+    data/mono_datasets.py:466-477)."""
+
+    RGB_GLOB = "**/left.png"
+    ROOT = "datasets/InStereo2K"
+
+    def _depth_path(self, p):
+        return p.replace("left.png", "left_disp.png")
+
+    def _load(self, index):
+        cv2 = _cv2()
+        disp = np.asarray(_imread_raw(self.depth_list[index]), np.float64)
+        with np.errstate(divide="ignore"):
+            depth = np.where(disp > 0, 10000.0 / np.maximum(disp, 1e-9), 0.0)
+        rgb = _read_rgb(self.rgb_list[index])
+        rgb = cv2.resize(rgb, dsize=(depth.shape[1], depth.shape[0]),
+                         interpolation=cv2.INTER_NEAREST)
+        return rgb, depth.astype(np.float32), depth > 0
+
+
+class Tartenair(_ListedMono):
+    """Depth stored as float32 .npy in metres (reference:
+    data/mono_datasets.py:132-133)."""
+
+    RGB_GLOB = "**/image_left/*.png"
+    ROOT = "datasets/Tartenair"
+
+    def _depth_path(self, p):
+        return (p.replace("/image_left/", "/depth_left/")
+                 .replace(".png", "_depth.npy"))
+
+    def _load(self, index):
+        depth = np.asarray(np.load(self.depth_list[index], allow_pickle=True),
+                           np.float32)
+        return _read_rgb(self.rgb_list[index]), depth, None
+
+
+class HRWSI(_ListedMono):
+    """Relative-disparity PNGs: depth = 10/disp (reference:
+    data/mono_datasets.py:157-159; its split quirk always lists train)."""
+
+    RGB_GLOB = "imgs/*.jpg"
+    ROOT = "datasets/HRWSI"
+
+    def __init__(self, image_size, split="train", root=None, seed=None):
+        # the reference forces split='train' for HRWSI (mono_datasets.py:143-145)
+        super().__init__(image_size, "train", root, seed)
+        self.split = split  # aug still follows the requested split
+
+    def _depth_path(self, p):
+        return p.replace("/imgs/", "/gts/").replace(".jpg", ".png")
+
+    def _load(self, index):
+        disp = np.asarray(_imread_raw(self.depth_list[index]), np.float64)
+        with np.errstate(divide="ignore"):
+            depth = np.where(disp > 0, 10.0 / np.maximum(disp, 1e-9), 0.0)
+        return _read_rgb(self.rgb_list[index]), depth.astype(np.float32), depth > 0
+
+
+class SynTODD(_ListedMono):
+    """IR-left frames with metric EXR depth and the published camera
+    intrinsics (reference: data/mono_datasets.py:250-298)."""
+
+    CAMERA_K = np.array(
+        [[613.9624633789062, 0.0, 324.4471435546875],
+         [0.0, 613.75634765625, 239.1712188720703],
+         [0.0, 0.0, 1.0]], dtype=np.float32)
+
+    def __init__(self, image_size, split="train", root="datasets/SynTODD", seed=None):
+        MonoDataset.__init__(self, image_size, split, seed)
+        self.rgb_list = sorted(
+            glob.glob(osp.join(root, f"{split}_png", "*_ir_l.png"))
+        )
+        if split == "val":
+            self.rgb_list = self.rgb_list[:1001]  # reference val cap (:288)
+        self.depth_list = [p.replace("_ir_l.png", "_depth.exr") for p in self.rgb_list]
+
+    def _load(self, index):
+        rgb = _read_rgb(self.rgb_list[index])
+        depth = np.asarray(frame_utils.read_gen(self.depth_list[index]), np.float32)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        return rgb, depth, None
+
+    def __getitem__(self, index):
+        ret = super().__getitem__(index)
+        ret["K"] = self.CAMERA_K
+        ret["device"] = "syntodd"
+        return ret
