@@ -79,8 +79,8 @@ class FlowAugmentor:
         self.rng = np.random.default_rng(seed)
 
     # -------------------------------------------------------------- #
-    def color_transform(self, img1, img2):
-        rng = self.rng
+    def color_transform(self, img1, img2, rng=None):
+        rng = self.rng if rng is None else rng
         lo, hi = self.saturation_range
         sat = (hi - lo) / 2
 
@@ -95,10 +95,10 @@ class FlowAugmentor:
         out = jitter(stacked)
         return out[: img1.shape[0]], out[img1.shape[0] :]
 
-    def eraser_transform(self, img1, img2, bounds=(50, 100)):
+    def eraser_transform(self, img1, img2, bounds=(50, 100), rng=None):
         """Random occlusion rectangles on the right image
         (reference: augmentor.py:107-121)."""
-        rng = self.rng
+        rng = self.rng if rng is None else rng
         ht, wd = img1.shape[:2]
         if rng.random() < self.eraser_aug_prob:
             mean_color = img2.reshape(-1, 3).mean(axis=0)
@@ -111,11 +111,11 @@ class FlowAugmentor:
                 img2[y0 : y0 + dy, x0 : x0 + dx, :] = mean_color
         return img1, img2
 
-    def spatial_transform(self, img1, img2, flow, sim_flow=None):
+    def spatial_transform(self, img1, img2, flow, sim_flow=None, rng=None):
         """Random scale/stretch + flips + crop, keeping the disparity flow
         consistent (reference: augmentor.py:123-215). flow: [H,W,2]."""
         cv2 = _cv2()
-        rng = self.rng
+        rng = self.rng if rng is None else rng
         ht, wd = img1.shape[:2]
         ch, cw = self.crop_size
         min_scale = max((ch + 8) / ht, (cw + 8) / wd)
@@ -176,10 +176,13 @@ class FlowAugmentor:
             return out + (np.ascontiguousarray(sim_flow),)
         return out + (None,)
 
-    def __call__(self, img1, img2, flow, sim_flow=None):
-        img1, img2 = self.color_transform(img1, img2)
-        img1, img2 = self.eraser_transform(img1, img2)
-        return self.spatial_transform(img1, img2, flow, sim_flow)
+    def __call__(self, img1, img2, flow, sim_flow=None, rng=None):
+        """`rng` (when given) makes the augmentation a pure function of the
+        caller's per-sample generator — required for reproducible runs with
+        the threaded DataLoader."""
+        img1, img2 = self.color_transform(img1, img2, rng=rng)
+        img1, img2 = self.eraser_transform(img1, img2, rng=rng)
+        return self.spatial_transform(img1, img2, flow, sim_flow, rng=rng)
 
 
 class SparseFlowAugmentor(FlowAugmentor):
@@ -211,9 +214,9 @@ class SparseFlowAugmentor(FlowAugmentor):
         valid_img[yy, xx] = 1
         return flow_img, valid_img
 
-    def spatial_transform(self, img1, img2, flow, valid):
+    def spatial_transform(self, img1, img2, flow, valid, rng=None):
         cv2 = _cv2()
-        rng = self.rng
+        rng = self.rng if rng is None else rng
         ht, wd = img1.shape[:2]
         ch, cw = self.crop_size
         min_scale = max((ch + 1) / ht, (cw + 1) / wd)
@@ -245,7 +248,7 @@ class SparseFlowAugmentor(FlowAugmentor):
         return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
                 np.ascontiguousarray(flow), np.ascontiguousarray(valid))
 
-    def __call__(self, img1, img2, flow, valid):
-        img1, img2 = self.color_transform(img1, img2)
-        img1, img2 = self.eraser_transform(img1, img2)
-        return self.spatial_transform(img1, img2, flow, valid)
+    def __call__(self, img1, img2, flow, valid, rng=None):
+        img1, img2 = self.color_transform(img1, img2, rng=rng)
+        img1, img2 = self.eraser_transform(img1, img2, rng=rng)
+        return self.spatial_transform(img1, img2, flow, valid, rng=rng)

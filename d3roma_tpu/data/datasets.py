@@ -35,11 +35,26 @@ def _to_rgb3(img: np.ndarray) -> np.ndarray:
 
 
 class BaseDataset:
+    # Augmentation randomness is a pure function of (seed, epoch, index) so
+    # sample content never depends on worker-thread interleaving — a shared
+    # mutable Generator would make runs irreproducible and break
+    # resume-replays-the-same-stream guarantees.
+    _epoch = 0
+    _base_seed = 0
+
     def __len__(self):
         raise NotImplementedError
 
     def __getitem__(self, index):
         raise NotImplementedError
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([int(self._base_seed), int(self._epoch), int(index)])
+        )
 
     def __mul__(self, v: int) -> "BaseDataset":
         """Oversample by list replication (reference:
@@ -60,6 +75,9 @@ class RepeatedDataset(BaseDataset):
     def __len__(self):
         return len(self.base) * self.times
 
+    def set_epoch(self, epoch: int):
+        self.base.set_epoch(epoch)
+
     def __getitem__(self, index):
         return self.base[index % len(self.base)]
 
@@ -71,6 +89,10 @@ class ConcatDataset(BaseDataset):
 
     def __len__(self):
         return int(self._cum[-1])
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            d.set_epoch(epoch)
 
     def __getitem__(self, index):
         di = int(np.searchsorted(self._cum, index, side="right"))
@@ -133,10 +155,11 @@ class StereoDataset(BaseDataset):
         sim_flow = np.stack([-sim, np.zeros_like(sim)], axis=-1)
 
         if self.augmentor is not None:
+            rng = self._sample_rng(index)
             if self.sparse:
-                img1, img2, flow, valid = self.augmentor(img1, img2, flow, valid)
+                img1, img2, flow, valid = self.augmentor(img1, img2, flow, valid, rng=rng)
             else:
-                img1, img2, flow, sim_flow = self.augmentor(img1, img2, flow, sim_flow)
+                img1, img2, flow, sim_flow = self.augmentor(img1, img2, flow, sim_flow, rng=rng)
                 valid = (np.abs(flow[..., 0]) < 512) & (np.abs(flow[..., 1]) < 512)
 
         disp = -flow[..., 0]
@@ -263,7 +286,7 @@ class ActiveStereoDataset(BaseDataset):
         self.split = split
         self.space = space
         self.disparity_reader = reader
-        self.rng = np.random.default_rng(seed)
+        self._base_seed = 0 if seed is None else int(seed)
         self.rgb_list: List[str] = []
         self.depth_list: List[str] = []
         self.raw_depth_list: List[str] = []
@@ -324,9 +347,10 @@ class ActiveStereoDataset(BaseDataset):
         # (reference: stereo_datasets.py:457-496)
         fields = np.concatenate([disp, rgb, img1, img2, valid, depth, raw_depth], axis=-1)
         if self.split == "train":
-            if self.rng.random() < 0.5:
+            rng = self._sample_rng(index)
+            if rng.random() < 0.5:
                 fields = fields[:, ::-1]
-            fields = self._random_crop(fields)
+            fields = self._random_crop(fields, rng)
         splits = np.split(fields, [1, 4, 7, 10, 11, 12], axis=-1)
         disp, rgb, img1, img2, valid, depth = splits[:6]
         raw_depth = splits[6]
@@ -346,15 +370,15 @@ class ActiveStereoDataset(BaseDataset):
             "device": self.camera.device,
         }
 
-    def _random_crop(self, x: np.ndarray) -> np.ndarray:
+    def _random_crop(self, x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         """Random crop to image_size (margin handling per reference:
         stereo_datasets.py:457-474; margin_left is asserted 0 there)."""
         H, W = self.image_size
         H1, W1 = x.shape[:2]
         if H >= H1 and W >= W1:
             return x
-        off_y = int(self.rng.integers(0, max(1, H1 - H)))
-        off_x = int(self.rng.integers(0, max(1, W1 - W)))
+        off_y = int(rng.integers(0, max(1, H1 - H)))
+        off_x = int(rng.integers(0, max(1, W1 - W)))
         return x[off_y : off_y + H, off_x : off_x + W]
 
 

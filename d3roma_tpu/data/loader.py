@@ -153,6 +153,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # per-sample aug keys fold the epoch in
 
     def _index_batches(self) -> List[np.ndarray]:
         n = len(self.dataset)

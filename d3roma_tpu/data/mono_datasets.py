@@ -35,7 +35,7 @@ class MonoDataset(BaseDataset):
                  resizedcrop_scale=(0.6, 1.0), resizedcrop_ratio=(1.0, 4 / 3)):
         self.image_size = tuple(image_size)
         self.split = split
-        self.rng = np.random.default_rng(seed)
+        self._base_seed = 0 if seed is None else int(seed)
         self.rgb_list: List[str] = []
         self.depth_list: List[str] = []
         self.mask_list: List[str] = []
@@ -56,7 +56,7 @@ class MonoDataset(BaseDataset):
             mask = np.asarray(frame_utils.read_gen(self.mask_list[index])) > 0
         return rgb, depth, mask
 
-    def _resized_crop(self, rgb, depth, mask):
+    def _resized_crop(self, rgb, depth, mask, rng):
         """torchvision RandomResizedCrop semantics
         (reference: data/dataset.py:24-69)."""
         cv2 = _cv2()
@@ -64,13 +64,13 @@ class MonoDataset(BaseDataset):
         th, tw = self.image_size
         area = H * W
         for _ in range(10):
-            target_area = area * self.rng.uniform(*self.scale)
-            ar = np.exp(self.rng.uniform(np.log(self.ratio[0]), np.log(self.ratio[1])))
+            target_area = area * rng.uniform(*self.scale)
+            ar = np.exp(rng.uniform(np.log(self.ratio[0]), np.log(self.ratio[1])))
             w = int(round(np.sqrt(target_area * ar)))
             h = int(round(np.sqrt(target_area / ar)))
             if 0 < w <= W and 0 < h <= H:
-                y0 = int(self.rng.integers(0, H - h + 1))
-                x0 = int(self.rng.integers(0, W - w + 1))
+                y0 = int(rng.integers(0, H - h + 1))
+                x0 = int(rng.integers(0, W - w + 1))
                 break
         else:
             w, h = min(W, int(H * self.ratio[0])), H
@@ -111,9 +111,10 @@ class MonoDataset(BaseDataset):
         depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
 
         if self.split == "train":
-            if self.rng.random() < 0.5:
+            rng = self._sample_rng(index)
+            if rng.random() < 0.5:
                 rgb, depth, mask = rgb[:, ::-1], depth[:, ::-1], mask[:, ::-1]
-            rgb, depth, mask = self._resized_crop(rgb, depth, mask)
+            rgb, depth, mask = self._resized_crop(rgb, depth, mask, rng)
         else:
             rgb, depth, mask = self._center_fit(rgb, depth, mask)
 

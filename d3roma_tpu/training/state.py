@@ -101,6 +101,9 @@ class StepCounter:
         self.global_step = 0
         self.horizon = horizon
         self._losses: list = []
+        # best in-training eval EPE; persisted so a resumed run cannot
+        # overwrite best/ with a worse post-resume eval
+        self.best_epe = float("inf")
 
     def tick(self, loss: Optional[float] = None):
         self.local_step += 1
@@ -120,10 +123,12 @@ class StepCounter:
 
     def state_dict(self) -> dict:
         return {"epoch": self.epoch, "local_step": self.local_step,
-                "global_step": self.global_step, "losses": list(self._losses)}
+                "global_step": self.global_step, "losses": list(self._losses),
+                "best_epe": self.best_epe}
 
     def load_state_dict(self, sd: dict):
         self.epoch = sd["epoch"]
         self.local_step = sd["local_step"]
         self.global_step = sd["global_step"]
         self._losses = list(sd.get("losses", []))
+        self.best_epe = float(sd.get("best_epe", float("inf")))
