@@ -103,13 +103,27 @@ def main(argv=None):
             dup = len(args.cond_channels.split("+")) + 1
             unet_params = widen_conv_in(unet_params, dup)
             in_ch = widened_in_channels(args.cond_channels)
+        boc = tuple(ucfg.get("block_out_channels", (320, 640, 1280, 1280)))
+        ahd = ucfg.get("attention_head_dim", 64)
+        if isinstance(ahd, (list, tuple)):
+            # diffusers stores per-block head COUNTS under this name (its
+            # historical naming bug); the per-head dim is channels/heads
+            head_dim = boc[0] // int(ahd[0])
+        else:
+            head_dim = 64  # SD2.x convention: 64-dim heads throughout
+        n = len(boc)
+        default_down = ("CrossAttnDownBlock2D",) * (n - 1) + ("DownBlock2D",)
+        default_up = ("UpBlock2D",) + ("CrossAttnUpBlock2D",) * (n - 1)
         unet = UNet2DCondition(
             in_channels=in_ch,
             out_channels=ucfg.get("out_channels", 4),
-            block_out_channels=tuple(ucfg.get("block_out_channels", (320, 640, 1280, 1280))),
+            block_out_channels=boc,
+            down_block_types=tuple(ucfg.get("down_block_types", default_down)),
+            up_block_types=tuple(ucfg.get("up_block_types", default_up)),
             layers_per_block=ucfg.get("layers_per_block", 2),
-            attention_head_dim=64,
+            attention_head_dim=head_dim,
             cross_attention_dim=ucfg.get("cross_attention_dim", 1024),
+            norm_groups=ucfg.get("norm_num_groups", 32),
         )
         vcfg_path = os.path.join(args.ref_dir, "vae", "config.json")
         with open(vcfg_path) as f:
@@ -117,6 +131,7 @@ def main(argv=None):
         vae = AutoencoderKL(
             latent_channels=vcfg.get("latent_channels", 4),
             block_out_channels=tuple(vcfg.get("block_out_channels", (128, 256, 512, 512))),
+            norm_groups=vcfg.get("norm_num_groups", 32),
         )
         vae_params = vae_torch_to_flax(load_torch_state_dict(os.path.join(args.ref_dir, "vae")))
 
