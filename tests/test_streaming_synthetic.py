@@ -148,8 +148,9 @@ def test_crop_workspace():
 
 
 def test_isaac_replicator_math_without_isaac():
-    """Pose sampling + material protocol are pure math; the Isaac app
-    itself gates on the import."""
+    """Pose sampling + material protocol are pure math; the real Omni
+    backend gates on the Isaac import (see tests/test_isaac_replicator.py
+    for the full protocol run on the simulation backend)."""
     from d3roma_tpu.synthetic.isaac import (
         IsaacReplicator,
         ReplicatorConfig,
@@ -159,7 +160,8 @@ def test_isaac_replicator_math_without_isaac():
 
     rng = np.random.default_rng(0)
     cfg = ReplicatorConfig()
-    poses = camera_orbit_poses(rng, np.array([0.0, 0, 0.8]), cfg, 8)
+    poses = camera_orbit_poses(rng, np.array([0.0, 0, 0.8]), 8,
+                               cfg.hemisphere_radius, cfg.hemisphere_elevation)
     assert len(poses) == 8
     for pos, quat in poses:
         assert pos[2] > 0.8  # above the surface
@@ -167,4 +169,4 @@ def test_isaac_replicator_math_without_isaac():
     mats = assign_materials(rng, 20, cfg.material_probs)
     assert set(mats) <= {"diffuse", "specular", "transparent"}
     with pytest.raises(ImportError, match="Isaac Sim is not installed"):
-        IsaacReplicator(cfg)
+        IsaacReplicator(cfg)  # default backend = OmniBackend
