@@ -324,3 +324,38 @@ def test_native_exr_rejects_malformed(tmp_path):
 
     # the good file still decodes
     np.testing.assert_allclose(native_io.read_exr(good), img, rtol=1e-7)
+
+
+def test_jittable_reproject_matches_host():
+    """ops/reproject.py agrees with the host-side numpy scatter where the
+    scatter is unambiguous (one source per target pixel)."""
+    import jax.numpy as jnp
+
+    from d3roma_tpu.ops.reproject import reproject_depth
+    from d3roma_tpu.utils.camera import Realsense
+
+    cam = Realsense.default_real("fxm")
+    cam.change_resolution("64x36")
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(0.5, 2.0, (36, 64)).astype(np.float32)
+    depth[rng.random((36, 64)) < 0.2] = 0.0  # holes
+
+    host = cam._reproject(depth, cam.K_depth.arr, cam.K_color.arr, cam.T_cl,
+                          (36, 64), aggressive_fill=True)
+    dev = np.asarray(reproject_depth(
+        jnp.asarray(depth), jnp.asarray(cam.K_depth.arr),
+        jnp.asarray(cam.K_color.arr), jnp.asarray(cam.T_cl), (36, 64),
+        aggressive_fill=True,
+    ))
+    # same hole pattern; where both are filled the device z-buffer keeps the
+    # NEAREST surface, so dev <= host (the numpy scatter keeps an arbitrary
+    # last writer); every filled value comes from the source depth set
+    assert ((host > 0) == (dev > 0)).mean() > 0.97
+    both = (host > 0) & (dev > 0)
+    assert np.mean(dev[both] <= host[both] + 1e-4) > 0.98
+    src = np.sort(depth[depth > 0].ravel())
+    idx = np.searchsorted(src, dev[both])
+    nearest = src[np.clip(idx, 0, len(src) - 1)]
+    nearest_lo = src[np.clip(idx - 1, 0, len(src) - 1)]
+    err = np.minimum(np.abs(nearest - dev[both]), np.abs(nearest_lo - dev[both]))
+    assert err.max() < 1e-5
