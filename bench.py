@@ -11,7 +11,12 @@ Env knobs:
                           saturates at ~batch 8 on v5e, see docs/PERFORMANCE.md)
   BENCH_REPS=N            timed repetitions (default 5)
   BENCH_FLASH=0|1         Pallas flash attention in the UNet (default 1)
-  BENCH_QUANT=0|1         int8 MXU path for UNet+VAE matmuls/convs (default 0)
+  BENCH_QUANT=0|1|dense   int8 MXU path for UNet+VAE (default 0; "dense"
+                          quantizes only attention/FF projections)
+  BENCH_STEPS=N           denoise steps (default 10 — the release setting;
+                          differencing N=20 vs N=10 isolates per-step UNet
+                          cost from the VAE encode/decode overhead)
+  BENCH_FUSED_GN=0|1      fused Pallas GroupNorm+SiLU kernel (default 1)
 """
 
 import json
@@ -61,22 +66,35 @@ def bench_ldm(batch, reps):
         normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
                               ch_bounds=(128.0,), ch_gammas=(1.0,)),
     ).half_precision()
-    if os.environ.get("BENCH_QUANT", "0") == "1":
+    if os.environ.get("BENCH_FUSED_GN", "1") == "1":
+        pipe = pipe.fuse_norms()
+    quant = os.environ.get("BENCH_QUANT", "0")
+    if quant in ("1", "all"):
         pipe = pipe.quantize_int8()
+    elif quant == "dense":
+        import dataclasses as _dc
+
+        pipe = _dc.replace(
+            pipe,
+            unet=_dc.replace(pipe.unet, quant="dense"),
+            vae=_dc.replace(pipe.vae, quant="dense"),
+        )
     # random (not zero) inputs so dynamic activation-quant scales are realistic
     rgb = jax.random.normal(jax.random.PRNGKey(7), (batch, H, W, 3)) * 0.5
     raw = jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (batch, H, W, 1))) * 0.5
 
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+
     def run(i):
         # deployment setting decodes only the final x_hat0
         # (reference: d3roma_processor.py overrides num_intermediate_images=1)
-        out = pipe(jax.random.PRNGKey(i), num_inference_steps=10,
+        out = pipe(jax.random.PRNGKey(i), num_inference_steps=steps,
                    num_intermediate_images=1, cond_channels="rgb+raw",
                    rgb_images=rgb, sim_disp=raw)
         jax.block_until_ready(out.images)
         return out
 
-    return run, "ldm_rgb+raw_640x360_ddim10"
+    return run, f"ldm_rgb+raw_640x360_ddim{steps}"
 
 
 def bench_pixel(batch, reps):

@@ -95,6 +95,45 @@ def flash_self_attention(q, k, v):
     return jnp.swapaxes(out[:, :, :N, :], 1, 2)
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm (+ optional SiLU) with the single-pass fused Pallas kernel
+    on TPU (ops/pallas/groupnorm.py) and an XLA composition elsewhere.
+    Param tree matches nn.GroupNorm (scale/bias), so checkpoints are
+    interchangeable."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    apply_silu: bool = True
+    fused: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.fused and x.ndim == 4 and jax.default_backend() == "tpu":
+            from d3roma_tpu.ops.pallas import (
+                fused_group_norm_silu,
+                group_norm_silu_supported,
+            )
+
+            if group_norm_silu_supported(x.shape, x.dtype):
+                return fused_group_norm_silu(
+                    x, scale, bias, self.groups, self.eps, self.apply_silu
+                )
+        # XLA fallback, fp32 statistics (same math as the kernel)
+        shape = x.shape
+        g = self.groups
+        xf = x.astype(jnp.float32).reshape(shape[:-1] + (g, c // g))
+        red = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = xf.mean(axis=red, keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=red, keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        y = (y * scale + bias).astype(self.dtype)
+        return nn.silu(y) if self.apply_silu else y
+
+
 class TimestepEmbedding(nn.Module):
     """2-layer MLP lifting the sinusoidal embedding."""
 
@@ -118,13 +157,14 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     dropout: float = 0.0
     quant: bool = False
+    fused_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, t_emb=None, deterministic: bool = True):
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.groups, self.eps, fused=self.fused_norm,
+                          dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1", **_conv_q(self.quant))(h)
         if self.use_time_emb and t_emb is not None:
@@ -132,8 +172,8 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(t_emb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.groups, self.eps, fused=self.fused_norm,
+                          dtype=self.dtype, name="norm2")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,

@@ -45,6 +45,7 @@ class UNet2D(nn.Module):
     freq_shift: float = 0.0
     dropout: float = 0.0
     quant: bool = False  # int8 MXU path for inference (ops/quant.py)
+    fused_norm: bool = False  # fused Pallas GroupNorm+SiLU (ops/pallas/)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +73,7 @@ class UNet2D(nn.Module):
             for j in range(self.layers_per_block):
                 x = ResnetBlock2D(
                     ch, groups=self.norm_groups, dropout=self.dropout,
-                    quant=self.quant, dtype=self.dtype, name=f"down_{i}_res_{j}",
+                    quant=self.quant, fused_norm=self.fused_norm, dtype=self.dtype, name=f"down_{i}_res_{j}",
                 )(x, t_emb, deterministic)
                 if btype == "AttnDownBlock2D":
                     x = SelfAttention2D(
@@ -89,12 +90,12 @@ class UNet2D(nn.Module):
         # ---- mid ----
         mid_ch = self.block_out_channels[-1]
         x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dropout=self.dropout,
-                          quant=self.quant, dtype=self.dtype,
+                          quant=self.quant, fused_norm=self.fused_norm, dtype=self.dtype,
                           name="mid_res_0")(x, t_emb, deterministic)
         x = SelfAttention2D(mid_ch, self.attention_head_dim, self.norm_groups,
                             quant=self.quant, dtype=self.dtype, name="mid_attn")(x)
         x = ResnetBlock2D(mid_ch, groups=self.norm_groups, dropout=self.dropout,
-                          quant=self.quant, dtype=self.dtype,
+                          quant=self.quant, fused_norm=self.fused_norm, dtype=self.dtype,
                           name="mid_res_1")(x, t_emb, deterministic)
 
         # ---- up path ----
@@ -107,7 +108,7 @@ class UNet2D(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlock2D(
                     ch, groups=self.norm_groups, dropout=self.dropout,
-                    quant=self.quant, dtype=self.dtype, name=f"up_{i}_res_{j}",
+                    quant=self.quant, fused_norm=self.fused_norm, dtype=self.dtype, name=f"up_{i}_res_{j}",
                 )(x, t_emb, deterministic)
                 if btype == "AttnUpBlock2D":
                     x = SelfAttention2D(
@@ -121,9 +122,10 @@ class UNet2D(nn.Module):
                     x, out_hw=skips[-1].shape[1:3]
                 )
 
-        x = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        from d3roma_tpu.models.layers import GroupNormSiLU
+
+        x = GroupNormSiLU(self.norm_groups, 1e-5, fused=self.fused_norm,
+                          dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(x)
         return x

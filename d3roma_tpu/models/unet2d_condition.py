@@ -44,6 +44,7 @@ class UNet2DCondition(nn.Module):
     norm_groups: int = 32
     use_flash_attention: bool = False
     quant: bool = False  # int8 MXU path for inference (ops/quant.py)
+    fused_norm: bool = False  # fused Pallas GroupNorm+SiLU (ops/pallas/)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
@@ -86,7 +87,7 @@ class UNet2DCondition(nn.Module):
             is_last = i == len(self.block_out_channels) - 1
             for j in range(self.layers_per_block):
                 x = ResBlock(ch, groups=self.norm_groups, eps=1e-5,
-                                  quant=self.quant, dtype=self.dtype,
+                                  quant=self.quant, fused_norm=self.fused_norm, dtype=self.dtype,
                                   name=f"down_{i}_res_{j}")(x, t_emb)
                 if btype == "CrossAttnDownBlock2D":
                     x = AttnBlock(
@@ -104,12 +105,14 @@ class UNet2DCondition(nn.Module):
         # ---- mid (UNetMidBlock2DCrossAttn) ----
         mid_ch = self.block_out_channels[-1]
         x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
+                          fused_norm=self.fused_norm,
                           dtype=self.dtype, name="mid_res_0")(x, t_emb)
         x = AttnBlock(mid_ch, heads_for(mid_ch), self.attention_head_dim,
                           self.cross_attention_dim, groups=self.norm_groups,
                           use_flash=self.use_flash_attention, quant=self.quant,
                           dtype=self.dtype, name="mid_attn")(x, context)
         x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
+                          fused_norm=self.fused_norm,
                           dtype=self.dtype, name="mid_res_1")(x, t_emb)
 
         # ---- up ----
@@ -121,6 +124,7 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResBlock(ch, groups=self.norm_groups, quant=self.quant,
+                                  fused_norm=self.fused_norm,
                                   dtype=self.dtype, name=f"up_{i}_res_{j}")(x, t_emb)
                 if btype == "CrossAttnUpBlock2D":
                     x = AttnBlock(
@@ -135,9 +139,10 @@ class UNet2DCondition(nn.Module):
                     x, out_hw=skips[-1].shape[1:3]
                 )
 
-        x = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        from d3roma_tpu.models.layers import GroupNormSiLU
+
+        x = GroupNormSiLU(self.norm_groups, 1e-5, fused=self.fused_norm,
+                          dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(x)
         return x

@@ -31,6 +31,7 @@ class Encoder(nn.Module):
     layers_per_block: int = 2
     norm_groups: int = 32
     quant: bool = False
+    fused_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -43,7 +44,8 @@ class Encoder(nn.Module):
             is_last = i == len(self.block_out_channels) - 1
             for j in range(self.layers_per_block):
                 x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                                  eps=1e-6, quant=self.quant, dtype=self.dtype,
+                                  eps=1e-6, quant=self.quant,
+                                  fused_norm=self.fused_norm, dtype=self.dtype,
                                   name=f"down_{i}_res_{j}")(x)
             if not is_last:
                 x = Downsample2D(ch, asymmetric_padding=True, quant=self.quant,
@@ -51,14 +53,14 @@ class Encoder(nn.Module):
                                  name=f"down_{i}_downsample")(x)
         ch = self.block_out_channels[-1]
         x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, quant=self.quant, dtype=self.dtype,
-                          name="mid_res_0")(x)
+                          eps=1e-6, quant=self.quant, fused_norm=self.fused_norm,
+                          dtype=self.dtype, name="mid_res_0")(x)
         x = SelfAttention2D(ch, head_dim=ch, groups=self.norm_groups,
                             eps=1e-6, quant=self.quant, dtype=self.dtype,
                             name="mid_attn")(x)
         x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, quant=self.quant, dtype=self.dtype,
-                          name="mid_res_1")(x)
+                          eps=1e-6, quant=self.quant, fused_norm=self.fused_norm,
+                          dtype=self.dtype, name="mid_res_1")(x)
         x = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -72,6 +74,7 @@ class Decoder(nn.Module):
     layers_per_block: int = 3
     norm_groups: int = 32
     quant: bool = False
+    fused_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -82,19 +85,20 @@ class Decoder(nn.Module):
         x = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in",
                     **_conv_q(self.quant))(z)
         x = ResnetBlock2D(rev[0], use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, quant=self.quant, dtype=self.dtype,
-                          name="mid_res_0")(x)
+                          eps=1e-6, quant=self.quant, fused_norm=self.fused_norm,
+                          dtype=self.dtype, name="mid_res_0")(x)
         x = SelfAttention2D(rev[0], head_dim=rev[0], groups=self.norm_groups,
                             eps=1e-6, quant=self.quant, dtype=self.dtype,
                             name="mid_attn")(x)
         x = ResnetBlock2D(rev[0], use_time_emb=False, groups=self.norm_groups,
-                          eps=1e-6, quant=self.quant, dtype=self.dtype,
-                          name="mid_res_1")(x)
+                          eps=1e-6, quant=self.quant, fused_norm=self.fused_norm,
+                          dtype=self.dtype, name="mid_res_1")(x)
         for i, ch in enumerate(rev):
             is_last = i == len(rev) - 1
             for j in range(self.layers_per_block):
                 x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
-                                  eps=1e-6, quant=self.quant, dtype=self.dtype,
+                                  eps=1e-6, quant=self.quant,
+                                  fused_norm=self.fused_norm, dtype=self.dtype,
                                   name=f"up_{i}_res_{j}")(x)
             if not is_last:
                 x = Upsample2D(ch, quant=self.quant, dtype=self.dtype,
@@ -125,16 +129,19 @@ class AutoencoderKL(nn.Module):
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     norm_groups: int = 32
     quant: bool = False
+    fused_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = Encoder(
             self.latent_channels, self.block_out_channels,
-            norm_groups=self.norm_groups, quant=self.quant, dtype=self.dtype,
+            norm_groups=self.norm_groups, quant=self.quant,
+            fused_norm=self.fused_norm, dtype=self.dtype,
         )
         self.decoder = Decoder(
             self.out_channels, self.block_out_channels,
-            norm_groups=self.norm_groups, quant=self.quant, dtype=self.dtype,
+            norm_groups=self.norm_groups, quant=self.quant,
+            fused_norm=self.fused_norm, dtype=self.dtype,
         )
         # 1x1 convs around the latent (diffusers quant_conv/post_quant_conv)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1), name="quant_conv")

@@ -112,6 +112,16 @@ class GuidedDiffusionPipeline:
             self.guidance, self.normalizer,
         )
 
+    def fuse_norms(self) -> "GuidedDiffusionPipeline":
+        """Single-pass Pallas GroupNorm+SiLU on TPU (ops/pallas/groupnorm.py;
+        numerics-preserving: fp32 statistics either way)."""
+        import dataclasses as _dc
+
+        return GuidedDiffusionPipeline(
+            _dc.replace(self.unet, fused_norm=True), self.unet_params,
+            self.spec, self.guidance, self.normalizer,
+        )
+
     def __call__(
         self,
         key: jax.Array,
@@ -239,6 +249,16 @@ class GuidedLatentDiffusionPipeline:
         return GuidedLatentDiffusionPipeline(
             _dc.replace(self.unet, quant=True), self.unet_params,
             _dc.replace(self.vae, quant=True), self.vae_params,
+            self.text_embed, self.spec, self.guidance, self.normalizer,
+        )
+
+    def fuse_norms(self) -> "GuidedLatentDiffusionPipeline":
+        """Single-pass Pallas GroupNorm+SiLU on TPU for UNet + VAE."""
+        import dataclasses as _dc
+
+        return GuidedLatentDiffusionPipeline(
+            _dc.replace(self.unet, fused_norm=True), self.unet_params,
+            _dc.replace(self.vae, fused_norm=True), self.vae_params,
             self.text_embed, self.spec, self.guidance, self.normalizer,
         )
 

@@ -176,3 +176,39 @@ def test_quantized_pipeline_runs():
                num_intermediate_images=1, cond_channels="rgb",
                rgb_images=jnp.ones((1, 16, 16, 3)) * 0.1)
     assert np.all(np.isfinite(np.asarray(out.images)))
+
+
+def test_fused_groupnorm_silu_matches_fallback():
+    """The Pallas GN+SiLU kernel (interpret mode) matches the XLA fallback
+    and flax nn.GroupNorm + silu."""
+    import flax.linen as fnn
+
+    from d3roma_tpu.ops.pallas.groupnorm import fused_group_norm_silu
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 12, 20, 64))
+    gamma = jax.random.normal(jax.random.fold_in(k, 1), (64,)) * 0.2 + 1.0
+    beta = jax.random.normal(jax.random.fold_in(k, 2), (64,)) * 0.1
+    out = fused_group_norm_silu(x, gamma, beta, groups=8, interpret=True)
+    ref = fnn.silu(
+        fnn.GroupNorm(8, epsilon=1e-5).apply(
+            {"params": {"scale": gamma, "bias": beta}}, x
+        )
+    )
+    assert rel_err(out, ref) < 1e-5
+
+    # fused_norm=True models fall back to the XLA path off-TPU and still
+    # match a fused_norm=False forward exactly
+    from d3roma_tpu.models import UNet2D
+
+    model = UNet2D(in_channels=5, out_channels=1, block_out_channels=(32, 64),
+                   down_block_types=("DownBlock2D", "DownBlock2D"),
+                   up_block_types=("UpBlock2D", "UpBlock2D"),
+                   layers_per_block=1, norm_groups=8)
+    xs = jax.random.normal(k, (1, 16, 16, 5))
+    params = model.init(k, xs, jnp.array([0]))["params"]
+    a = model.apply({"params": params}, xs, jnp.array([3]))
+    b = dataclasses.replace(model, fused_norm=True).apply(
+        {"params": params}, xs, jnp.array([3])
+    )
+    assert rel_err(a, b) < 1e-6
