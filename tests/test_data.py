@@ -198,3 +198,27 @@ def test_middlebury_fixture_roundtrip(tmp_path):
     assert item["disp"].shape == (24, 32, 1)
     m = item["valid"][..., 0] > 0
     np.testing.assert_allclose(item["disp"][..., 0][m], disp[4:].ravel(), rtol=1e-6)
+
+
+def test_eth3d_fixture_roundtrip(tmp_path):
+    """ETH3D two-view layout: PFM GT through the generic reader."""
+    import cv2
+
+    from d3roma_tpu.data.datasets import ETH3D
+    from d3roma_tpu.utils.camera import Realsense
+    from d3roma_tpu.utils.frame_utils import writePFM
+
+    scene = tmp_path / "two_view_training" / "delivery_area_1l"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    disp = rng.uniform(1, 40, (20, 28)).astype(np.float32)
+    writePFM(str(scene / "disp0GT.pfm"), disp)
+    cv2.imwrite(str(scene / "im0.png"), rng.integers(0, 255, (20, 28, 3), np.uint8))
+    cv2.imwrite(str(scene / "im1.png"), rng.integers(0, 255, (20, 28, 3), np.uint8))
+
+    ds = ETH3D(camera=Realsense.default_sim(), root=str(tmp_path))
+    assert len(ds) == 1
+    item = ds[0]
+    m = item["valid"][..., 0] > 0
+    np.testing.assert_allclose(item["disp"][..., 0][m],
+                               disp[m.reshape(disp.shape)], rtol=1e-6)
