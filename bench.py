@@ -137,13 +137,16 @@ def main():
 
     try:
         run, tag = (bench_ldm if model == "ldm" else bench_pixel)(batch, reps)
-        try:
-            run(0)  # compile + warmup
-        except Exception:
-            # the environment's remote-compile relay occasionally drops the
-            # connection on large programs; one retry usually succeeds
-            time.sleep(10)
-            run(0)
+        # the environment's remote-compile relay occasionally drops the
+        # connection / 500s on large programs; retries usually succeed
+        for attempt in range(4):
+            try:
+                run(0)  # compile + warmup
+                break
+            except Exception:
+                if attempt == 3:
+                    raise
+                time.sleep(20)
         t0 = time.time()
         for i in range(1, reps + 1):
             run(i)
