@@ -8,6 +8,13 @@ normalized, SiLU-activated output in ONE pass over VMEM-resident data —
 one HBM read + one write (the round-1 plan's "fused Pallas epilogue",
 docs/PERFORMANCE.md lever list).
 
+Layout notes (Mosaic): the group dimension never appears as an array axis —
+a reshape to [..., groups, C/groups] puts a non-128 stride in the lanes and
+fails to lower. Instead the per-channel sums are folded to per-group sums
+with a [C, C] one-hot matmul (group-assignment matrix G, G[i,j] = 1 iff
+channel i and j share a group), which both reduces and broadcasts back in
+a single MXU-friendly dot: mean_per_channel = (sums @ G) / n.
+
 Grid: one program per batch item; the whole [H, W, C] slab lives in VMEM.
 That caps applicability at slabs of a few MB — exactly the UNet's latent
 resolutions (45x80x320 ... 12x20x1280 ≈ 0.6-2.3 MB bf16). Callers gate with
@@ -21,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -38,18 +46,48 @@ def group_norm_silu_supported(shape, dtype) -> bool:
     return h * w * c * jnp.dtype(dtype).itemsize <= _MAX_SLAB_BYTES
 
 
-def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, groups: int,
-                    eps: float, apply_silu: bool):
-    _, h, w, c = x_ref.shape  # block is [1, H, W, C]
+@functools.lru_cache(maxsize=None)
+def _group_matrix(c: int, groups: int) -> np.ndarray:
+    """[C, C] 0/1 matrix with G[i, j] = 1 iff channels i, j share a group.
+    sums_per_channel @ G = per-group sum broadcast back to every channel."""
     cg = c // groups
-    x = x_ref[:].astype(jnp.float32).reshape(h * w, groups, cg)
-    mean = jnp.mean(x, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(0, 2), keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(h * w, c) * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
-    if apply_silu:
-        y = y * jax.nn.sigmoid(y)
-    o_ref[:] = y.reshape(1, h, w, c).astype(o_ref.dtype)
+    gid = np.arange(c) // cg
+    return (gid[:, None] == gid[None, :]).astype(np.float32)
+
+
+def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, gmat_ref, o_ref, *,
+                    inv_n: float, eps: float, apply_silu: bool):
+    """Two passes over H rows with a fori_loop: materializing the whole
+    [H*W, C] slab in fp32 (plus temps) overflows VMEM at compile time for
+    the 45x80x320 level — per-row temps are a few hundred KB instead."""
+    _, h, w, c = x_ref.shape  # block is [1, H, W, C]
+
+    def accumulate(i, acc):
+        s, q = acc
+        row = x_ref[0, i].astype(jnp.float32)  # [W, C]
+        return (s + jnp.sum(row, axis=0, keepdims=True),
+                q + jnp.sum(row * row, axis=0, keepdims=True))
+
+    zeros = jnp.zeros((1, c), jnp.float32)
+    sums, sqs = jax.lax.fori_loop(0, h, accumulate, (zeros, zeros))
+    # fold per-channel sums to per-group and broadcast back in one dot (MXU)
+    mean = jnp.dot(sums, gmat_ref[:],
+                   preferred_element_type=jnp.float32) * inv_n   # [1, C]
+    ex2 = jnp.dot(sqs, gmat_ref[:],
+                  preferred_element_type=jnp.float32) * inv_n    # [1, C]
+    var = ex2 - mean * mean
+    scale = jax.lax.rsqrt(var + eps) * gamma_ref[:].astype(jnp.float32)
+    shift = beta_ref[:].astype(jnp.float32) - mean * scale
+
+    def normalize(i, _):
+        row = x_ref[0, i].astype(jnp.float32)
+        y = row * scale + shift
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, i] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h, normalize, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu", "interpret"))
@@ -66,8 +104,10 @@ def fused_group_norm_silu(
     x.dtype. Statistics in fp32 regardless of input dtype."""
     b, h, w, c = x.shape
     assert c % groups == 0, (c, groups)
+    inv_n = 1.0 / (h * w * (c // groups))
+    gmat = jnp.asarray(_group_matrix(c, groups))
     kernel = functools.partial(
-        _gn_silu_kernel, groups=groups, eps=eps, apply_silu=apply_silu
+        _gn_silu_kernel, inv_n=inv_n, eps=eps, apply_silu=apply_silu
     )
     return pl.pallas_call(
         kernel,
@@ -77,9 +117,10 @@ def fused_group_norm_silu(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, gamma, beta)
+    )(x, gamma, beta, gmat)
