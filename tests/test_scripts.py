@@ -150,3 +150,91 @@ def test_evaluate_cli_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "evalout" / "eval.log")
     log = open(tmp_path / "evalout" / "eval.log").read()
     assert "metrics" in log and "epe" in log
+
+
+def test_evaluate_cli_guidance_sweep_and_artifacts(tmp_path, monkeypatch):
+    """The CLI sweeps flow_guidance_weights with per-weight metric log lines
+    (reference: evaluate.py:188-194) and writes the denoise-grid artifact
+    (reference: evaluate.py:213-226)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from d3roma_tpu.guidance import FlowGuidance
+    from d3roma_tpu.models import UNet2D
+    from d3roma_tpu.ops import Normalizer, ScheduleConfig
+    from d3roma_tpu.pipelines import GuidedDiffusionPipeline, SamplerSpec
+
+    scene = tmp_path / "datasets" / "Real" / "synth"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(scene / f"{i:04d}_color.png"),
+                    rng.integers(0, 255, (96, 128, 3), np.uint8))
+        cv2.imwrite(str(scene / f"{i:04d}_depth.png"),
+                    rng.integers(400, 2000, (96, 128)).astype(np.uint16))
+        ir = rng.integers(0, 255, (96, 128), np.uint8)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_l.png"), ir)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_r.png"), ir)
+
+    sched = ScheduleConfig(num_train_timesteps=8, prediction_type="sample")
+    unet = UNet2D(in_channels=5, out_channels=1, block_out_channels=(8, 16),
+                  down_block_types=("DownBlock2D", "DownBlock2D"),
+                  up_block_types=("UpBlock2D", "UpBlock2D"),
+                  layers_per_block=1, norm_groups=4)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 32, 64, 5)), jnp.array([0]))["params"]
+    pipe = GuidedDiffusionPipeline(
+        unet=unet, unet_params=params, spec=SamplerSpec("my_ddpm", sched),
+        guidance=FlowGuidance(flow_guidance_weight=0.0,
+                              flow_guidance_mode="imputation"),
+        normalizer=Normalizer(ssi=True, safe_ssi=False),
+    )
+    pretrained = str(tmp_path / "pre")
+    pipe.save_pretrained(pretrained)
+
+    from functools import partial
+
+    import d3roma_tpu.data.loader as L
+    from d3roma_tpu.data.datasets import Real
+    from d3roma_tpu.utils import frame_utils
+    from d3roma_tpu.utils.camera import Realsense
+
+    def patched(config, name, split):
+        cam = Realsense.default_real("fxm")
+        cam.change_resolution(config.camera_resolution)
+        return Real(cam, tuple(config.image_size), split=split,
+                    root=str(tmp_path / "datasets" / "Real"), scene="synth",
+                    reader=partial(frame_utils.readDispReal, cam), seed=0)
+
+    monkeypatch.setattr(L, "create_dataset", patched)
+    monkeypatch.chdir(tmp_path)
+
+    import evaluate as eval_cli
+
+    eval_cli.main([
+        "task=train_dreds_reprod",
+        f"task.resume_pretrained={pretrained}",
+        "task.ldm=false", "task.depth_channels=1",
+        "task.cond_channels=rgb+raw", "task.camera_resolution=128x96",
+        "task.image_size=[32,64]", "task.divis_by=32",
+        "task.num_train_timesteps=8", "task.num_inference_timesteps=4",
+        "task.num_intermediate_images=2", "task.eval_dataset=[Real]",
+        "task.eval_batch_size=1", "task.eval_num_batch=1",
+        "task.ssi=true", "task.safe_ssi=false",
+        "task.flow_guidance_weights=[0.0,1.0]",
+        "task.flow_guidance_mode=imputation",
+        "task.plot_error_map=true", "task.write_pcd=false",
+        "task.plot_denoised_images=true",
+        f"task.eval_output={tmp_path}/evalout2",
+    ])
+    log = open(tmp_path / "evalout2" / "eval.log").read()
+    # per-weight metric lines for BOTH weights + per-weight aggregates
+    assert "guidance_weight=0 " in log or "guidance_weight=0\n" in log or "guidance_weight=0 epe" in log or "guidance_weight=0" in log
+    assert "guidance_weight=1" in log
+    assert log.count("aggregate") >= 2
+    # denoise-grid artifact written by the eval loop
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "evalout2" / "Real" / "*_denoised.png"))
+    assert _glob.glob(str(tmp_path / "evalout2" / "Real" / "*_pred_disp.png"))
