@@ -11,9 +11,9 @@ docs/PERFORMANCE.md lever list).
 Layout notes (Mosaic): the group dimension never appears as an array axis —
 a reshape to [..., groups, C/groups] puts a non-128 stride in the lanes and
 fails to lower. Instead the per-channel sums are folded to per-group sums
-with a [C, C] one-hot matmul (group-assignment matrix G, G[i,j] = 1 iff
-channel i and j share a group), which both reduces and broadcasts back in
-a single MXU-friendly dot: mean_per_channel = (sums @ G) / n.
+by a [C, G] one-hot dot and broadcast back by its [G, C] transpose (two
+tiny MXU dots; a single [C, C] matrix would cost C^2 floats of VMEM —
+15+ MB at the up-block concat widths).
 
 Grid: one program per batch item; the whole [H, W, C] slab lives in VMEM.
 That caps applicability at slabs of a few MB — exactly the UNet's latent
@@ -48,14 +48,14 @@ def group_norm_silu_supported(shape, dtype) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _group_matrix(c: int, groups: int) -> np.ndarray:
-    """[C, C] 0/1 matrix with G[i, j] = 1 iff channels i, j share a group.
-    sums_per_channel @ G = per-group sum broadcast back to every channel."""
+    """[C, G] one-hot group assignment: column g selects group g's channels.
+    sums @ M folds per-channel sums to per-group; (· @ M.T) broadcasts back."""
     cg = c // groups
     gid = np.arange(c) // cg
-    return (gid[:, None] == gid[None, :]).astype(np.float32)
+    return (gid[:, None] == np.arange(groups)[None, :]).astype(np.float32)
 
 
-def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, gmat_ref, o_ref, *,
+def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, fold_ref, bcast_ref, o_ref, *,
                     inv_n: float, eps: float, apply_silu: bool):
     """Two passes over H rows with a fori_loop: materializing the whole
     [H*W, C] slab in fp32 (plus temps) overflows VMEM at compile time for
@@ -70,11 +70,13 @@ def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, gmat_ref, o_ref, *,
 
     zeros = jnp.zeros((1, c), jnp.float32)
     sums, sqs = jax.lax.fori_loop(0, h, accumulate, (zeros, zeros))
-    # fold per-channel sums to per-group and broadcast back in one dot (MXU)
-    mean = jnp.dot(sums, gmat_ref[:],
-                   preferred_element_type=jnp.float32) * inv_n   # [1, C]
-    ex2 = jnp.dot(sqs, gmat_ref[:],
-                  preferred_element_type=jnp.float32) * inv_n    # [1, C]
+
+    def per_group(v):  # [1, C] -> group-folded, broadcast back to [1, C]
+        folded = jnp.dot(v, fold_ref[:], preferred_element_type=jnp.float32)
+        return jnp.dot(folded, bcast_ref[:], preferred_element_type=jnp.float32)
+
+    mean = per_group(sums) * inv_n   # [1, C]
+    ex2 = per_group(sqs) * inv_n     # [1, C]
     var = ex2 - mean * mean
     scale = jax.lax.rsqrt(var + eps) * gamma_ref[:].astype(jnp.float32)
     shift = beta_ref[:].astype(jnp.float32) - mean * scale
@@ -105,7 +107,8 @@ def fused_group_norm_silu(
     b, h, w, c = x.shape
     assert c % groups == 0, (c, groups)
     inv_n = 1.0 / (h * w * (c // groups))
-    gmat = jnp.asarray(_group_matrix(c, groups))
+    fold = jnp.asarray(_group_matrix(c, groups))       # [C, G]
+    bcast = jnp.asarray(_group_matrix(c, groups).T)    # [G, C]
     kernel = functools.partial(
         _gn_silu_kernel, inv_n=inv_n, eps=eps, apply_silu=apply_silu
     )
@@ -117,10 +120,11 @@ def fused_group_norm_silu(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, gamma, beta, gmat)
+    )(x, gamma, beta, fold, bcast)
