@@ -7,8 +7,8 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Env knobs:
   BENCH_MODEL=ldm|pixel   flagship latent model (default) or pixel family
-  BENCH_BATCH=N           frames per pipeline call (default 8; throughput
-                          saturates at ~batch 8 on v5e, see docs/PERFORMANCE.md)
+  BENCH_BATCH=N           frames per pipeline call (default 16; throughput
+                          saturates at batch 8-16 on v5e, see docs/PERFORMANCE.md)
   BENCH_REPS=N            timed repetitions (default 5)
   BENCH_FLASH=0|1         Pallas flash attention in the UNet (default 1)
   BENCH_QUANT=0|1|dense   int8 MXU path for UNet+VAE (default 0; "dense"
@@ -16,7 +16,10 @@ Env knobs:
   BENCH_STEPS=N           denoise steps (default 10 — the release setting;
                           differencing N=20 vs N=10 isolates per-step UNet
                           cost from the VAE encode/decode overhead)
-  BENCH_FUSED_GN=0|1      fused Pallas GroupNorm+SiLU kernel (default 1)
+  BENCH_FUSED_GN=0|1      fused Pallas GroupNorm+SiLU kernel (default 0:
+                          measured -2% end-to-end vs XLA's fusion — a
+                          pallas_call is a fusion barrier; kept as an
+                          opt-in building block)
 """
 
 import json
@@ -66,7 +69,7 @@ def bench_ldm(batch, reps):
         normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
                               ch_bounds=(128.0,), ch_gammas=(1.0,)),
     ).half_precision()
-    if os.environ.get("BENCH_FUSED_GN", "1") == "1":
+    if os.environ.get("BENCH_FUSED_GN", "0") == "1":
         pipe = pipe.fuse_norms()
     quant = os.environ.get("BENCH_QUANT", "0")
     if quant in ("1", "all"):
@@ -131,7 +134,7 @@ def bench_pixel(batch, reps):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     model = os.environ.get("BENCH_MODEL", "ldm")
 
