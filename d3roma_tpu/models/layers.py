@@ -122,15 +122,24 @@ class GroupNormSiLU(nn.Module):
                 return fused_group_norm_silu(
                     x, scale, bias, self.groups, self.eps, self.apply_silu
                 )
-        # XLA fallback, fp32 statistics (same math as the kernel)
+        # XLA fallback: fp32 statistics, but the big elementwise normalize
+        # runs in the compute dtype (as flax GroupNorm does) — an fp32
+        # normalize doubles the slab's HBM traffic for bf16 models
         shape = x.shape
         g = self.groups
-        xf = x.astype(jnp.float32).reshape(shape[:-1] + (g, c // g))
+        cg = c // g
+        xf = x.astype(jnp.float32).reshape(shape[:-1] + (g, cg))
         red = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-        mean = xf.mean(axis=red, keepdims=True)
-        var = jnp.square(xf - mean).mean(axis=red, keepdims=True)
-        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
-        y = (y * scale + bias).astype(self.dtype)
+        mean = xf.mean(axis=red)                                  # [B, G]
+        var = jnp.square(xf).mean(axis=red) - jnp.square(mean)    # [B, G]
+        inv = jax.lax.rsqrt(var + self.eps)
+        # fold stats + affine into per-(batch, channel) scale/shift
+        inv_c = jnp.repeat(inv, cg, axis=-1)                      # [B, C]
+        mean_c = jnp.repeat(mean, cg, axis=-1)
+        full_scale = (inv_c * scale).astype(self.dtype)
+        full_shift = (bias - mean_c * inv_c * scale).astype(self.dtype)
+        bshape = (shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        y = x.astype(self.dtype) * full_scale.reshape(bshape) + full_shift.reshape(bshape)
         return nn.silu(y) if self.apply_silu else y
 
 
