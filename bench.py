@@ -11,8 +11,9 @@ Env knobs:
                           saturates at batch 8-16 on v5e, see docs/PERFORMANCE.md)
   BENCH_REPS=N            timed repetitions (default 5)
   BENCH_FLASH=0|1         Pallas flash attention in the UNet (default 1)
-  BENCH_QUANT=0|1|dense   int8 MXU path for UNet+VAE (default 0; "dense"
-                          quantizes only attention/FF projections)
+  BENCH_QUANT=0|1|dense|static  int8 MXU path for UNet+VAE (default 0;
+                          "dense" = projections only; "static" = constant
+                          activation scale, no absmax pass)
   BENCH_STEPS=N           denoise steps (default 10 — the release setting;
                           differencing N=20 vs N=10 isolates per-step UNet
                           cost from the VAE encode/decode overhead)
@@ -74,13 +75,13 @@ def bench_ldm(batch, reps):
     quant = os.environ.get("BENCH_QUANT", "0")
     if quant in ("1", "all"):
         pipe = pipe.quantize_int8()
-    elif quant == "dense":
+    elif quant in ("dense", "static"):
         import dataclasses as _dc
 
         pipe = _dc.replace(
             pipe,
-            unet=_dc.replace(pipe.unet, quant="dense"),
-            vae=_dc.replace(pipe.vae, quant="dense"),
+            unet=_dc.replace(pipe.unet, quant=quant),
+            vae=_dc.replace(pipe.vae, quant=quant),
         )
     # random (not zero) inputs so dynamic activation-quant scales are realistic
     rgb = jax.random.normal(jax.random.PRNGKey(7), (batch, H, W, 3)) * 0.5

@@ -16,24 +16,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from d3roma_tpu.ops.quant import int8_conv_general_dilated, int8_dot_general
+from d3roma_tpu.ops.quant import (
+    int8_conv_general_dilated,
+    int8_conv_general_dilated_static,
+    int8_dot_general,
+    int8_dot_general_static,
+)
 
 
 def _dense_q(quant) -> dict:
     """kwargs enabling the int8 dot path on an nn.Dense (see ops/quant.py).
 
-    `quant` is False (off), True/"all" (dense + conv), or "dense" (dense
-    layers only — attention/FF projections; convolutions stay bf16)."""
-    return {"dot_general": int8_dot_general} if quant else {}
+    `quant` is False (off), True/"all" (dense + conv, dynamic activation
+    scales), "dense" (dense layers only), or "static" (dense + conv with a
+    constant activation scale — no absmax pass before each op)."""
+    if not quant:
+        return {}
+    if quant == "static":
+        return {"dot_general": int8_dot_general_static}
+    return {"dot_general": int8_dot_general}
 
 
 def _conv_q(quant) -> dict:
     """kwargs enabling the int8 conv path on an nn.Conv (off in "dense" mode)."""
-    return (
-        {"conv_general_dilated": int8_conv_general_dilated}
-        if quant and quant != "dense"
-        else {}
-    )
+    if not quant or quant == "dense":
+        return {}
+    if quant == "static":
+        return {"conv_general_dilated": int8_conv_general_dilated_static}
+    return {"conv_general_dilated": int8_conv_general_dilated}
 
 
 def timestep_embedding(

@@ -48,6 +48,58 @@ def quantize_int8(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# Static activation scale for the "static" quant mode: GN/SiLU-normalized
+# activations rarely exceed ~8 in magnitude. Dynamic absmax is exact but
+# inserts a serial full reduction before every matmul/conv; a constant
+# scale removes that dependency (PTQ-style; calibration can refine it).
+STATIC_ACT_SCALE = 8.0 / 127.0
+
+
+def int8_dot_general_static(lhs, rhs, dimension_numbers, precision=None,
+                            preferred_element_type=None):
+    """int8 dot with a CONSTANT activation scale (no absmax pass)."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    if lb or rb or tuple(lc) != (lhs.ndim - 1,) or tuple(rc) != (0,):
+        return lax.dot_general(
+            lhs, rhs, dimension_numbers, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    ls = jnp.float32(STATIC_ACT_SCALE)
+    rs = absmax_scale(rhs, axes=(0,))
+    out = lax.dot_general(
+        quantize_int8(lhs, ls), quantize_int8(rhs, rs),
+        dimension_numbers, preferred_element_type=jnp.int32,
+    )
+    out = out.astype(jnp.float32) * ls * jnp.squeeze(rs, axis=0)
+    return out.astype(out_dtype)
+
+
+def int8_conv_general_dilated_static(lhs, rhs, window_strides, padding,
+                                     lhs_dilation=None, rhs_dilation=None,
+                                     dimension_numbers=None,
+                                     feature_group_count=1,
+                                     batch_group_count=1, precision=None,
+                                     preferred_element_type=None):
+    """int8 conv with a CONSTANT activation scale (no absmax pass)."""
+    if feature_group_count != 1 or batch_group_count != 1:
+        return lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+            dimension_numbers, feature_group_count, batch_group_count,
+            precision=precision, preferred_element_type=preferred_element_type,
+        )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    ls = jnp.float32(STATIC_ACT_SCALE)
+    rs = absmax_scale(rhs, axes=tuple(range(rhs.ndim - 1)))
+    out = lax.conv_general_dilated(
+        quantize_int8(lhs, ls), quantize_int8(rhs, rs),
+        window_strides, padding, lhs_dilation, rhs_dilation,
+        dimension_numbers, preferred_element_type=jnp.int32,
+    )
+    out = out.astype(jnp.float32) * ls * rs.reshape((1,) * (out.ndim - 1) + (-1,))
+    return out.astype(out_dtype)
+
+
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
                      preferred_element_type=None):
     """Drop-in `lax.dot_general` for flax Dense: dynamic int8 x int8 -> int32.
