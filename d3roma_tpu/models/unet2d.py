@@ -61,10 +61,9 @@ class UNet2D(nn.Module):
         ).astype(self.dtype)
         t_emb = TimestepEmbedding(c0 * 4, dtype=self.dtype, name="time_embedding")(t_emb)
 
-        from d3roma_tpu.models.layers import _conv_q
-
-        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in",
-                    **_conv_q(self.quant))(sample)
+        # conv_in is never quantized: its input is the raw latent/image
+        # stack (not GN-normalized) and its FLOPs share is negligible
+        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
 
         # ---- down path ----
         skips = [x]

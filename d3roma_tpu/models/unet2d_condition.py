@@ -76,10 +76,9 @@ class UNet2DCondition(nn.Module):
         ResBlock = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
         AttnBlock = nn.remat(Transformer2D) if self.remat else Transformer2D
 
-        from d3roma_tpu.models.layers import _conv_q
-
-        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in",
-                    **_conv_q(self.quant))(sample)
+        # conv_in is never quantized: its input is the raw latent/image
+        # stack (not GN-normalized) and its FLOPs share is negligible
+        x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
 
         # ---- down ----
         skips = [x]

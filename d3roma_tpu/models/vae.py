@@ -36,10 +36,9 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from d3roma_tpu.models.layers import _conv_q
-
+        # conv_in unquantized: raw [-1,1] image input, negligible FLOPs
         x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
-                    dtype=self.dtype, name="conv_in", **_conv_q(self.quant))(x)
+                    dtype=self.dtype, name="conv_in")(x)
         for i, ch in enumerate(self.block_out_channels):
             is_last = i == len(self.block_out_channels) - 1
             for j in range(self.layers_per_block):
@@ -79,11 +78,9 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z):
-        from d3roma_tpu.models.layers import _conv_q
-
         rev = tuple(reversed(self.block_out_channels))
-        x = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in",
-                    **_conv_q(self.quant))(z)
+        # conv_in unquantized: scaled-latent input, negligible FLOPs
+        x = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         x = ResnetBlock2D(rev[0], use_time_emb=False, groups=self.norm_groups,
                           eps=1e-6, quant=self.quant, fused_norm=self.fused_norm,
                           dtype=self.dtype, name="mid_res_0")(x)
