@@ -10,10 +10,14 @@ Env knobs:
   BENCH_BATCH=N           frames per pipeline call (default 16; throughput
                           saturates at batch 8-16 on v5e, see docs/PERFORMANCE.md)
   BENCH_REPS=N            timed repetitions (default 5)
-  BENCH_FLASH=0|1         Pallas flash attention in the UNet (default 1)
-  BENCH_QUANT=0|1|dense|static  int8 MXU path for UNet+VAE (default 0;
+  BENCH_FLASH=0|1|2       UNet attention impl (default 1): 0 = XLA,
+                          1 = library flash kernel, 2 = whole-row Pallas
+                          kernel (ops/pallas/attention.py; int8 dots when
+                          BENCH_QUANT enables the int8 path)
+  BENCH_QUANT=0|1|dense|static|mxu  int8 MXU path for UNet+VAE (default 0;
                           "dense" = projections only; "static" = constant
-                          activation scale, no absmax pass)
+                          activation scale, no absmax pass; "mxu" = static
+                          + Pallas implicit-GEMM conv kernel)
   BENCH_STEPS=N           denoise steps (default 10 — the release setting;
                           differencing N=20 vs N=10 isolates per-step UNet
                           cost from the VAE encode/decode overhead)
@@ -46,7 +50,8 @@ def bench_ldm(batch, reps):
 
     H, W = 360, 640
     in_ch = widened_in_channels("rgb+raw")  # 12
-    use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
+    flash_env = os.environ.get("BENCH_FLASH", "1")
+    use_flash = {"0": False, "1": True, "2": "pallas"}.get(flash_env, True)
     unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
                            use_flash_attention=use_flash, dtype=jnp.bfloat16)
     vae = AutoencoderKL(dtype=jnp.bfloat16)
@@ -75,7 +80,7 @@ def bench_ldm(batch, reps):
     quant = os.environ.get("BENCH_QUANT", "0")
     if quant in ("1", "all"):
         pipe = pipe.quantize_int8()
-    elif quant in ("dense", "static"):
+    elif quant in ("dense", "static", "mxu"):
         import dataclasses as _dc
 
         pipe = _dc.replace(

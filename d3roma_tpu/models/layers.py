@@ -19,6 +19,7 @@ from flax import linen as nn
 from d3roma_tpu.ops.quant import (
     int8_conv_general_dilated,
     int8_conv_general_dilated_static,
+    int8_conv_mxu,
     int8_dot_general,
     int8_dot_general_static,
 )
@@ -28,11 +29,12 @@ def _dense_q(quant) -> dict:
     """kwargs enabling the int8 dot path on an nn.Dense (see ops/quant.py).
 
     `quant` is False (off), True/"all" (dense + conv, dynamic activation
-    scales), "dense" (dense layers only), or "static" (dense + conv with a
-    constant activation scale — no absmax pass before each op)."""
+    scales), "dense" (dense layers only), "static" (dense + conv with a
+    constant activation scale — no absmax pass before each op), or "mxu"
+    (static scales + the Pallas implicit-GEMM conv kernel)."""
     if not quant:
         return {}
-    if quant == "static":
+    if quant in ("static", "mxu"):
         return {"dot_general": int8_dot_general_static}
     return {"dot_general": int8_dot_general}
 
@@ -41,6 +43,8 @@ def _conv_q(quant) -> dict:
     """kwargs enabling the int8 conv path on an nn.Conv (off in "dense" mode)."""
     if not quant or quant == "dense":
         return {}
+    if quant == "mxu":
+        return {"conv_general_dilated": int8_conv_mxu}
     if quant == "static":
         return {"conv_general_dilated": int8_conv_general_dilated_static}
     return {"conv_general_dilated": int8_conv_general_dilated}
@@ -238,15 +242,23 @@ class SelfAttention2D(nn.Module):
 
 class CrossAttention(nn.Module):
     """Multi-head attention over [B, N, C] queries with optional [B, M, D]
-    context (self-attention when context is None). With use_flash, long
-    self-attention runs through the Pallas TPU flash kernel (no N^2 score
-    materialization)."""
+    context (self-attention when context is None).
+
+    use_flash selects the attention implementation:
+      False     — XLA dot_product_attention (scores materialized)
+      True      — Pallas library flash kernel for long self-attention
+      "pallas"  — whole-row Pallas kernel (ops/pallas/attention.py) for
+                  BOTH self- and cross-attention; minimal lane padding and
+                  no layout transposes. When the int8 quant path is active
+                  the kernel also runs both attention dots on the int8 MXU.
+    Non-TPU backends always fall back to the XLA path (kernels are
+    Mosaic-compiled; tests run on CPU)."""
 
     query_dim: int
     heads: int
     head_dim: int
     context_dim: Optional[int] = None
-    use_flash: bool = False
+    use_flash: object = False
     flash_min_seq: int = 1024
     quant: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -265,7 +277,16 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, N, self.heads, self.head_dim)
         k = k.reshape(B, M, self.heads, self.head_dim)
         v = v.reshape(B, M, self.heads, self.head_dim)
-        if self.use_flash and is_self and N >= self.flash_min_seq:
+        on_tpu = jax.default_backend() == "tpu"
+        if self.use_flash == "pallas" and on_tpu:
+            from d3roma_tpu.ops.pallas import mha_attention, mha_supported
+
+            if mha_supported(M, self.head_dim):
+                aq = "int8" if self.quant in (True, "all", "static", "mxu") else None
+                attn = mha_attention(q, k, v, quant=aq).reshape(B, N, inner)
+                return nn.Dense(self.query_dim, dtype=self.dtype,
+                                name="to_out", **dq)(attn)
+        if self.use_flash and on_tpu and is_self and N >= self.flash_min_seq:
             attn = flash_self_attention(q, k, v).reshape(B, N, inner)
         else:
             attn = jax.nn.dot_product_attention(q, k, v).reshape(B, N, inner)
@@ -307,7 +328,7 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     head_dim: int
     context_dim: int
-    use_flash: bool = False
+    use_flash: object = False
     quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -338,7 +359,7 @@ class Transformer2D(nn.Module):
     context_dim: int
     depth: int = 1
     groups: int = 32
-    use_flash: bool = False
+    use_flash: object = False
     quant: bool = False
     dtype: jnp.dtype = jnp.float32
 

@@ -42,7 +42,9 @@ class UNet2DCondition(nn.Module):
     attention_head_dim: int = 64
     cross_attention_dim: int = 1024
     norm_groups: int = 32
-    use_flash_attention: bool = False
+    # False = XLA attention, True = library flash kernel (long self-attn),
+    # "pallas" = whole-row Pallas kernel for all attention sites
+    use_flash_attention: object = False
     quant: bool = False  # int8 MXU path for inference (ops/quant.py)
     fused_norm: bool = False  # fused Pallas GroupNorm+SiLU (ops/pallas/)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)

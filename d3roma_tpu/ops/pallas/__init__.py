@@ -4,8 +4,23 @@
   and one write, where XLA's decomposition reads the activation twice
   (reduction kernel + normalize/map kernel). Used by the UNet/VAE resnet
   blocks at latent resolutions where a whole batch item fits VMEM.
+- conv2d.py: implicit-GEMM stride-1 SAME 3x3 conv (bf16 or int8 MXU) —
+  the conv becomes 9 accumulated MXU dots over row-shifted views of one
+  VMEM-resident flattened frame.
+- attention.py: whole-row multi-head attention for the UNet's d=64
+  transformer levels (<= ~6k tokens) — minimal lane padding, no online
+  softmax, optional int8 MXU dots; reads q/k/v in the model's natural
+  [B, N, heads, d] layout (no HBM transposes).
 """
 
+from d3roma_tpu.ops.pallas.attention import (  # noqa: F401
+    mha_attention,
+    mha_supported,
+)
+from d3roma_tpu.ops.pallas.conv2d import (  # noqa: F401
+    conv3x3_flat,
+    conv3x3_supported,
+)
 from d3roma_tpu.ops.pallas.groupnorm import (  # noqa: F401
     fused_group_norm_silu,
     group_norm_silu_supported,

@@ -100,6 +100,35 @@ def int8_conv_general_dilated_static(lhs, rhs, window_strides, padding,
     return out.astype(out_dtype)
 
 
+def int8_conv_mxu(lhs, rhs, window_strides, padding,
+                  lhs_dilation=None, rhs_dilation=None,
+                  dimension_numbers=None, feature_group_count=1,
+                  batch_group_count=1, precision=None,
+                  preferred_element_type=None):
+    """Drop-in `lax.conv_general_dilated` for flax Conv: dispatch stride-1
+    SAME 3x3 convs whose frame fits VMEM to the Pallas implicit-GEMM int8
+    kernel (ops/pallas/conv2d.py); everything else falls back to the XLA
+    static-int8 conv (which already runs the full-resolution VAE frames
+    near the int8 roofline — docs/PERFORMANCE.md)."""
+    from d3roma_tpu.ops.pallas.conv2d import conv3x3_flat, conv3x3_supported
+
+    if (
+        feature_group_count == 1
+        and batch_group_count == 1
+        and lhs_dilation in (None, (1, 1))
+        and rhs_dilation in (None, (1, 1))
+        # the kernel's VMEM frame block is int8 (quantized pre-kernel)
+        and conv3x3_supported(lhs.shape, rhs.shape, window_strides, padding,
+                              jnp.int8)
+    ):
+        return conv3x3_flat(lhs, rhs, quant="static")
+    return int8_conv_general_dilated_static(
+        lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+        dimension_numbers, feature_group_count, batch_group_count,
+        precision=precision, preferred_element_type=preferred_element_type,
+    )
+
+
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
                      preferred_element_type=None):
     """Drop-in `lax.dot_general` for flax Dense: dynamic int8 x int8 -> int32.
