@@ -12,12 +12,14 @@ kernel's 512-multiple padding does 29% extra MXU work at N=3600
 - pads keys to the 128-lane tile only (3712 at N=3600 -> 6% overhead),
 - computes each [block_q, Nk] score block in one MXU dot, one fp32
   softmax pass, one PV dot — no running max/denominator fixups,
-- reads q/k/v DIRECTLY in the model's natural [B, N, heads, d] layout via
-  block indexing (no [B,N,H,D]->[B,H,N,D] HBM transposes around the call),
 - optionally runs both dots on the int8 MXU (2x the bf16 rate on v5e):
-  q/k/v are quantized per (batch, head) with dynamic absmax scales; the
-  softmax'd P matrix is quantized to int8 with the exact static scale 127
-  (P in [0,1]), so PV error is bounded by 0.4% of the value magnitude.
+  q/k/v are quantized per (batch, head) with dynamic absmax scales in XLA
+  (measured FASTER than quantizing inside the kernel — XLA fuses the
+  absmax/round passes into the projection epilogues, while in-kernel
+  VPU quantization serializes with the MXU dots: 77.4 vs 82.7 ms/step on
+  the flagship UNet); the softmax'd P matrix is quantized with the exact
+  static scale 127 (P in [0,1]), so PV error is bounded by 0.4% of the
+  value magnitude.
 
 The kernel keeps K/V VMEM-resident across the q-block sweep (their block
 index map is constant in the q dimension), so HBM traffic per (b, h) is
@@ -80,7 +82,7 @@ def _kernel_int8(q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref, o_ref,
     q = q_ref[:, :]
     k = k_ref[:, :]
     v = v_ref[:, :]
-    # scales are per (batch, head): [1, 1] blocks of the [B, 1, H, 1] arrays
+    # scales are per (batch, head): [1, 1] blocks of the [B, H, 1, 1] arrays
     sq = sq_ref[0, 0]
     sk = sk_ref[0, 0]
     sv = sv_ref[0, 0]
@@ -105,8 +107,8 @@ def _kernel_int8(q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref, o_ref,
 
 
 def _absmax_bh(x):
-    """Per-(batch, head) absmax of [B, N, H, D] -> [B, 1, H, 1] fp32."""
-    m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 3), keepdims=True)
+    """Per-(batch, head) absmax of [B, H, N, D] -> [B, H, 1, 1] fp32."""
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3), keepdims=True)
     return jnp.maximum(m, 1e-6) / 127.0
 
 
@@ -132,25 +134,30 @@ def mha_attention(q, k, v, *, quant: str | None = None,
     blk_q = min(block_q, _round_up(n, 16))
     n_pad = _round_up(n, blk_q)
 
-    qp = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
+    # [B, N, H, D] -> [B, H, N, D]: Mosaic needs the token dim in the
+    # sublane (second-to-last) position; a squeezed head dim there is
+    # rejected by the block-shape rules. Same transpose the flash kernel
+    # wrapper pays.
+    qp = jnp.pad(jnp.swapaxes(q, 1, 2), ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    kp = jnp.pad(jnp.swapaxes(k, 1, 2), ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    vp = jnp.pad(jnp.swapaxes(v, 1, 2), ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
 
     grid = (b, h, n_pad // blk_q)
-    q_spec = pl.BlockSpec((None, blk_q, None, d), lambda bi, hi, i: (bi, i, hi, 0),
+    q_spec = pl.BlockSpec((None, None, blk_q, d),
+                          lambda bi, hi, i: (bi, hi, i, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((None, m_pad, None, d), lambda bi, hi, i: (bi, 0, hi, 0),
+    kv_spec = pl.BlockSpec((None, None, m_pad, d),
+                           lambda bi, hi, i: (bi, hi, 0, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((None, blk_q, None, d), lambda bi, hi, i: (bi, i, hi, 0),
-                          memory_space=pltpu.VMEM)
+    o_spec = q_spec
 
     if quant == "int8":
         sq, sk, sv = _absmax_bh(qp), _absmax_bh(kp), _absmax_bh(vp)
         qq = jnp.round(qp.astype(jnp.float32) / sq).astype(jnp.int8)
         kq = jnp.round(kp.astype(jnp.float32) / sk).astype(jnp.int8)
         vq = jnp.round(vp.astype(jnp.float32) / sv).astype(jnp.int8)
-        s_spec = pl.BlockSpec((None, 1, None, 1),
-                              lambda bi, hi, i: (bi, 0, hi, 0),
+        s_spec = pl.BlockSpec((None, None, 1, 1),
+                              lambda bi, hi, i: (bi, hi, 0, 0),
                               memory_space=pltpu.SMEM)
         kern = functools.partial(_kernel_int8, m_real=m, scale=scale,
                                  out_dtype=out_dtype)
@@ -159,7 +166,7 @@ def mha_attention(q, k, v, *, quant: str | None = None,
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec, s_spec, s_spec, s_spec],
             out_specs=o_spec,
-            out_shape=jax.ShapeDtypeStruct((b, n_pad, h, d), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), out_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
@@ -172,10 +179,10 @@ def mha_attention(q, k, v, *, quant: str | None = None,
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=o_spec,
-            out_shape=jax.ShapeDtypeStruct((b, n_pad, h, d), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), out_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
         )(qp, kp, vp)
 
-    return out[:, :n]
+    return jnp.swapaxes(out[:, :, :n], 1, 2)

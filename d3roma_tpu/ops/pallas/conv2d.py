@@ -69,38 +69,52 @@ def conv3x3_supported(x_shape, w_shape, strides, padding, dtype) -> bool:
     return m_pad * cin * jnp.dtype(dtype).itemsize <= _MAX_X_BLOCK_BYTES
 
 
+def _row_chunk(cin: int, itemsize: int) -> int:
+    """Rows per inner chunk: the 9 shifted tap slices are materialized by
+    Mosaic, so bound 9 * chunk * cin * itemsize to ~5 MB (whole-frame
+    accumulation OOM'd scoped VMEM at 640-channel frames)."""
+    target = 5 * 1024 * 1024 // (9 * cin * itemsize)
+    return max(256, 1 << (target.bit_length() - 1)) if target >= 256 else 256
+
+
 def _kernel_int8(x_ref, w_ref, ws_ref, o_ref, *, offsets, m_out, act_scale):
     """x_ref: [M_pad, Cin] int8 (one flattened padded frame, pre-quantized
     in XLA so the VMEM block is 1 byte/elem — the quantize pass fuses into
     the producing op).  w_ref: [9*Cin, TN] int8   ws_ref: [1, TN] f32
-    o_ref: [M_pad, TN]."""
+    o_ref: [M_pad, TN].  Rows are processed in chunks so the tap slices
+    and the int32 accumulator stay within scoped VMEM."""
     cin = x_ref.shape[1]
-    xq = x_ref[:]
-    acc = jnp.zeros((m_out, o_ref.shape[1]), jnp.int32)
-    for t, off in enumerate(offsets):
-        acc += jax.lax.dot_general(
-            xq[off:off + m_out, :],
-            w_ref[t * cin:(t + 1) * cin, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-    o_ref[0:m_out, :] = (
-        acc.astype(jnp.float32) * (act_scale * ws_ref[0, :][None, :])
-    ).astype(o_ref.dtype)
+    tn = o_ref.shape[1]
+    deq = act_scale * ws_ref[0, :][None, :]
+    chunk = _row_chunk(cin, 1)
+    for r0 in range(0, m_out, chunk):
+        r = min(chunk, m_out - r0)
+        acc = jnp.zeros((r, tn), jnp.int32)
+        for t, off in enumerate(offsets):
+            acc += jax.lax.dot_general(
+                x_ref[r0 + off:r0 + off + r, :],
+                w_ref[t * cin:(t + 1) * cin, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        o_ref[r0:r0 + r, :] = (acc.astype(jnp.float32) * deq).astype(o_ref.dtype)
 
 
 def _kernel_bf16(x_ref, w_ref, o_ref, *, offsets, m_out):
     cin = x_ref.shape[1]
-    x = x_ref[:]
-    acc = jnp.zeros((m_out, o_ref.shape[1]), jnp.float32)
-    for t, off in enumerate(offsets):
-        acc += jax.lax.dot_general(
-            x[off:off + m_out, :],
-            w_ref[t * cin:(t + 1) * cin, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    o_ref[0:m_out, :] = acc.astype(o_ref.dtype)
+    tn = o_ref.shape[1]
+    chunk = _row_chunk(cin, 2)
+    for r0 in range(0, m_out, chunk):
+        r = min(chunk, m_out - r0)
+        acc = jnp.zeros((r, tn), jnp.float32)
+        for t, off in enumerate(offsets):
+            acc += jax.lax.dot_general(
+                x_ref[r0 + off:r0 + off + r, :],
+                w_ref[t * cin:(t + 1) * cin, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[r0:r0 + r, :] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(
