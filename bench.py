@@ -18,6 +18,7 @@ Env knobs:
                           "dense" = projections only; "static" = constant
                           activation scale, no absmax pass; "mxu" = static
                           + Pallas implicit-GEMM conv kernel)
+  BENCH_FF=0|1            fused Pallas GEGLU feed-forward (default 0)
   BENCH_STEPS=N           denoise steps (default 10 — the release setting;
                           differencing N=20 vs N=10 isolates per-step UNet
                           cost from the VAE encode/decode overhead)
@@ -52,8 +53,10 @@ def bench_ldm(batch, reps):
     in_ch = widened_in_channels("rgb+raw")  # 12
     flash_env = os.environ.get("BENCH_FLASH", "1")
     use_flash = {"0": False, "1": True, "2": "pallas"}.get(flash_env, True)
+    fused_ff = os.environ.get("BENCH_FF", "0") == "1"
     unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
-                           use_flash_attention=use_flash, dtype=jnp.bfloat16)
+                           use_flash_attention=use_flash, fused_ff=fused_ff,
+                           dtype=jnp.bfloat16)
     vae = AutoencoderKL(dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)

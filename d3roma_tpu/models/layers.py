@@ -245,12 +245,15 @@ class CrossAttention(nn.Module):
     context (self-attention when context is None).
 
     use_flash selects the attention implementation:
-      False     — XLA dot_product_attention (scores materialized)
-      True      — Pallas library flash kernel for long self-attention
-      "pallas"  — whole-row Pallas kernel (ops/pallas/attention.py) for
-                  BOTH self- and cross-attention; minimal lane padding and
-                  no layout transposes. When the int8 quant path is active
-                  the kernel also runs both attention dots on the int8 MXU.
+      False         — XLA dot_product_attention (scores materialized)
+      True          — Pallas library flash kernel for long self-attention
+      "pallas"      — whole-row Pallas kernel (ops/pallas/attention.py)
+                      for BOTH self- and cross-attention; minimal lane
+                      padding. When the int8 quant path is active the
+                      kernel also runs both attention dots on the int8 MXU.
+      "pallas-self" — whole-row kernel for self-attention only; the
+                      77-token cross-attention stays on the XLA path
+                      (its score matrix is tiny and XLA fuses it).
     Non-TPU backends always fall back to the XLA path (kernels are
     Mosaic-compiled; tests run on CPU)."""
 
@@ -278,7 +281,10 @@ class CrossAttention(nn.Module):
         k = k.reshape(B, M, self.heads, self.head_dim)
         v = v.reshape(B, M, self.heads, self.head_dim)
         on_tpu = jax.default_backend() == "tpu"
-        if self.use_flash == "pallas" and on_tpu:
+        use_pallas = self.use_flash == "pallas" or (
+            self.use_flash == "pallas-self" and is_self
+        )
+        if use_pallas and on_tpu:
             from d3roma_tpu.ops.pallas import mha_attention, mha_supported
 
             if mha_supported(M, self.head_dim):
@@ -306,16 +312,57 @@ class GEGLU(nn.Module):
         return h * nn.gelu(gate)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-shaped params (same names, shapes, inits) without
+    the matmul — lets a fused kernel own the compute while the param tree
+    stays checkpoint-compatible with the unfused modules."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return k, b
+
+
+class _GegluParams(nn.Module):
+    in_dim: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(self.in_dim, self.dim_out * 2, name="proj")()
+
+
 class FeedForward(nn.Module):
+    """GEGLU MLP. With fused=True on TPU the whole proj -> gelu-gate ->
+    out-proj runs as one Pallas kernel (ops/pallas/geglu.py) — the 8x-wide
+    intermediate never leaves VMEM; param tree is identical either way."""
+
     dim: int
     mult: int = 4
     quant: bool = False
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = GEGLU(self.dim * self.mult, quant=self.quant, dtype=self.dtype,
-                  name="net_0")(x)
+        f = self.dim * self.mult
+        if self.fused:
+            from d3roma_tpu.ops.pallas import geglu_ff
+
+            k1, b1 = _GegluParams(x.shape[-1], f, name="net_0")()
+            k2, b2 = _DenseParams(f, self.dim, name="net_2")()
+            q = "static" if self.quant in (True, "all", "static", "mxu") else None
+            # interpret mode keeps the fused path usable (and its param
+            # tree testable) on non-TPU backends
+            return geglu_ff(x.astype(self.dtype), k1[:, :f], k1[:, f:], k2,
+                            b1[:f], b1[f:], b2, quant=q,
+                            interpret=jax.default_backend() != "tpu")
+        x = GEGLU(f, quant=self.quant, dtype=self.dtype, name="net_0")(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2",
                         **_dense_q(self.quant))(x)
 
@@ -330,6 +377,7 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     use_flash: object = False
     quant: bool = False
+    fused_ff: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -342,10 +390,12 @@ class BasicTransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, self.context_dim,
-            quant=self.quant, dtype=self.dtype, name="attn2",
+            use_flash=self.use_flash, quant=self.quant, dtype=self.dtype,
+            name="attn2",
         )(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, quant=self.quant, dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(self.dim, quant=self.quant, fused=self.fused_ff,
+                            dtype=self.dtype, name="ff")(h)
         return x
 
 
@@ -361,6 +411,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     use_flash: object = False
     quant: bool = False
+    fused_ff: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -375,7 +426,8 @@ class Transformer2D(nn.Module):
             h = BasicTransformerBlock(
                 self.heads * self.head_dim, self.heads, self.head_dim,
                 self.context_dim, use_flash=self.use_flash, quant=self.quant,
-                dtype=self.dtype, name=f"transformer_blocks_{i}",
+                fused_ff=self.fused_ff, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
             )(h, context)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out",
                      **_dense_q(self.quant))(h)

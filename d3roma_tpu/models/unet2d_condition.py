@@ -45,6 +45,7 @@ class UNet2DCondition(nn.Module):
     # False = XLA attention, True = library flash kernel (long self-attn),
     # "pallas" = whole-row Pallas kernel for all attention sites
     use_flash_attention: object = False
+    fused_ff: bool = False  # fused Pallas GEGLU feed-forward (ops/pallas/geglu.py)
     quant: bool = False  # int8 MXU path for inference (ops/quant.py)
     fused_norm: bool = False  # fused Pallas GroupNorm+SiLU (ops/pallas/)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
@@ -95,6 +96,7 @@ class UNet2DCondition(nn.Module):
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
                         use_flash=self.use_flash_attention, quant=self.quant,
+                        fused_ff=self.fused_ff,
                         dtype=self.dtype, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
@@ -111,6 +113,7 @@ class UNet2DCondition(nn.Module):
         x = AttnBlock(mid_ch, heads_for(mid_ch), self.attention_head_dim,
                           self.cross_attention_dim, groups=self.norm_groups,
                           use_flash=self.use_flash_attention, quant=self.quant,
+                          fused_ff=self.fused_ff,
                           dtype=self.dtype, name="mid_attn")(x, context)
         x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
                           fused_norm=self.fused_norm,
@@ -132,6 +135,7 @@ class UNet2DCondition(nn.Module):
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
                         use_flash=self.use_flash_attention, quant=self.quant,
+                        fused_ff=self.fused_ff,
                         dtype=self.dtype, name=f"up_{i}_attn_{j}",
                     )(x, context)
             if not is_last:

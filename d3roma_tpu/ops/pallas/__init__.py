@@ -9,8 +9,9 @@
   VMEM-resident flattened frame.
 - attention.py: whole-row multi-head attention for the UNet's d=64
   transformer levels (<= ~6k tokens) — minimal lane padding, no online
-  softmax, optional int8 MXU dots; reads q/k/v in the model's natural
-  [B, N, heads, d] layout (no HBM transposes).
+  softmax, optional int8 MXU dots.
+- geglu.py: fused GEGLU feed-forward (proj -> gelu-gate -> out-proj) —
+  the 8x-wide intermediate never leaves VMEM; optional int8 MXU dots.
 """
 
 from d3roma_tpu.ops.pallas.attention import (  # noqa: F401
@@ -21,6 +22,7 @@ from d3roma_tpu.ops.pallas.conv2d import (  # noqa: F401
     conv3x3_flat,
     conv3x3_supported,
 )
+from d3roma_tpu.ops.pallas.geglu import geglu_ff  # noqa: F401
 from d3roma_tpu.ops.pallas.groupnorm import (  # noqa: F401
     fused_group_norm_silu,
     group_norm_silu_supported,

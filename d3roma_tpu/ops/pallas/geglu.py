@@ -1,0 +1,205 @@
+"""Fused GEGLU feed-forward (proj -> gelu-gate -> out-proj) Pallas kernel.
+
+The SD-style transformer FF (reference model: SD2.1-geometry) is
+``x @ W1 -> split(h, gate) -> h * gelu(gate) -> @ W2`` with an 8x-wide
+intermediate.  XLA runs this as two GEMMs with the [N, 8C] intermediate
+round-tripping through HBM plus separate elementwise/quantize passes —
+measured ~61 TFLOP/s effective on v5e (11.4 ms of a 95 ms UNet step).
+This kernel keeps the intermediate entirely in VMEM:
+
+- grid (row_blocks, col_chunks): each program computes an h/gate column
+  chunk for one row block and immediately accumulates its contribution to
+  the second GEMM into a persistent f32 scratch accumulator; the [N, 4C]
+  intermediate never exists in HBM.
+- int8 path: x is pre-quantized in XLA (absmax fuses into the producing
+  LayerNorm); weights are quantized per column at trace time; the gated
+  intermediate is re-quantized per (row-block, chunk) on the VPU with a
+  local absmax, and its scale folds into the f32 accumulation, so both
+  GEMMs run on the int8 MXU.
+- bf16 path: same structure with bf16 dots (still removes the HBM
+  round-trip of the intermediate).
+
+Weight layout: W1 is pre-split into W1h/W1g (the h and gate halves), so a
+column chunk j needs one contiguous block of each.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from d3roma_tpu.ops.quant import STATIC_ACT_SCALE, absmax_scale, quantize_int8
+
+_BLK_ROWS = 256
+_BLK_COLS = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel_int8(x_ref, w1h_ref, w1g_ref, w2_ref, s1h_ref, s1g_ref, s2_ref,
+                 b1h_ref, b1g_ref, b2_ref, o_ref, acc_ref,
+                 *, n_chunks, act_scale, out_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:, :] = jnp.broadcast_to(b2_ref[0, :][None, :], acc_ref.shape)
+
+    x = x_ref[:, :]
+    h = jax.lax.dot_general(
+        x, w1h_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (act_scale * s1h_ref[0, :][None, :]) \
+        + b1h_ref[0, :][None, :]
+    g = jax.lax.dot_general(
+        x, w1g_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (act_scale * s1g_ref[0, :][None, :]) \
+        + b1g_ref[0, :][None, :]
+    y = h * jax.nn.gelu(g)
+    # local absmax re-quantization of the gated intermediate; the scale
+    # folds into the f32 accumulation below
+    sy = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6) / 127.0
+    yq = jnp.round(y / sy).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        yq, w2_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[:, :] += part.astype(jnp.float32) * (sy * s2_ref[0, :][None, :])
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        o_ref[:, :] = acc_ref[:, :].astype(out_dtype)
+
+
+def _kernel_bf16(x_ref, w1h_ref, w1g_ref, w2_ref, b1h_ref, b1g_ref, b2_ref,
+                 o_ref, acc_ref, *, n_chunks, out_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:, :] = jnp.broadcast_to(b2_ref[0, :][None, :], acc_ref.shape)
+
+    x = x_ref[:, :]
+    h = jax.lax.dot_general(
+        x, w1h_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1h_ref[0, :][None, :]
+    g = jax.lax.dot_general(
+        x, w1g_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1g_ref[0, :][None, :]
+    y = (h * jax.nn.gelu(g)).astype(x.dtype)
+    acc_ref[:, :] += jax.lax.dot_general(
+        y, w2_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        o_ref[:, :] = acc_ref[:, :].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("quant", "act_scale", "interpret")
+)
+def geglu_ff(x, w1h, w1g, w2, b1h=None, b1g=None, b2=None, *, quant=None,
+             act_scale: float = STATIC_ACT_SCALE, interpret: bool = False):
+    """x: [B, N, C]; w1h/w1g: [C, F]; w2: [F, C]; biases [F]/[F]/[C]
+    -> [B, N, C].
+
+    quant=None: bf16/f32 dots.  quant="static": int8 MXU dots with the
+    given static activation scale for x and per-column weight scales.
+    """
+    b, n, c = x.shape
+    f = w1h.shape[1]
+    out_dtype = x.dtype
+    b1h = jnp.zeros((f,), jnp.float32) if b1h is None else b1h
+    b1g = jnp.zeros((f,), jnp.float32) if b1g is None else b1g
+    b2 = jnp.zeros((c,), jnp.float32) if b2 is None else b2
+
+    rows = b * n
+    rows_pad = _round_up(rows, _BLK_ROWS)
+    xf = x.reshape(rows, c)
+    if rows_pad != rows:
+        xf = jnp.pad(xf, ((0, rows_pad - rows), (0, 0)))
+
+    blk_cols = min(_BLK_COLS, f)
+    n_chunks = -(-f // blk_cols)
+    f_pad = n_chunks * blk_cols
+    if f_pad != f:
+        w1h = jnp.pad(w1h, ((0, 0), (0, f_pad - f)))
+        w1g = jnp.pad(w1g, ((0, 0), (0, f_pad - f)))
+        w2 = jnp.pad(w2, ((0, f_pad - f), (0, 0)))
+        b1h = jnp.pad(b1h, (0, f_pad - f))
+        b1g = jnp.pad(b1g, (0, f_pad - f))
+    b1h = b1h.reshape(1, f_pad).astype(jnp.float32)
+    b1g = b1g.reshape(1, f_pad).astype(jnp.float32)
+    b2r = b2.reshape(1, c).astype(jnp.float32)
+
+    grid = (rows_pad // _BLK_ROWS, n_chunks)
+    x_spec = pl.BlockSpec((_BLK_ROWS, c), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((c, blk_cols), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((blk_cols, c), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((_BLK_ROWS, c), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((_BLK_ROWS, c), jnp.float32)]
+
+    if quant == "static":
+        s1h = absmax_scale(w1h, axes=(0,))  # [1, F]
+        s1g = absmax_scale(w1g, axes=(0,))
+        s2 = absmax_scale(w2, axes=(0,))    # [1, C]
+        w1hq, w1gq = quantize_int8(w1h, s1h), quantize_int8(w1g, s1g)
+        w2q = quantize_int8(w2, s2)
+        xq = quantize_int8(xf, jnp.float32(act_scale))
+        s1_spec = pl.BlockSpec((1, blk_cols), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+        s2_spec = pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel_int8, n_chunks=n_chunks,
+                                 act_scale=float(act_scale),
+                                 out_dtype=out_dtype)
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[x_spec, w1_spec, w1_spec, w2_spec,
+                      s1_spec, s1_spec, s2_spec, s1_spec, s1_spec, s2_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_pad, c), out_dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(xq, w1hq, w1gq, w2q, s1h.astype(jnp.float32),
+          s1g.astype(jnp.float32), s2.astype(jnp.float32), b1h, b1g, b2r)
+    else:
+        s1_spec = pl.BlockSpec((1, blk_cols), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+        s2_spec = pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel_bf16, n_chunks=n_chunks,
+                                 out_dtype=out_dtype)
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[x_spec, w1_spec, w1_spec, w2_spec,
+                      s1_spec, s1_spec, s2_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_pad, c), out_dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(xf.astype(x.dtype), w1h.astype(x.dtype), w1g.astype(x.dtype),
+          w2.astype(x.dtype), b1h, b1g, b2r)
+
+    return out[:rows].reshape(b, n, c)
