@@ -34,44 +34,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 from d3roma_tpu.ops.quant import STATIC_ACT_SCALE, absmax_scale, quantize_int8
 
-_BLK_ROWS = 256
-_BLK_COLS = 1024
-
-
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_cols(f: int) -> int:
+    """Largest 128-multiple <= 1024 dividing F (F is always a multiple of
+    128 here: 4*C for C in {320, 640, 1280}).  Padding F instead wastes
+    real MXU work — F=1280 padded to 2*1024 cost +60% at the widest level."""
+    for d in range(min(1024, f), 0, -128):
+        if f % d == 0:
+            return d
+    return min(1024, f)
+
+
+def _pick_rows(c: int) -> tuple[int, int]:
+    """(macro row block, in-kernel sub-chunk).  Large macro blocks keep the
+    weight chunks resident across more rows (the j grid dim is innermost,
+    so weights are re-fetched once per (row block, chunk)); the sub-chunk
+    bounds the transient f32 h/gate slabs."""
+    return (2048, 512) if c <= 640 else (512, 256)
+
+
 def _kernel_int8(x_ref, w1h_ref, w1g_ref, w2_ref, s1h_ref, s1g_ref, s2_ref,
                  b1h_ref, b1g_ref, b2_ref, o_ref, acc_ref,
-                 *, n_chunks, act_scale, out_dtype):
+                 *, n_chunks, sub_rows, act_scale, out_dtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:, :] = jnp.broadcast_to(b2_ref[0, :][None, :], acc_ref.shape)
 
-    x = x_ref[:, :]
-    h = jax.lax.dot_general(
-        x, w1h_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (act_scale * s1h_ref[0, :][None, :]) \
-        + b1h_ref[0, :][None, :]
-    g = jax.lax.dot_general(
-        x, w1g_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (act_scale * s1g_ref[0, :][None, :]) \
-        + b1g_ref[0, :][None, :]
-    y = h * jax.nn.gelu(g)
-    # local absmax re-quantization of the gated intermediate; the scale
-    # folds into the f32 accumulation below
-    sy = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6) / 127.0
-    yq = jnp.round(y / sy).astype(jnp.int8)
-    part = jax.lax.dot_general(
-        yq, w2_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    acc_ref[:, :] += part.astype(jnp.float32) * (sy * s2_ref[0, :][None, :])
+    rows = x_ref.shape[0]
+    d1h = act_scale * s1h_ref[0, :][None, :]
+    d1g = act_scale * s1g_ref[0, :][None, :]
+    b1h = b1h_ref[0, :][None, :]
+    b1g = b1g_ref[0, :][None, :]
+    s2 = s2_ref[0, :][None, :]
+    # sub-chunk the rows so the transient f32 h/gate slabs stay small
+    # while the macro row block keeps the weight chunks resident longer
+    for r0 in range(0, rows, sub_rows):
+        x = x_ref[r0:r0 + sub_rows, :]
+        h = jax.lax.dot_general(
+            x, w1h_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * d1h + b1h
+        g = jax.lax.dot_general(
+            x, w1g_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * d1g + b1g
+        y = h * jax.nn.gelu(g)
+        # local absmax re-quantization of the gated intermediate; the
+        # scale folds into the f32 accumulation below
+        sy = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6) / 127.0
+        yq = jnp.round(y / sy).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            yq, w2_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[r0:r0 + sub_rows, :] += part.astype(jnp.float32) * (sy * s2)
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -79,27 +100,31 @@ def _kernel_int8(x_ref, w1h_ref, w1g_ref, w2_ref, s1h_ref, s1g_ref, s2_ref,
 
 
 def _kernel_bf16(x_ref, w1h_ref, w1g_ref, w2_ref, b1h_ref, b1g_ref, b2_ref,
-                 o_ref, acc_ref, *, n_chunks, out_dtype):
+                 o_ref, acc_ref, *, n_chunks, sub_rows, out_dtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:, :] = jnp.broadcast_to(b2_ref[0, :][None, :], acc_ref.shape)
 
-    x = x_ref[:, :]
-    h = jax.lax.dot_general(
-        x, w1h_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1h_ref[0, :][None, :]
-    g = jax.lax.dot_general(
-        x, w1g_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1g_ref[0, :][None, :]
-    y = (h * jax.nn.gelu(g)).astype(x.dtype)
-    acc_ref[:, :] += jax.lax.dot_general(
-        y, w2_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    rows = x_ref.shape[0]
+    b1h = b1h_ref[0, :][None, :]
+    b1g = b1g_ref[0, :][None, :]
+    for r0 in range(0, rows, sub_rows):
+        x = x_ref[r0:r0 + sub_rows, :]
+        h = jax.lax.dot_general(
+            x, w1h_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1h
+        g = jax.lax.dot_general(
+            x, w1g_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1g
+        y = (h * jax.nn.gelu(g)).astype(x.dtype)
+        acc_ref[r0:r0 + sub_rows, :] += jax.lax.dot_general(
+            y, w2_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -124,14 +149,15 @@ def geglu_ff(x, w1h, w1g, w2, b1h=None, b1g=None, b2=None, *, quant=None,
     b1g = jnp.zeros((f,), jnp.float32) if b1g is None else b1g
     b2 = jnp.zeros((c,), jnp.float32) if b2 is None else b2
 
+    blk_rows, sub_rows = _pick_rows(c)
     rows = b * n
-    rows_pad = _round_up(rows, _BLK_ROWS)
+    rows_pad = _round_up(rows, blk_rows)
     xf = x.reshape(rows, c)
     if rows_pad != rows:
         xf = jnp.pad(xf, ((0, rows_pad - rows), (0, 0)))
 
-    blk_cols = min(_BLK_COLS, f)
-    n_chunks = -(-f // blk_cols)
+    blk_cols = _pick_cols(f)
+    n_chunks = f // blk_cols if f % blk_cols == 0 else -(-f // blk_cols)
     f_pad = n_chunks * blk_cols
     if f_pad != f:
         w1h = jnp.pad(w1h, ((0, 0), (0, f_pad - f)))
@@ -143,16 +169,16 @@ def geglu_ff(x, w1h, w1g, w2, b1h=None, b1g=None, b2=None, *, quant=None,
     b1g = b1g.reshape(1, f_pad).astype(jnp.float32)
     b2r = b2.reshape(1, c).astype(jnp.float32)
 
-    grid = (rows_pad // _BLK_ROWS, n_chunks)
-    x_spec = pl.BlockSpec((_BLK_ROWS, c), lambda i, j: (i, 0),
+    grid = (rows_pad // blk_rows, n_chunks)
+    x_spec = pl.BlockSpec((blk_rows, c), lambda i, j: (i, 0),
                           memory_space=pltpu.VMEM)
     w1_spec = pl.BlockSpec((c, blk_cols), lambda i, j: (0, j),
                            memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec((blk_cols, c), lambda i, j: (j, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((_BLK_ROWS, c), lambda i, j: (i, 0),
+    o_spec = pl.BlockSpec((blk_rows, c), lambda i, j: (i, 0),
                           memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((_BLK_ROWS, c), jnp.float32)]
+    scratch = [pltpu.VMEM((blk_rows, c), jnp.float32)]
 
     if quant == "static":
         s1h = absmax_scale(w1h, axes=(0,))  # [1, F]
@@ -166,6 +192,7 @@ def geglu_ff(x, w1h, w1g, w2, b1h=None, b1g=None, b2=None, *, quant=None,
         s2_spec = pl.BlockSpec((1, c), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM)
         kern = functools.partial(_kernel_int8, n_chunks=n_chunks,
+                                 sub_rows=sub_rows,
                                  act_scale=float(act_scale),
                                  out_dtype=out_dtype)
         out = pl.pallas_call(
@@ -187,7 +214,7 @@ def geglu_ff(x, w1h, w1g, w2, b1h=None, b1g=None, b2=None, *, quant=None,
         s2_spec = pl.BlockSpec((1, c), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM)
         kern = functools.partial(_kernel_bf16, n_chunks=n_chunks,
-                                 out_dtype=out_dtype)
+                                 sub_rows=sub_rows, out_dtype=out_dtype)
         out = pl.pallas_call(
             kern,
             grid=grid,
