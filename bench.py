@@ -52,7 +52,8 @@ def bench_ldm(batch, reps):
     H, W = 360, 640
     in_ch = widened_in_channels("rgb+raw")  # 12
     flash_env = os.environ.get("BENCH_FLASH", "1")
-    use_flash = {"0": False, "1": True, "2": "pallas"}.get(flash_env, True)
+    use_flash = {"0": False, "1": True, "2": "pallas",
+                 "3": "pallas-self", "4": "fused"}.get(flash_env, True)
     fused_ff = os.environ.get("BENCH_FF", "0") == "1"
     unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
                            use_flash_attention=use_flash, fused_ff=fused_ff,

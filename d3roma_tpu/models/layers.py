@@ -254,8 +254,13 @@ class CrossAttention(nn.Module):
       "pallas-self" — whole-row kernel for self-attention only; the
                       77-token cross-attention stays on the XLA path
                       (its score matrix is tiny and XLA fuses it).
+      "fused"       — fully-fused self-attention kernel (QKV projections
+                      + attention + out projection in ONE pallas_call,
+                      ops/pallas/attention_fused.py); cross-attention on
+                      the XLA path. Param tree unchanged.
     Non-TPU backends always fall back to the XLA path (kernels are
-    Mosaic-compiled; tests run on CPU)."""
+    Mosaic-compiled; tests run on CPU), except "fused" which runs the
+    kernel in interpret mode so the fused param tree stays testable."""
 
     query_dim: int
     heads: int
@@ -274,6 +279,24 @@ class CrossAttention(nn.Module):
         B, N, _ = x.shape
         M = context.shape[1]
         dq = _dense_q(self.quant)
+        if self.use_flash == "fused" and is_self:
+            from d3roma_tpu.ops.pallas import (
+                fused_attention_supported,
+                fused_self_attention,
+            )
+
+            if (x.shape[-1] == inner and self.query_dim == inner
+                    and fused_attention_supported(N, inner, self.head_dim)):
+                wq, _ = _DenseParams(inner, inner, use_bias=False, name="to_q")()
+                wk, _ = _DenseParams(inner, inner, use_bias=False, name="to_k")()
+                wv, _ = _DenseParams(inner, inner, use_bias=False, name="to_v")()
+                wo, bo = _DenseParams(inner, self.query_dim, name="to_out")()
+                aq = "static" if self.quant in (True, "all", "static", "mxu") else None
+                return fused_self_attention(
+                    x.astype(self.dtype), wq, wk, wv, wo, bo,
+                    heads=self.heads, quant=aq,
+                    interpret=jax.default_backend() != "tpu",
+                )
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q", **dq)(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k", **dq)(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v", **dq)(context)
@@ -319,12 +342,14 @@ class _DenseParams(nn.Module):
 
     in_dim: int
     out_dim: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (self.in_dim, self.out_dim))
-        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        b = (self.param("bias", nn.initializers.zeros, (self.out_dim,))
+             if self.use_bias else None)
         return k, b
 
 

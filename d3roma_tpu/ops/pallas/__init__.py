@@ -18,6 +18,10 @@ from d3roma_tpu.ops.pallas.attention import (  # noqa: F401
     mha_attention,
     mha_supported,
 )
+from d3roma_tpu.ops.pallas.attention_fused import (  # noqa: F401
+    fused_attention_supported,
+    fused_self_attention,
+)
 from d3roma_tpu.ops.pallas.conv2d import (  # noqa: F401
     conv3x3_flat,
     conv3x3_supported,
