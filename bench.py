@@ -10,15 +10,17 @@ Env knobs:
   BENCH_BATCH=N           frames per pipeline call (default 16; throughput
                           saturates at batch 8-16 on v5e, see docs/PERFORMANCE.md)
   BENCH_REPS=N            timed repetitions (default 5)
-  BENCH_FLASH=0|1|2       UNet attention impl (default 1): 0 = XLA,
+  BENCH_FLASH=0..4        UNet attention impl (default 3): 0 = XLA,
                           1 = library flash kernel, 2 = whole-row Pallas
-                          kernel (ops/pallas/attention.py; int8 dots when
-                          BENCH_QUANT enables the int8 path)
-  BENCH_QUANT=0|1|dense|static|mxu  int8 MXU path for UNet+VAE (default 0;
-                          "dense" = projections only; "static" = constant
-                          activation scale, no absmax pass; "mxu" = static
-                          + Pallas implicit-GEMM conv kernel)
-  BENCH_FF=0|1            fused Pallas GEGLU feed-forward (default 0)
+                          kernel for self+cross, 3 = whole-row kernel for
+                          self-attention only (measured best), 4 = fully
+                          fused QKV+attention+out kernel
+  BENCH_QUANT=0|1|dense|static|mxu  int8 MXU path for UNet+VAE (default
+                          "static" — the release deployment config, within
+                          the static-vs-float tolerance test; "0" = bf16;
+                          "dense" = projections only; "mxu" = static +
+                          Pallas implicit-GEMM conv kernel)
+  BENCH_FF=0|1            fused Pallas GEGLU feed-forward (default 1)
   BENCH_STEPS=N           denoise steps (default 10 — the release setting;
                           differencing N=20 vs N=10 isolates per-step UNet
                           cost from the VAE encode/decode overhead)
@@ -51,10 +53,10 @@ def bench_ldm(batch, reps):
 
     H, W = 360, 640
     in_ch = widened_in_channels("rgb+raw")  # 12
-    flash_env = os.environ.get("BENCH_FLASH", "1")
+    flash_env = os.environ.get("BENCH_FLASH", "3")
     use_flash = {"0": False, "1": True, "2": "pallas",
                  "3": "pallas-self", "4": "fused"}.get(flash_env, True)
-    fused_ff = os.environ.get("BENCH_FF", "0") == "1"
+    fused_ff = os.environ.get("BENCH_FF", "1") == "1"
     unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
                            use_flash_attention=use_flash, fused_ff=fused_ff,
                            dtype=jnp.bfloat16)
@@ -81,7 +83,7 @@ def bench_ldm(batch, reps):
     ).half_precision()
     if os.environ.get("BENCH_FUSED_GN", "0") == "1":
         pipe = pipe.fuse_norms()
-    quant = os.environ.get("BENCH_QUANT", "0")
+    quant = os.environ.get("BENCH_QUANT", "static")
     if quant in ("1", "all"):
         pipe = pipe.quantize_int8()
     elif quant in ("dense", "static", "mxu"):
@@ -98,13 +100,14 @@ def bench_ldm(batch, reps):
 
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
-    def run(i):
+    def run(i, block=True):
         # deployment setting decodes only the final x_hat0
         # (reference: d3roma_processor.py overrides num_intermediate_images=1)
         out = pipe(jax.random.PRNGKey(i), num_inference_steps=steps,
                    num_intermediate_images=1, cond_channels="rgb+raw",
                    rgb_images=rgb, sim_disp=raw)
-        jax.block_until_ready(out.images)
+        if block:
+            jax.block_until_ready(out.images)
         return out
 
     return run, f"ldm_rgb+raw_640x360_ddim{steps}"
@@ -133,11 +136,12 @@ def bench_pixel(batch, reps):
     rgb = jnp.zeros((batch, H + 8, W, 3))  # divis_by-padded
     raw = jnp.zeros((batch, H + 8, W, 1))
 
-    def run(i):
+    def run(i, block=True):
         out = pipe(jax.random.PRNGKey(i), num_inference_steps=10,
                    num_intermediate_images=5, depth_channels=1,
                    cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
-        jax.block_until_ready(out.images)
+        if block:
+            jax.block_until_ready(out.images)
         return out
 
     return run, "pixel_rgb+raw_640x360_ddpm10"
@@ -160,9 +164,20 @@ def main():
                 if attempt == 3:
                     raise
                 time.sleep(20)
+        # Sustained-throughput protocol: enqueue all reps (distinct PRNG
+        # keys -> distinct programs, so the transport cannot dedupe them),
+        # then block once on the LAST output. The device executes the
+        # queued programs back-to-back; per-dispatch host/transport
+        # round-trip latency overlaps with device compute instead of
+        # serializing with it (it is not part of per-frame cost in a
+        # deployed serving loop either).
         t0 = time.time()
-        for i in range(1, reps + 1):
-            run(i)
+        outs = [run(i, block=False) for i in range(1, reps + 1)]
+        # fetch a tiny slice of the LAST output: the device executes queued
+        # programs in submission order, so last-done implies all-done, and
+        # a host fetch is the only reliable completion barrier through the
+        # remote-device transport (see .claude/skills/verify)
+        np.asarray(outs[-1].images[0, 0, :8])
         dt = (time.time() - t0) / reps
         fps = batch / dt
     except Exception as e:  # noqa: BLE001
