@@ -310,7 +310,11 @@ class CrossAttention(nn.Module):
         if use_pallas and on_tpu:
             from d3roma_tpu.ops.pallas import mha_attention, mha_supported
 
-            if mha_supported(M, self.head_dim):
+            # below ~512 tokens the kernel's fixed cost (layout transposes,
+            # pad/quantize passes, tiny-program grid) exceeds the XLA
+            # attention it replaces — measured 1.3 ms/call at N=240 vs the
+            # score-matrix path (docs/PERFORMANCE.md)
+            if mha_supported(M, self.head_dim) and M >= 512:
                 aq = "int8" if self.quant in (True, "all", "static", "mxu") else None
                 attn = mha_attention(q, k, v, quant=aq).reshape(B, N, inner)
                 return nn.Dense(self.query_dim, dtype=self.dtype,
