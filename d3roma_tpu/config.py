@@ -65,6 +65,13 @@ class TrainingConfig:
     val_every_global_steps: int = 1000
     save_model_epochs: int = 10
     mixed_precision: str = "no"  # "no" (f32) | "bf16" (TPU-native AMP)
+    # Inference-time kernel configuration for the latent pipeline (TPU):
+    # "off" = plain XLA; "throughput" = measured-best batch config on v5e
+    # (bf16 + whole-row Pallas self-attention + fused GEGLU FF + static
+    # int8 MXU); "latency" = the batch-1/streaming config (same kernels,
+    # no int8 — quantization is latency-bound at batch 1). Numbers:
+    # docs/PERFORMANCE.md.
+    fast_inference: str = "off"
 
     overwrite_output_dir: bool = True
 

@@ -88,6 +88,9 @@ class D3RoMa:
             spec = SamplerSpec("my_ddim", config.schedule_config(train=False))
             pipeline = pipeline.replace_sampler(spec)
             logger.info("Careful! sampler is overriden to %s", config.sampler)
+        if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
+            pipeline = pipeline.fast_inference(config.fast_inference)
+            logger.info("fast_inference=%s kernels enabled", config.fast_inference)
         return pipeline
 
     # ------------------------------------------------------------------ #

@@ -262,6 +262,29 @@ class GuidedLatentDiffusionPipeline:
             self.text_embed, self.spec, self.guidance, self.normalizer,
         )
 
+    def fast_inference(self, mode: str = "throughput") -> "GuidedLatentDiffusionPipeline":
+        """Apply the measured-best TPU inference configuration
+        (docs/PERFORMANCE.md): bf16 params, whole-row Pallas
+        self-attention (N>=512 sites), fused GEGLU feed-forward, and —
+        in "throughput" mode — the static-scale int8 MXU path for
+        UNet+VAE. "latency" (batch-1/streaming) skips int8, which is
+        latency-bound there. "off" returns self unchanged."""
+        import dataclasses as _dc
+
+        if mode in ("off", "", None):
+            return self
+        if mode not in ("throughput", "latency"):
+            raise ValueError(f"unknown fast_inference mode {mode!r}")
+        quant = "static" if mode == "throughput" else False
+        pipe = self.half_precision()
+        return GuidedLatentDiffusionPipeline(
+            _dc.replace(pipe.unet, use_flash_attention="pallas-self",
+                        fused_ff=True, quant=quant),
+            pipe.unet_params,
+            _dc.replace(pipe.vae, quant=quant), pipe.vae_params,
+            pipe.text_embed, pipe.spec, pipe.guidance, pipe.normalizer,
+        )
+
     # vae helpers bound to params
     def _vae_apply(self, params):
         def apply(x, method):

@@ -47,6 +47,8 @@ def main(argv):
     assert config.resume_pretrained and os.path.exists(config.resume_pretrained)
     cls = GuidedLatentDiffusionPipeline if config.ldm else GuidedDiffusionPipeline
     pipeline = cls.from_pretrained(config.resume_pretrained)
+    if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
+        pipeline = pipeline.fast_inference(config.fast_inference)
     pipeline = pipeline.replace_sampler(create_sampler_spec(config, train=False))
 
     mesh = make_mesh()

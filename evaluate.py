@@ -42,6 +42,8 @@ def main(argv):
     cls = GuidedLatentDiffusionPipeline if config.ldm else GuidedDiffusionPipeline
     pipeline = cls.from_pretrained(config.resume_pretrained)
     pipeline = pipeline.replace_sampler(create_sampler_spec(config, train=False))
+    if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
+        pipeline = pipeline.fast_inference(config.fast_inference)
 
     out_dir = config.eval_output or os.path.join(
         get_output_dir(base), f"eval_{config.eval_split}"

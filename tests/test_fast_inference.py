@@ -1,0 +1,72 @@
+"""fast_inference kernel-config plumbing: config knob -> pipeline modules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3roma_tpu.guidance import FlowGuidance
+from d3roma_tpu.models import AutoencoderKL, UNet2DCondition
+from d3roma_tpu.ops import Normalizer, ScheduleConfig
+from d3roma_tpu.pipelines import GuidedLatentDiffusionPipeline, SamplerSpec
+
+
+def _tiny_pipe():
+    unet = UNet2DCondition(
+        in_channels=8, out_channels=4, block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=8, cross_attention_dim=16,
+        norm_groups=4,
+    )
+    vae = AutoencoderKL(block_out_channels=(4, 4, 4, 8), latent_channels=4,
+                        norm_groups=2)
+    key = jax.random.PRNGKey(0)
+    up = jax.jit(unet.init)(key, jnp.zeros((1, 4, 4, 8)), jnp.array([0]),
+                            jnp.zeros((1, 4, 16)))["params"]
+    vp = jax.jit(vae.init)(jax.random.fold_in(key, 1), jnp.zeros((1, 32, 32, 3)))["params"]
+    sched = ScheduleConfig(num_train_timesteps=8, prediction_type="v_prediction",
+                           clip_sample=False)
+    return GuidedLatentDiffusionPipeline(
+        unet=unet, unet_params=up, vae=vae, vae_params=vp,
+        text_embed=jnp.zeros((1, 4, 16)),
+        spec=SamplerSpec("my_ddim", sched),
+        guidance=FlowGuidance(flow_guidance_weight=0.0),
+        normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
+                              ch_bounds=(128.0,), ch_gammas=(1.0,)),
+    )
+
+
+def test_throughput_mode_sets_kernel_config():
+    p = _tiny_pipe().fast_inference("throughput")
+    assert p.unet.use_flash_attention == "pallas-self"
+    assert p.unet.fused_ff is True
+    assert p.unet.quant == "static"
+    assert p.vae.quant == "static"
+    assert p.unet.dtype == jnp.bfloat16
+
+
+def test_latency_mode_skips_int8():
+    p = _tiny_pipe().fast_inference("latency")
+    assert p.unet.use_flash_attention == "pallas-self"
+    assert p.unet.quant is False
+    assert p.vae.quant is False
+
+
+def test_off_is_identity_and_bad_mode_raises():
+    p = _tiny_pipe()
+    assert p.fast_inference("off") is p
+    with pytest.raises(ValueError):
+        p.fast_inference("warp9")
+
+
+def test_fast_pipeline_runs_end_to_end():
+    """The fast config must sample on CPU too (kernels fall back / run in
+    interpret mode) — same output contract as the plain pipeline."""
+    p = _tiny_pipe().fast_inference("latency")
+    rgb = jnp.zeros((1, 32, 32, 3))
+    out = p(jax.random.PRNGKey(0), num_inference_steps=2,
+            num_intermediate_images=1, cond_channels="rgb",
+            rgb_images=rgb)
+    assert out.images.shape[0] == 1
+    assert np.all(np.isfinite(np.asarray(out.images, np.float32)))
