@@ -66,6 +66,13 @@ class D3RoMa:
         self.normer = Normalizer.from_config(config)
         self.config = config
         self.variant = variant
+        # created lazily on first run_pipeline (shapes fixed by the camera)
+        self._jit_pre = None
+        self._jit_post = None
+        # stable identity: the pipeline's jit cache keys on this object
+        self._denorm_builder = (
+            lambda x, raw, mask: denormalize(self.config, x, raw, mask)
+        )
 
     # ------------------------------------------------------------------ #
     def _load_pipeline(self, config: TrainingConfig):
@@ -145,7 +152,12 @@ class D3RoMa:
     # ------------------------------------------------------------------ #
     def run_pipeline(self, left_image, right_image, raw_disp, rgb) -> np.ndarray:
         """Normalize, batch by inference rounds, denoise, denormalize,
-        convert to metric depth (reference: inference.py:191-250)."""
+        convert to metric depth (reference: inference.py:191-250).
+
+        Pre- and post-processing each run as ONE jitted program: on a
+        remote-attached device every eager jnp op pays a full dispatch
+        round trip (~0.3 s here), which turned the streaming API's
+        host-side math into tens of seconds per frame."""
         R = self.config.num_inference_rounds
         norm_rgb = lambda x: (x.astype(np.float32) / 255.0 - 0.5) * 2.0
 
@@ -156,11 +168,43 @@ class D3RoMa:
         left_b = rep(norm_rgb(left_image)) if left_image is not None else None
         right_b = rep(norm_rgb(right_image)) if right_image is not None else None
 
-        raw_disp_j = jnp.asarray(raw_disp)[..., None]  # [H,W,1]
-        normalized_raw, _, _ = self.normer.normalize(raw_disp_j)
-        normalized_raw_b = rep(np.asarray(normalized_raw))
-        raw_disp_b = rep(np.asarray(raw_disp_j))
-        mask = (raw_disp_b > 0).astype(jnp.float32)
+        if self._jit_pre is None:
+            def pre_fn(raw_disp):
+                raw_disp_j = raw_disp[..., None]  # [H,W,1]
+                normalized_raw, _, _ = self.normer.normalize(raw_disp_j)
+                raw_disp_b = jnp.broadcast_to(raw_disp_j[None],
+                                              (R,) + raw_disp_j.shape)
+                mask = (raw_disp_b > 0).astype(jnp.float32)
+                norm_b = jnp.broadcast_to(normalized_raw[None],
+                                          (R,) + normalized_raw.shape)
+                return norm_b, raw_disp_b, mask
+
+            def post_fn(pred, raw_disp, raw_disp_b, mask, key):
+                # rounds-as-batch -> [1,H,W,R]: SSI alignment over rounds
+                pred_r = jnp.transpose(pred, (3, 1, 2, 0))
+                pred_unnorm = denormalize(
+                    self.config, pred_r, raw_disp_b[:1], mask[:1],
+                    key=jax.random.fold_in(key, 1),
+                )  # [1,H,W,R]
+                unc = jnp.std(pred_r, axis=-1)[0]
+                pred_mean = jnp.mean(pred_unnorm, axis=-1)  # [1,H,W]
+                md, me = compute_errors(
+                    raw_disp[None], pred_mean,
+                    self.config.prediction_space,
+                    (raw_disp > 0)[None],
+                    jnp.asarray([self.camera.fxb_depth]),
+                )
+                pred_disp = pred_mean[0]
+                pred_depth = jnp.where(
+                    pred_disp > 0,
+                    self.camera.fxb_depth / jnp.maximum(pred_disp, 1e-8), 0.0)
+                return pred_depth, unc, md, me
+
+            self._jit_pre = jax.jit(pre_fn)
+            self._jit_post = jax.jit(post_fn)
+
+        raw_disp_dev = jnp.asarray(raw_disp)
+        normalized_raw_b, raw_disp_b, mask = self._jit_pre(raw_disp_dev)
 
         self._key, key = jax.random.split(self._key)
         kwargs = dict(
@@ -174,33 +218,20 @@ class D3RoMa:
         if isinstance(self.pipeline, GuidedLatentDiffusionPipeline):
             if self.pipeline.guidance.enabled:
                 kwargs["raw_depth"] = raw_disp_b
-                kwargs["denormer"] = lambda x: denormalize(self.config, x, raw_disp_b, mask)
+                # stable builder + traced mask: raw/mask enter the jitted
+                # program as arguments, so streaming frames never retrace
+                # and never reuse a stale frame's constants
+                kwargs["denorm_builder"] = self._denorm_builder
+                kwargs["denorm_mask"] = mask
             out = self.pipeline(key, **kwargs)
         else:
             kwargs["depth_channels"] = self.config.depth_channels
             out = self.pipeline(key, **kwargs)
 
-        pred = out.images  # [R,H,W,1]
-        # rounds-as-batch -> [1,H,W,R] for SSI alignment over each round
-        pred_r = jnp.transpose(pred, (3, 1, 2, 0))
-        pred_unnorm = denormalize(
-            self.config, pred_r, raw_disp_b[:1], mask[:1], key=jax.random.fold_in(key, 1)
-        )  # [1,H,W,R]
-
+        pred_depth, unc, md, me = self._jit_post(
+            out.images, raw_disp_dev, raw_disp_b, mask, key)
         if R > 1:
-            unc = np.asarray(jnp.std(pred_r, axis=-1))[0]
-            self.last_uncertainty = unc
-        pred_mean = np.asarray(jnp.mean(pred_unnorm, axis=-1))  # [1,H,W]
-
-        md, me = compute_errors(
-            jnp.asarray(raw_disp)[None], jnp.asarray(pred_mean),
-            self.config.prediction_space,
-            jnp.asarray(raw_disp > 0)[None],
-            jnp.asarray([self.camera.fxb_depth]),
-        )
-        logger.info("metrics vs raw: %s", metrics_to_dict(np.asarray(md), np.asarray(me)))
-
-        pred_disp = pred_mean[0]
-        pred_depth = np.where(pred_disp > 0,
-                              self.camera.fxb_depth / np.maximum(pred_disp, 1e-8), 0.0)
-        return pred_depth.astype(np.float32)
+            self.last_uncertainty = np.asarray(unc)
+        logger.info("metrics vs raw: %s",
+                    metrics_to_dict(np.asarray(md), np.asarray(me)))
+        return np.asarray(pred_depth, np.float32)

@@ -303,25 +303,38 @@ class GuidedLatentDiffusionPipeline:
         sim_disp=None,
         raw_depth=None,
         denormer: Optional[Callable] = None,
+        denorm_builder: Optional[Callable] = None,
+        denorm_mask=None,
         add_noise_rgb: bool = False,
     ) -> PipelineOutput:
-        # The jitted closure bakes `denormer`'s captured arrays in as
-        # constants, so the cache keys on the denormer's identity (not just
-        # its presence) and pins the object in the entry so a recycled id
-        # can never alias a live key.
+        # Two ways to supply the guidance denormalizer:
+        # - `denormer`: a ready closure — its captured arrays are baked in
+        #   as jit constants, so the cache keys on the closure's identity
+        #   (and pins it so a recycled id can never alias a live key).
+        # - `denorm_builder` + `denorm_mask`: a STABLE builder
+        #   fn(x, raw_depth, mask) — raw/mask enter the program as traced
+        #   arguments, so per-frame data (streaming) never forces a
+        #   retrace and never goes stale.
+        assert denormer is None or denorm_builder is None
         sig = (num_inference_steps, num_intermediate_images, cond_channels,
-               add_noise_rgb, id(denormer) if denormer is not None else None,
+               add_noise_rgb,
+               id(denormer) if denormer is not None else None,
+               id(denorm_builder) if denorm_builder is not None else None,
                tuple(x.shape for x in (rgb_images, left_images, right_images,
-                                       sim_disp, raw_depth) if x is not None))
+                                       sim_disp, raw_depth, denorm_mask)
+                     if x is not None))
         if sig not in self._jitted:
             def fn(unet_params, vae_params, text_embed, key,
-                   rgb, left, right, raw, raw_depth):
+                   rgb, left, right, raw, raw_depth, mask):
                 vapply = self._vae_apply(vae_params)
 
                 def unet_apply(model_input, t, ctx):
                     return self.unet.apply({"params": unet_params},
                                            model_input, t, ctx)
 
+                dn = denormer
+                if denorm_builder is not None:
+                    dn = lambda x: denorm_builder(x, raw_depth, mask)
                 return latent_pipeline(
                     unet_apply,
                     vae_encode=lambda x: encode_image_to_latent(vapply, x),
@@ -335,12 +348,13 @@ class GuidedLatentDiffusionPipeline:
                     rgb=rgb, left=left, right=right, sim_disp=raw,
                     raw_depth=raw_depth,
                     guidance=self.guidance if raw_depth is not None else None,
-                    denormer=denormer, add_noise_rgb=add_noise_rgb,
+                    denormer=dn, add_noise_rgb=add_noise_rgb,
                 )
-            self._jitted[sig] = (jax.jit(fn), denormer)
+            self._jitted[sig] = (jax.jit(fn), (denormer, denorm_builder))
         return self._jitted[sig][0](
             self.unet_params, self.vae_params, self.text_embed, key,
             rgb_images, left_images, right_images, sim_disp, raw_depth,
+            denorm_mask,
         )
 
     # ------------------------------------------------------------------ #
