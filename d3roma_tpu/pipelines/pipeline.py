@@ -52,6 +52,13 @@ def _load_module(path: str):
         config = json.load(f)
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         params = serialization.msgpack_restore(f.read())
+    # msgpack_restore yields HOST numpy arrays; as jit arguments those are
+    # re-uploaded on EVERY pipeline call (measured 30-65 s/call for the
+    # flagship through a remote-attached device). Commit them to the
+    # default device once at load.
+    import jax
+
+    params = jax.tree.map(jnp.asarray, params)
     return config, params
 
 
