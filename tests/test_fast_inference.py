@@ -70,3 +70,15 @@ def test_fast_pipeline_runs_end_to_end():
             rgb_images=rgb)
     assert out.images.shape[0] == 1
     assert np.all(np.isfinite(np.asarray(out.images, np.float32)))
+
+
+def test_from_pretrained_params_are_device_arrays(tmp_path):
+    """msgpack_restore yields host numpy arrays; loading must commit them
+    to device once — as jit arguments numpy trees are re-uploaded on
+    every call (30-65 s/frame for the flagship on a remote device)."""
+    p = _tiny_pipe()
+    d = str(tmp_path / "pipe")
+    p.save_pretrained(d)
+    loaded = GuidedLatentDiffusionPipeline.from_pretrained(d)
+    leaves = jax.tree.leaves(loaded.unet_params) + jax.tree.leaves(loaded.vae_params)
+    assert all(isinstance(leaf, jax.Array) for leaf in leaves)
