@@ -259,6 +259,22 @@ def _apply_to_dataclass(obj: Any, key: str, value: Any) -> None:
     else:
         if isinstance(current, tuple) and isinstance(value, list):
             value = tuple(value)
+        # YAML 1.1 does not parse "2e-4" as a float (needs "2.0e-4"), so
+        # scientific-notation overrides arrive as strings; coerce by the
+        # target field's current type (hydra does the same by annotation)
+        if isinstance(value, str) and isinstance(current, bool):
+            value = value.strip().lower() in ("1", "true", "yes", "on")
+        elif isinstance(value, str) and isinstance(current, float):
+            try:
+                value = float(value)
+            except ValueError:
+                pass
+        elif (isinstance(value, str) and isinstance(current, int)
+              and not isinstance(current, bool)):
+            try:
+                value = int(float(value))
+            except ValueError:
+                pass
         setattr(obj, leaf, value)
 
 

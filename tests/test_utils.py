@@ -359,3 +359,16 @@ def test_jittable_reproject_matches_host():
     nearest_lo = src[np.clip(idx - 1, 0, len(src) - 1)]
     err = np.minimum(np.abs(nearest - dev[both]), np.abs(nearest_lo - dev[both]))
     assert err.max() < 1e-5
+
+
+def test_compose_coerces_scientific_notation():
+    """YAML 1.1 parses "2e-4" as a string; the override surface must
+    coerce by the target field's type (reference hydra coerces by
+    annotation)."""
+    from d3roma_tpu.config import compose
+
+    base = compose(["task=train_hiss", "task.learning_rate=2e-4",
+                    "task.num_epochs=1e2"])
+    assert isinstance(base.task.learning_rate, float)
+    assert base.task.learning_rate == 2e-4
+    assert base.task.num_epochs == 100
