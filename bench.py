@@ -9,7 +9,8 @@ Env knobs:
   BENCH_MODEL=ldm|pixel   flagship latent model (default) or pixel family
   BENCH_BATCH=N           frames per pipeline call (default 16; throughput
                           saturates at batch 8-16 on v5e, see docs/PERFORMANCE.md)
-  BENCH_REPS=N            timed repetitions (default 5)
+  BENCH_REPS=N            timed repetitions (default 12; the one terminal
+                          completion round-trip amortizes across reps)
   BENCH_FLASH=0..4        UNet attention impl (default 3): 0 = XLA,
                           1 = library flash kernel, 2 = whole-row Pallas
                           kernel for self+cross, 3 = whole-row kernel for
@@ -149,7 +150,7 @@ def bench_pixel(batch, reps):
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "12"))
     model = os.environ.get("BENCH_MODEL", "ldm")
 
     try:
