@@ -82,3 +82,31 @@ def test_from_pretrained_params_are_device_arrays(tmp_path):
     loaded = GuidedLatentDiffusionPipeline.from_pretrained(d)
     leaves = jax.tree.leaves(loaded.unet_params) + jax.tree.leaves(loaded.vae_params)
     assert all(isinstance(leaf, jax.Array) for leaf in leaves)
+
+
+def test_denorm_builder_guidance_no_retrace(tmp_path):
+    """The denorm_builder path must thread per-frame raw/mask as traced
+    arguments: two calls with different raw data but equal shapes reuse
+    ONE jitted program (the old per-call closure retraced every frame)."""
+    import dataclasses
+
+    from d3roma_tpu.guidance import FlowGuidance
+
+    p = _tiny_pipe()
+    p = dataclasses.replace(
+        p, guidance=FlowGuidance(flow_guidance_weight=1.0,
+                                 flow_guidance_mode="gradient"))
+    rgb = jnp.zeros((1, 32, 32, 3))
+    builder = lambda x, raw, mask: x  # identity denormer for the test
+    outs = []
+    for seed in (0, 1):
+        raw = jnp.abs(jax.random.normal(jax.random.PRNGKey(seed), (1, 32, 32, 1))) + 5.0
+        mask = (raw > 0).astype(jnp.float32)
+        out = p(jax.random.PRNGKey(seed), num_inference_steps=2,
+                num_intermediate_images=1, cond_channels="rgb",
+                rgb_images=rgb, raw_depth=raw,
+                denorm_builder=builder, denorm_mask=mask)
+        outs.append(out)
+    assert len(p._jitted) == 1  # one cache entry across both frames
+    assert all(np.all(np.isfinite(np.asarray(o.images, np.float32)))
+               for o in outs)
