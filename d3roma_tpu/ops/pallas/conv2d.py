@@ -185,3 +185,113 @@ def conv3x3_flat(x, w, *, quant: Optional[str] = None,
 
     # y[b, h*(W+2)+w, n] is output pixel (h, w); pad rows are garbage
     return y.reshape(b, h + 2, wp2, cout)[:, :h, :wd, :]
+
+
+# --------------------------------------------------------------------- #
+# Row-tap variant: dx folded into channels, tile-aligned dy taps
+# --------------------------------------------------------------------- #
+
+_MAX_XCAT_BYTES = 5 * 1024 * 1024
+
+
+def conv3x3_rowtap_supported(x_shape, w_shape, strides, padding) -> bool:
+    """Gate for conv3x3_rowtap: stride-1 SAME 3x3 with the dx-concat frame
+    small enough to hold in VMEM (int8)."""
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    if tuple(w_shape[:2]) != (3, 3) or tuple(strides) != (1, 1):
+        return False
+    if not isinstance(padding, str):
+        pad = tuple(tuple(p) for p in padding)
+        if pad != ((1, 1), (1, 1)):
+            return False
+    elif padding != "SAME":
+        return False
+    _, h, w, cin = x_shape
+    w_eff = -(-w // 32) * 32
+    return (h + 2) * w_eff * 3 * cin <= _MAX_XCAT_BYTES
+
+
+def _kernel_rowtap_int8(x_ref, w_ref, ws_ref, o_ref, *, w_eff, m_out,
+                        act_scale):
+    """x_ref: [(H+2)*W_eff, 3C] int8 (dx pre-folded into channels, rows
+    flattened so the 3 dy taps are row shifts of W_eff — a multiple of the
+    int8 sublane tile, so Mosaic slices are views, not VPU copies).
+    w_ref: [3*3C, TN] int8 (dy-major).  o_ref: [H*W_eff, TN]."""
+    c3 = x_ref.shape[1]
+    tn = o_ref.shape[1]
+    deq = act_scale * ws_ref[0, :][None, :]
+    chunk = _row_chunk(c3, 1)
+    chunk = -(-chunk // 32) * 32
+    for r0 in range(0, m_out, chunk):
+        r = min(chunk, m_out - r0)
+        acc = jnp.zeros((r, tn), jnp.int32)
+        for dy in range(3):
+            acc += jax.lax.dot_general(
+                x_ref[r0 + dy * w_eff:r0 + dy * w_eff + r, :],
+                w_ref[dy * c3:(dy + 1) * c3, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        o_ref[r0:r0 + r, :] = (acc.astype(jnp.float32) * deq).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act_scale", "out_dtype", "interpret")
+)
+def conv3x3_rowtap(x, w, *, act_scale: float = STATIC_ACT_SCALE,
+                   out_dtype=None, interpret: bool = False):
+    """Stride-1 SAME 3x3 conv via dx-concat + 3 tile-aligned dy-tap GEMMs.
+
+    The flat-GEMM kernel above (conv3x3_flat) loses to XLA's conv emitter
+    because its 9 tap offsets (dy*(W+2)+dx) are not multiples of the int8
+    sublane tile, so every tap slice is a VPU relayout copy.  Here the dx
+    taps are folded into the channel dim in XLA (one fused concat), and
+    the remaining 3 dy taps are row shifts by W_eff — W padded to a
+    32-multiple — which Mosaic can slice without copying. int8 MXU only.
+    """
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    w_eff = -(-wd // 32) * 32
+
+    # dx fold: SAME-pad W, take the 3 dx slices, concat on channels
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    xc = jnp.concatenate(
+        [xp[:, :, 0:wd], xp[:, :, 1:wd + 1], xp[:, :, 2:wd + 2]], axis=-1
+    )
+    # pad W to the tile multiple, H by 1 (SAME) on both sides
+    xc = jnp.pad(xc, ((0, 0), (1, 1), (0, w_eff - wd), (0, 0)))
+    m_pad = (h + 2) * w_eff
+    m_out = h * w_eff
+    xf = xc.reshape(b, m_pad, 3 * cin)
+
+    # [3,3,Cin,Cout] -> [3 (dy), 3*Cin (dx-major), Cout]
+    wf = w.reshape(3, 3 * cin, cout).reshape(9 * cin, cout)
+    ws = absmax_scale(wf, axes=(0,))  # [1, Cout]
+    wq = quantize_int8(wf, ws)
+    xq = quantize_int8(xf, jnp.float32(act_scale))
+
+    grid = (b, pl.cdiv(cout, _TN))
+    x_spec = pl.BlockSpec((None, m_pad, 3 * cin), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((9 * cin, _TN), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, _TN), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((None, m_out, _TN), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_rowtap_int8, w_eff=w_eff, m_out=m_out,
+                             act_scale=float(act_scale))
+    y = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[x_spec, w_spec, s_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, m_out, cout), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(xq, wq, ws.astype(jnp.float32))
+
+    return y.reshape(b, h, w_eff, cout)[:, :, :wd, :]

@@ -83,3 +83,27 @@ def test_int8_conv_mxu_fallback_matches_static():
         x, wt, (2, 2), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     assert jnp.max(jnp.abs(got - ref)) < 1e-6
+
+
+def test_rowtap_matches_reference():
+    """dx-folded row-tap variant (int8): aligned dy taps, ~1% quant noise."""
+    import jax
+    import numpy as np
+
+    from d3roma_tpu.ops.pallas.conv2d import (
+        conv3x3_rowtap,
+        conv3x3_rowtap_supported,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 12, 20, 32))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 32, 64)) * 0.1
+    y = conv3x3_rowtap(x, w, act_scale=4.0 / 127.0, interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    err = np.abs(np.asarray(y) - np.asarray(ref))
+    assert err.mean() / np.abs(np.asarray(ref)).mean() < 0.03
+    assert conv3x3_rowtap_supported((16, 45, 80, 320), (3, 3, 320, 320),
+                                    (1, 1), "SAME")
+    assert not conv3x3_rowtap_supported((16, 360, 640, 128), (3, 3, 128, 128),
+                                        (1, 1), "SAME")
