@@ -72,4 +72,6 @@ def device_preprocess(
         out["K"] = raw["K"]
     if "index" in raw:
         out["index"] = raw["index"]
+    if "sample_valid" in raw:
+        out["sample_valid"] = raw["sample_valid"]
     return out

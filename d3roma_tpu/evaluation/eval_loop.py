@@ -251,10 +251,19 @@ def evaluate_dataset(
         batch = preprocess(raw_batch) if preprocess is not None else raw_batch
         bkey = jax.random.fold_in(key, i)
 
+        # Padded-tail duplicates (pad_batch_to_devices marks them with
+        # sample_valid=0) must not enter the averages — the reference
+        # de-duplicates via gather_for_metrics even-batches logic
+        # (distributed_evaluate.py:162-167).
+        sv = batch.get("sample_valid")
+        sv = np.asarray(sv) if sv is not None else None
+
         for w in weights:
             pred, metrics, unc, err, out = run_one(pipes[w], batch, bkey)
             md, me = metrics
             for b in range(md.shape[0]):
+                if sv is not None and sv[b] == 0.0:
+                    continue
                 sample = dict(zip(["epe", "d1", "d2", "d3", "d5"], md[b]))
                 sample.update(zip(["a1", "a2", "a3", "rmse", "rel", "mae"], me[b]))
                 if stats[w].append(sample, index=(i, b)):

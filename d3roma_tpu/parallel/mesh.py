@@ -60,8 +60,16 @@ def replicate_state(state, mesh: Mesh):
 
 
 def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
-    """Pad the batch so the leading dim divides the mesh (eval tails)."""
+    """Pad the batch so the leading dim divides the mesh (eval tails).
+
+    Adds a ``sample_valid`` [B] row marking real samples (1.0) vs padded
+    duplicates (0.0) so downstream metric accumulation can drop the
+    duplicates — the reference de-duplicates exactly this case via
+    Accelerate's `gather_for_metrics` even-batches logic
+    (reference: distributed_evaluate.py:162-167).
+    """
     out = {}
+    orig_b = None
     for k, v in batch.items():
         if isinstance(v, (list, str)):
             out[k] = v
@@ -72,8 +80,13 @@ def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
             continue
         b = v.shape[0]
         rem = (-b) % n_devices
+        if orig_b is None:
+            orig_b = b
         if rem:
             pad = np.repeat(v[-1:], rem, axis=0)
             v = np.concatenate([v, pad], axis=0)
         out[k] = v
+    if orig_b is not None:
+        padded_b = orig_b + ((-orig_b) % n_devices)
+        out["sample_valid"] = (np.arange(padded_b) < orig_b).astype(np.float32)
     return out
