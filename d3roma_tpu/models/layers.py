@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from d3roma_tpu.ops.quant import (
+    STATIC_ACT_SCALE,
+    consume_act_scale,
     int8_conv_general_dilated,
     int8_conv_general_dilated_static,
     int8_conv_mxu,
@@ -285,16 +287,31 @@ class CrossAttention(nn.Module):
                 fused_self_attention,
             )
 
-            if (x.shape[-1] == inner and self.query_dim == inner
-                    and fused_attention_supported(N, inner, self.head_dim)):
+            # the fused kernel only has a STATIC-activation-scale int8
+            # variant: dynamic-scale quant settings (True/"all") take the
+            # unfused dynamic path below rather than silently downgrading
+            aq = "static" if self.quant in ("static", "mxu") else None
+            itemsize = 1 if aq else jnp.dtype(self.dtype).itemsize
+            if ((aq or not self.quant)
+                    and x.shape[-1] == inner and self.query_dim == inner
+                    and fused_attention_supported(N, inner, self.head_dim,
+                                                  itemsize)):
                 wq, _ = _DenseParams(inner, inner, use_bias=False, name="to_q")()
                 wk, _ = _DenseParams(inner, inner, use_bias=False, name="to_k")()
                 wv, _ = _DenseParams(inner, inner, use_bias=False, name="to_v")()
                 wo, bo = _DenseParams(inner, self.query_dim, name="to_out")()
-                aq = "static" if self.quant in (True, "all", "static", "mxu") else None
+                ascale = STATIC_ACT_SCALE
+                if aq:
+                    # per-call calibrated scale (ops/quant.py): capture
+                    # mode records the tap and runs the kernel unquantized
+                    mode, s = consume_act_scale(x)
+                    if mode == "float":
+                        aq = None
+                    else:
+                        ascale = s
                 return fused_self_attention(
                     x.astype(self.dtype), wq, wk, wv, wo, bo,
-                    heads=self.heads, quant=aq,
+                    heads=self.heads, quant=aq, act_scale=ascale,
                     interpret=jax.default_backend() != "tpu",
                 )
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q", **dq)(x)
@@ -380,16 +397,25 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         f = self.dim * self.mult
-        if self.fused:
+        # the fused kernel only has a static-activation-scale int8 variant;
+        # dynamic-scale quant (True/"all") uses the unfused path below
+        q = "static" if self.quant in ("static", "mxu") else None
+        if self.fused and (q or not self.quant):
             from d3roma_tpu.ops.pallas import geglu_ff
 
             k1, b1 = _GegluParams(x.shape[-1], f, name="net_0")()
             k2, b2 = _DenseParams(f, self.dim, name="net_2")()
-            q = "static" if self.quant in (True, "all", "static", "mxu") else None
+            ascale = STATIC_ACT_SCALE
+            if q:
+                mode, s = consume_act_scale(x)  # calibrated per-call scale
+                if mode == "float":
+                    q = None
+                else:
+                    ascale = s
             # interpret mode keeps the fused path usable (and its param
             # tree testable) on non-TPU backends
             return geglu_ff(x.astype(self.dtype), k1[:, :f], k1[:, f:], k2,
-                            b1[:f], b1[f:], b2, quant=q,
+                            b1[:f], b1[f:], b2, quant=q, act_scale=ascale,
                             interpret=jax.default_backend() != "tpu")
         x = GEGLU(f, quant=self.quant, dtype=self.dtype, name="net_0")(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2",

@@ -52,16 +52,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def fused_attention_supported(n: int, c: int, head_dim: int) -> bool:
-    """Whole-row scores + all-head K/V scratch must fit VMEM."""
+def fused_attention_supported(n: int, c: int, head_dim: int,
+                              itemsize: int = 1) -> bool:
+    """Whole-row scores + all-head K/V scratch must fit VMEM.
+
+    `itemsize` is the compute-dtype element size the kernel will run with:
+    1 for the int8 (quant="static") path, 2 for bf16 — the bf16 path
+    doubles the x/K/V/weight blocks, so shapes the int8 gate admits (e.g.
+    N=3600, C=320) overflow Mosaic's VMEM allocation in bf16.
+    """
     if head_dim != 64 or c % head_dim != 0:
         return False
     n_pad = _round_up(n, _BLK_Q)
     h = c // head_dim
-    # K/V scratch (2 * H * n_pad * 64) + score slab + weights, int8 path
-    kv = 2 * h * n_pad * 64
-    slab = _BLK_Q * n_pad * 4
-    return n_pad <= _MAX_N and kv + slab + 4 * c * c <= 11 * 1024 * 1024
+    e = itemsize
+    kv = 2 * h * n_pad * head_dim * e      # persistent K/V scratch
+    x_full = n_pad * c * e                 # whole-token input block
+    x_blk = _BLK_Q * c * e                 # q-block input
+    slab = _BLK_Q * n_pad * 4              # f32 score row
+    w_qkv = 3 * h * c * head_dim * e       # projection weights
+    w_o = c * c * 2                        # out projection (always bf16)
+    acc = _BLK_Q * c * 4                   # f32 output accumulator
+    total = kv + x_full + x_blk + slab + w_qkv + w_o + acc
+    return n_pad <= _MAX_N and total <= 11 * 1024 * 1024
 
 
 def _kernel_int8(x_blk_ref, x_full_ref, wq_ref, wk_ref, wv_ref, wo_ref,

@@ -48,11 +48,99 @@ def quantize_int8(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-# Static activation scale for the "static" quant mode: GN/SiLU-normalized
-# activations rarely exceed ~8 in magnitude. Dynamic absmax is exact but
-# inserts a serial full reduction before every matmul/conv; a constant
-# scale removes that dependency (PTQ-style; calibration can refine it).
+# Fallback static activation scale for the "static" quant mode:
+# GN/SiLU-normalized activations rarely exceed ~8 in magnitude. Dynamic
+# absmax is exact but inserts a serial full reduction before every
+# matmul/conv; a constant scale removes that dependency (PTQ-style).
+# Calibrated per-layer scales (below) replace this default whenever a
+# calibration table is active.
 STATIC_ACT_SCALE = 8.0 / 127.0
+
+
+class _ActScaleCtx:
+    """Per-call static activation-scale context (single-threaded tracing).
+
+    The static int8 ops consume activation scales in *call order* during
+    tracing — the order is deterministic per model apply, so an index into
+    a flat table identifies the layer without threading names through the
+    flax `dot_general`/`conv_general_dilated` injection hooks.
+
+    Modes:
+      None      — every call uses STATIC_ACT_SCALE (uncalibrated PTQ).
+      "capture" — every call *records* a tracer of absmax(x)/127 into
+                  `taps` and computes in float (calibration pass; the taps
+                  become jit outputs, see calibration.capture_scales).
+      "replay"  — every call consumes the next calibrated scale (a python
+                  float, i.e. a compile-time constant: zero runtime cost).
+    """
+
+    mode = None
+    taps = None
+    scales = None
+    idx = 0
+
+
+_ACTX = _ActScaleCtx()
+
+
+class _ScaleCtxManager:
+    def __init__(self, mode, payload):
+        self.mode, self.payload = mode, payload
+
+    def __enter__(self):
+        assert _ACTX.mode is None, "nested act-scale contexts"
+        _ACTX.mode = self.mode
+        if self.mode == "capture":
+            _ACTX.taps = self.payload
+        else:
+            _ACTX.scales = list(self.payload)
+            _ACTX.idx = 0
+        return self.payload
+
+    def __exit__(self, *exc):
+        idx, n = _ACTX.idx, len(_ACTX.scales or ())
+        _ACTX.mode = None
+        _ACTX.taps = None
+        _ACTX.scales = None
+        _ACTX.idx = 0
+        if self.mode == "replay" and exc[0] is None:
+            # idx == 0 means the jit cache was hit (no tracing happened);
+            # anything else but full consumption is a call-order drift.
+            if idx not in (0, n):
+                raise RuntimeError(
+                    f"calibrated-scale replay consumed {idx} of {n} scales "
+                    "— the quantized call sequence no longer matches the "
+                    "calibration pass")
+        return False
+
+
+def capture_act_scales(taps: list):
+    """Context: static int8 ops record absmax(x)/127 tracers into `taps`
+    and compute in float (the calibration forward)."""
+    return _ScaleCtxManager("capture", taps)
+
+
+def replay_act_scales(scales):
+    """Context: static int8 ops consume `scales` (floats) in call order."""
+    return _ScaleCtxManager("replay", scales)
+
+
+def consume_act_scale(x):
+    """Per-call activation-scale hook for the static int8 paths.
+
+    Returns ("float", None) in capture mode (after recording the tap) —
+    the caller must run the unquantized op; otherwise ("int8", scale)
+    where scale is a python float (replay) or STATIC_ACT_SCALE.
+    """
+    if _ACTX.mode == "capture":
+        _ACTX.taps.append(
+            jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0)
+        return "float", None
+    if _ACTX.mode == "replay":
+        s = float(_ACTX.scales[_ACTX.idx])
+        _ACTX.idx += 1
+        return "int8", s
+    return "int8", STATIC_ACT_SCALE
 
 
 def int8_dot_general_static(lhs, rhs, dimension_numbers, precision=None,
@@ -65,7 +153,13 @@ def int8_dot_general_static(lhs, rhs, dimension_numbers, precision=None,
             preferred_element_type=preferred_element_type,
         )
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
-    ls = jnp.float32(STATIC_ACT_SCALE)
+    mode, scale = consume_act_scale(lhs)
+    if mode == "float":  # calibration capture pass
+        return lax.dot_general(
+            lhs, rhs, dimension_numbers, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+    ls = jnp.float32(scale)
     rs = absmax_scale(rhs, axes=(0,))
     out = lax.dot_general(
         quantize_int8(lhs, ls), quantize_int8(rhs, rs),
@@ -89,7 +183,14 @@ def int8_conv_general_dilated_static(lhs, rhs, window_strides, padding,
             precision=precision, preferred_element_type=preferred_element_type,
         )
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
-    ls = jnp.float32(STATIC_ACT_SCALE)
+    mode, scale = consume_act_scale(lhs)
+    if mode == "float":  # calibration capture pass
+        return lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+            dimension_numbers, feature_group_count, batch_group_count,
+            precision=precision, preferred_element_type=preferred_element_type,
+        )
+    ls = jnp.float32(scale)
     rs = absmax_scale(rhs, axes=tuple(range(rhs.ndim - 1)))
     out = lax.conv_general_dilated(
         quantize_int8(lhs, ls), quantize_int8(rhs, rs),
@@ -115,13 +216,24 @@ def int8_conv_mxu(lhs, rhs, window_strides, padding,
     if (
         feature_group_count == 1
         and batch_group_count == 1
+        # the Pallas kernel assumes NHWC/HWIO; any other layout must take
+        # the XLA path or results would be silently transposed
+        and dimension_numbers in (None, ("NHWC", "HWIO", "NHWC"))
         and lhs_dilation in (None, (1, 1))
         and rhs_dilation in (None, (1, 1))
         # the kernel's VMEM frame block is int8 (quantized pre-kernel)
         and conv3x3_supported(lhs.shape, rhs.shape, window_strides, padding,
                               jnp.int8)
     ):
-        return conv3x3_flat(lhs, rhs, quant="static")
+        mode, scale = consume_act_scale(lhs)
+        if mode == "float":  # calibration capture pass
+            return lax.conv_general_dilated(
+                lhs, rhs, window_strides, padding, lhs_dilation,
+                rhs_dilation, dimension_numbers,
+                precision=precision,
+                preferred_element_type=preferred_element_type,
+            )
+        return conv3x3_flat(lhs, rhs, quant="static", act_scale=scale)
     return int8_conv_general_dilated_static(
         lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
         dimension_numbers, feature_group_count, batch_group_count,

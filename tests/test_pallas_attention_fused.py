@@ -58,11 +58,18 @@ def test_fused_int8_close_to_float():
 
 
 def test_supported_gate():
+    # int8 path (itemsize 1, the default): flagship shapes all admitted
     assert fused_attention_supported(3600, 320, 64)
     assert fused_attention_supported(920, 640, 64)
     assert fused_attention_supported(240, 1280, 64)
     assert not fused_attention_supported(100_000, 320, 64)
     assert not fused_attention_supported(3600, 320, 32)
+    # bf16 path (itemsize 2) doubles x/K/V/weight blocks: the N=3600
+    # C=320 shape overflows VMEM (~12 MB actual) and must be rejected
+    # even though the int8 gate admits it (ADVICE r2)
+    assert not fused_attention_supported(3600, 320, 64, itemsize=2)
+    assert fused_attention_supported(920, 640, 64, itemsize=2)
+    assert not fused_attention_supported(240, 1280, 64, itemsize=2)
 
 
 def test_module_fused_param_tree_and_output():
@@ -83,3 +90,19 @@ def test_module_fused_param_tree_and_output():
     out_fused = m_fused.apply({"params": p_ref}, x)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_dynamic_quant_uses_unfused_path():
+    """quant=True ("all": dynamic activation scales) has no fused-kernel
+    variant — the module must fall back to the unfused dynamic path
+    EXACTLY (ADVICE r2: silent downgrade to the static scale diverged
+    numerically from the dynamic path the same setting selects elsewhere)."""
+    from d3roma_tpu.models.layers import CrossAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 256, 320))
+    m_dyn = CrossAttention(320, 5, 64, quant=True)
+    m_fused = CrossAttention(320, 5, 64, quant=True, use_flash="fused")
+    p = m_dyn.init(jax.random.PRNGKey(0), x)["params"]
+    out_dyn = m_dyn.apply({"params": p}, x)
+    out_fused = m_fused.apply({"params": p}, x)
+    np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_dyn))
