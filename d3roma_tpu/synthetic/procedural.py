@@ -167,3 +167,22 @@ def generate_dataset(
     for i in range(num_frames):
         write_hiss_frame(split_dir, i, renderer.render())
     return split_dir
+
+
+def generate_example_assets(out_dir: str, seed: int = 7) -> str:
+    """Write a demo frame set in the reference's bundled-example format
+    (reference: assets/examples/0000_{rgb,depth,ir_l,ir_r}.png, consumed
+    by inference.py:283-288): rgb uint8 PNG, raw sensor depth as uint16
+    millimeters, and the stereo IR pair. Lets the single-frame demo run in
+    a bare checkout with no external assets. Returns out_dir."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    frame = ProceduralSceneRenderer(SceneConfig(), seed).render()
+    p = os.path.join(out_dir, "0000")
+    cv2.imwrite(p + "_rgb.png", cv2.cvtColor(frame["rgb"], cv2.COLOR_RGB2BGR))
+    depth_mm = np.clip(frame["sim_depth"] * 1000.0, 0, 65535).astype(np.uint16)
+    cv2.imwrite(p + "_depth.png", depth_mm)
+    cv2.imwrite(p + "_ir_l.png", frame["ir_l"])
+    cv2.imwrite(p + "_ir_r.png", frame["ir_r"])
+    return out_dir

@@ -18,14 +18,22 @@ import numpy as np
 logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger("inference")
 
-DEFAULT_ASSET_DIRS = ("assets/examples", "/root/reference/assets/examples")
+_REPO_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "assets", "examples")
+DEFAULT_ASSET_DIRS = ("assets/examples", _REPO_ASSETS)
 
 
 def find_assets(explicit=None):
     for d in ([explicit] if explicit else []) + list(DEFAULT_ASSET_DIRS):
         if d and os.path.exists(os.path.join(d, "0000_rgb.png")):
             return d
-    raise FileNotFoundError("no example assets found; pass --assets DIR")
+    # bare checkout without the committed frames: generate them
+    # procedurally (reference bundles assets/examples/0000_*,
+    # inference.py:283-288 — here the demo is self-sufficient)
+    from d3roma_tpu.synthetic.procedural import generate_example_assets
+
+    logger.info("generating procedural demo assets -> %s", _REPO_ASSETS)
+    return generate_example_assets(_REPO_ASSETS)
 
 
 def main(argv=None):
