@@ -171,7 +171,10 @@ def _ddpm_variance(
         return jnp.exp(0.5 * jnp.log(jnp.maximum(current_beta_t, 1e-20)))
     if vt == "learned":
         assert variance_output is not None
-        return jnp.exp(0.5 * variance_output)
+        # the reference treats the prediction as a RAW variance here
+        # (scheduler_ddpm.py:327 returns it unchanged; step takes **0.5 in
+        # the else-branch at :500-502) — NOT log-variance like learned_range
+        return jnp.sqrt(jnp.maximum(variance_output, 0.0))
     if vt == "learned_range":
         assert variance_output is not None
         min_log = jnp.log(variance)

@@ -96,8 +96,15 @@ def build_cond_concat(
 
 def _timestep_arrays(schedule: ScheduleConfig, num_inference_steps: int):
     ts = set_timesteps(schedule, num_inference_steps)
-    prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
-    return jnp.asarray(ts), jnp.asarray(prev)
+    # The reference steppers derive the previous timestep as
+    # t - T // num_inference_steps, NOT the next element of the spaced
+    # sequence (scheduler_ddim.py:413, scheduler_ddpm.py:388-401). The two
+    # agree for leading/trailing spacing but differ under linspace
+    # (e.g. T=1000, S=10: 999 -> 899, not 888); implementation parity
+    # requires the reference convention.
+    prev = (ts.astype(np.int64)
+            - schedule.num_train_timesteps // num_inference_steps)
+    return jnp.asarray(ts), jnp.asarray(prev.astype(np.int32))
 
 
 def _kept_indices(num_inference_steps: int, num_intermediate_images: int) -> np.ndarray:
