@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""One-command checkpoint-parity harness (BASELINE.md: <1% AbsRel deviation
+vs the reference's released checkpoints).
+
+    python scripts/parity_check.py --ref-dir /path/to/released_pipeline \
+        [--out-dir _parity] [--ref-metrics ref_metrics.json] \
+        [--max-batches 4] [--tol 0.01] [--frames 8]
+
+Pipeline: import the reference diffusers-format checkpoint directory
+(scripts/import_reference_pipeline.py — NCHW->HWIO, conv_in widening,
+empty-prompt CLIP embedding), evaluate the imported pipeline on a hermetic
+procedural eval set, and write `parity.json` with the achieved AbsRel.
+When `--ref-metrics` provides the reference implementation's numbers on
+the same frames (e.g. produced by running the reference evaluate.py), the
+harness additionally asserts |rel_ours - rel_ref| / rel_ref <= tol.
+
+The real released weights are not bundled in every environment; when
+`--ref-dir` is missing or not a diffusers directory the harness prints a
+SKIP line and exits 0 so it can sit in CI unconditionally
+(reference checkpoint layout: train.py:751-772, inference.py:71-73).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _is_diffusers_dir(d):
+    return (
+        d and os.path.isdir(d)
+        and os.path.isdir(os.path.join(d, "unet"))
+        and os.path.isdir(os.path.join(d, "vae"))
+        and any(
+            os.path.exists(os.path.join(d, "unet", n))
+            for n in ("diffusion_pytorch_model.bin",
+                      "diffusion_pytorch_model.safetensors")
+        )
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ref-dir", default=os.environ.get("D3ROMA_REF_CKPT"),
+                   help="reference diffusers pipeline dir (released weights)")
+    p.add_argument("--out-dir", default="_parity")
+    p.add_argument("--ref-metrics", default=None,
+                   help="JSON with the reference implementation's metrics on "
+                        "the same eval frames: {'rel': float, ...}")
+    p.add_argument("--cond-channels", default="rgb+raw")
+    p.add_argument("--max-batches", type=int, default=4)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--tol", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--image-size", default=None,
+                   help="HxW override (e.g. 64x96) for small smoke runs")
+    p.add_argument("--steps", type=int, default=None,
+                   help="num_inference_timesteps override")
+    args = p.parse_args(argv)
+
+    if not _is_diffusers_dir(args.ref_dir):
+        print(f"PARITY SKIP: no reference checkpoint at {args.ref_dir!r} "
+              "(pass --ref-dir or set D3ROMA_REF_CKPT)")
+        return 0
+
+    import jax
+    import numpy as np
+
+    from scripts.import_reference_pipeline import main as import_main
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    imported = os.path.join(args.out_dir, "imported_pipeline")
+    print(f"[1/3] importing {args.ref_dir} -> {imported}")
+    import_main([args.ref_dir, imported, "--cond-channels", args.cond_channels])
+
+    print("[2/3] evaluating the imported pipeline on procedural frames")
+    from functools import partial
+
+    from d3roma_tpu.config import load_task_preset
+    from d3roma_tpu.data import fetch_dataloader
+    from d3roma_tpu.evaluation import evaluate_dataset
+    from d3roma_tpu.ops.normalizer import Normalizer
+    from d3roma_tpu.pipelines import (
+        GuidedLatentDiffusionPipeline,
+        create_sampler_spec,
+    )
+    from d3roma_tpu.synthetic.procedural import generate_dataset
+    from d3roma_tpu.training.train_loop import _preprocess_eval
+
+    cfg = load_task_preset(
+        "eval_ldm_mixed_rgb+raw" if "rgb" in args.cond_channels
+        else "eval_ldm_mixed")
+    cfg.resume_pretrained = imported
+    cfg.eval_dataset = ["HISS"]
+    cfg.eval_split = "test"
+    cfg.eval_batch_size = 2
+    cfg.eval_num_batch = args.max_batches
+    cfg.num_inference_rounds = 1
+    if args.image_size:
+        h, w = (int(v) for v in args.image_size.split("x"))
+        cfg.image_size = (h, w)
+        cfg.camera_resolution = f"{w}x{h}"
+    if args.steps:
+        cfg.num_inference_timesteps = args.steps
+
+    data_root = os.path.join(args.out_dir, "datasets")
+    hiss_dir = os.path.join(data_root, "HISS")
+    if not os.path.exists(hiss_dir):
+        generate_dataset(hiss_dir, args.frames, split="test", seed=args.seed)
+    cwd = os.getcwd()
+    os.chdir(args.out_dir)  # dataset roots are cwd-relative
+    try:
+        pipeline = GuidedLatentDiffusionPipeline.from_pretrained(imported)
+        pipeline = pipeline.replace_sampler(create_sampler_spec(cfg, train=False))
+        _, val_loaders = fetch_dataloader(cfg)
+        norm = Normalizer.from_config(cfg)
+        metrics, _ = evaluate_dataset(
+            cfg, pipeline, val_loaders[0], jax.random.PRNGKey(args.seed),
+            preprocess=partial(_preprocess_eval, config=cfg, normalizer=norm),
+            max_batches=args.max_batches,
+        )
+    finally:
+        os.chdir(cwd)
+
+    rel = float(metrics["depth"]["rel"])
+    result = {"imported": imported, "metrics": metrics, "rel": rel}
+
+    print("[3/3] parity decision")
+    if args.ref_metrics and os.path.exists(args.ref_metrics):
+        with open(args.ref_metrics) as f:
+            ref = json.load(f)
+        rel_ref = float(ref["rel"] if "rel" in ref else ref["depth"]["rel"])
+        delta = abs(rel - rel_ref) / max(rel_ref, 1e-9)
+        result.update({"rel_ref": rel_ref, "rel_delta": delta,
+                       "tol": args.tol, "pass": bool(delta <= args.tol)})
+        print(f"AbsRel ours={rel:.5f} ref={rel_ref:.5f} "
+              f"delta={delta:.2%} tol={args.tol:.0%} -> "
+              f"{'PASS' if result['pass'] else 'FAIL'}")
+    else:
+        result["pass"] = None
+        print(f"AbsRel ours={rel:.5f} (no --ref-metrics given: recorded only; "
+              "produce ref metrics with the reference evaluate.py on the "
+              f"frames under {os.path.join(args.out_dir, 'datasets')})")
+
+    path = os.path.join(args.out_dir, "parity.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {path}")
+    return 0 if result["pass"] in (True, None) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

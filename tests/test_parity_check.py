@@ -1,0 +1,76 @@
+"""scripts/parity_check.py — the one-command checkpoint-parity harness.
+
+Dry-run (weights absent -> clean SKIP, exit 0) plus a full run through
+import -> eval -> parity.json against the synthetic diffusers-format
+checkpoint fixtures from test_import_e2e (the real released weights are
+not available in this environment; BASELINE.md's <1% AbsRel bar runs the
+same command the day they are)."""
+
+import json
+import os
+
+import pytest
+
+from scripts.parity_check import main as parity_main
+from tests.test_import_e2e import (
+    _write_cond_unet,
+    _write_text_encoder,
+    _write_vae,
+)
+
+
+def test_parity_skips_cleanly_without_weights(tmp_path, capsys):
+    rc = parity_main(["--ref-dir", str(tmp_path / "nope"),
+                      "--out-dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert "PARITY SKIP" in capsys.readouterr().out
+    assert not os.path.exists(tmp_path / "out" / "parity.json")
+
+
+def _synthetic_ckpt(tmp_path):
+    ref = str(tmp_path / "ref")
+    _write_cond_unet(os.path.join(ref, "unet"))
+    _write_vae(os.path.join(ref, "vae"))
+    _write_text_encoder(os.path.join(ref, "text_encoder"))
+    os.makedirs(os.path.join(ref, "scheduler"), exist_ok=True)
+    with open(os.path.join(ref, "scheduler", "scheduler_config.json"), "w") as f:
+        json.dump({"_class_name": "MyDDIMScheduler", "num_train_timesteps": 16,
+                   "beta_schedule": "scaled_linear", "beta_start": 0.00085,
+                   "beta_end": 0.012, "prediction_type": "v_prediction",
+                   "clip_sample": False, "steps_offset": 1}, f)
+    return ref
+
+
+def test_parity_full_run_records_metrics(tmp_path):
+    ref = _synthetic_ckpt(tmp_path)
+    out = str(tmp_path / "out")
+    rc = parity_main(["--ref-dir", ref, "--out-dir", out,
+                      "--max-batches", "1", "--frames", "2",
+                      "--image-size", "64x96", "--steps", "2"])
+    assert rc == 0
+    with open(os.path.join(out, "parity.json")) as f:
+        result = json.load(f)
+    assert result["pass"] is None  # recorded-only without --ref-metrics
+    assert "rel" in result and result["rel"] >= 0.0
+
+    # with a ref-metrics file: the delta gate engages
+    refm = str(tmp_path / "refm.json")
+    with open(refm, "w") as f:
+        json.dump({"rel": result["rel"]}, f)  # identical -> PASS
+    rc2 = parity_main(["--ref-dir", ref, "--out-dir", out,
+                       "--ref-metrics", refm,
+                       "--max-batches", "1", "--frames", "2",
+                       "--image-size", "64x96", "--steps", "2"])
+    assert rc2 == 0
+    with open(os.path.join(out, "parity.json")) as f:
+        result2 = json.load(f)
+    assert result2["pass"] is True and result2["rel_delta"] <= 0.01
+
+    # far-off reference metric -> FAIL (exit 1)
+    with open(refm, "w") as f:
+        json.dump({"rel": result["rel"] * 10 + 1.0}, f)
+    rc3 = parity_main(["--ref-dir", ref, "--out-dir", out,
+                       "--ref-metrics", refm,
+                       "--max-batches", "1", "--frames", "2",
+                       "--image-size", "64x96", "--steps", "2"])
+    assert rc3 == 1
