@@ -16,6 +16,7 @@ testable anywhere:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -25,11 +26,34 @@ class SurfaceOBB(Tuple):
     """(centroid [3], axes [3,3], half_extent [3], category str)."""
 
 
+def strip_alpha(img: np.ndarray) -> np.ndarray:
+    """RGBA annotator output -> RGB (replicator's rgb annotator returns
+    HxWx4 uint8; the writers store 3-channel PNGs —
+    reference custom_writer.py:52-58 via BasicWriter.write_image)."""
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[-1] == 4:
+        return img[..., :3]
+    return img
+
+
 class OmniBackend:
     """Isaac-Sim-backed implementation. Construction fails cleanly without
-    an Isaac install."""
+    an Isaac install.
 
-    def __init__(self, headless: bool = True, rt_subframes: int = 32):
+    Driven immediate-mode: the orchestration (replicator.py) calls
+    set_camera_pose/set_projector/render per step, so poses are applied
+    directly instead of pre-registered `rep.distribution.sequence` tables
+    (the reference pre-registers the whole sweep under
+    `rep.trigger.on_frame`, scene_replicator.py:334-362 — same omni
+    surface, stepwise control). All pose/intrinsics/material math lives in
+    the pure helpers (geometry.py, materials.py, assets.py) and is
+    unit-tested without Isaac.
+    """
+
+    def __init__(self, headless: bool = True, rt_subframes: int = 32,
+                 cad_root: Optional[str] = None,
+                 pattern_path: Optional[str] = None,
+                 projector_intensity: float = 3000.0):
         try:
             from isaacsim import SimulationApp  # noqa: F401
         except ImportError as e:
@@ -45,9 +69,18 @@ class OmniBackend:
 
         self._rep = rep
         self._world = World()
+        self._rt_subframes = rt_subframes
         rep.settings.carb_settings("/omni/replicator/RTSubframes", rt_subframes)
-        self._rig = None
+        self._cad_root = cad_root
+        self._pattern_path = pattern_path or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "pattern.png")
+        self._projector_intensity = projector_intensity
+        self._placement = None
+        self._cams = {}
+        self._annotators = {}
         self._projector = None
+        self._spawned: Dict[str, tuple] = {}  # name -> (prim, rigid, model)
+        self._original_materials: Dict[str, list] = {}
 
     # -- scene ----------------------------------------------------- #
     def load_stage(self, usd_path: str) -> None:  # pragma: no cover - Isaac only
@@ -85,36 +118,245 @@ class OmniBackend:
 
     def spawn_objects(self, surface, n: int, rng) -> List[str]:  # pragma: no cover
         """Drop CAD models above the surface with physics enabled
-        (reference: std_object.py:18-120)."""
-        raise NotImplementedError("CAD spawning requires the DREDS asset set")
+        (reference: std_object.py:118-143 — create_prim from the instance
+        USD with a per-class scale, wrap in RigidPrim scattered around the
+        surface anchor, enable rigid body + collision, register with the
+        scene)."""
+        import omni.usd
+        from omni.isaac.core.prims.rigid_prim import RigidPrim
+        from omni.isaac.core.utils import prims
+        from omni.isaac.core.utils.rotations import euler_angles_to_quat
+        from pxr import Sdf, UsdPhysics, UsdShade
+
+        from d3roma_tpu.synthetic.isaac.assets import sample_cad_models
+        from d3roma_tpu.synthetic.isaac.geometry import surface_center_from_obb
+
+        centroid, axes, half_extent = surface[0], surface[1], surface[2]
+        anchor, _ = surface_center_from_obb(centroid, axes, half_extent)
+        models = sample_cad_models(rng, self._cad_root, n)
+        if not models:
+            raise RuntimeError(
+                f"no CAD assets found under cad_root={self._cad_root!r} "
+                "(DREDS layout: <root>/<class>/<instance>/*.usd)")
+        names = []
+        for model in models:
+            prim_name = f"model_{model['instance_id']}_{model['class_name']}"
+            prim = prims.create_prim(
+                prim_path=f"/World/{model['class_name']}_{model['instance_id']}",
+                usd_path=f"file://{model['instance_path']}",
+                semantic_label=prim_name,
+                scale=[model["scale"]] * 3,
+            )
+            rigid = RigidPrim(
+                prim_path=str(prim.GetPrimPath()),
+                name=model["instance_name"],
+                position=np.asarray(anchor) + np.array([
+                    rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
+                    (model["instance_id"] + 1) * 0.05,
+                ]),
+                orientation=euler_angles_to_quat([
+                    rng.uniform(0, np.pi / 2), rng.uniform(0, np.pi / 2),
+                    rng.uniform(0, np.pi),
+                ]),
+            )
+            rigid.enable_rigid_body_physics()
+            UsdPhysics.CollisionAPI.Apply(prim)
+            self._world.scene.add(rigid)
+            # disable shader opacity so the GT depth pass sees full
+            # geometry (std_object.py:145-151)
+            for mesh in self._child_meshes(prim):
+                mat, _ = UsdShade.MaterialBindingAPI(mesh).ComputeBoundMaterial()
+                shader = UsdShade.Shader(
+                    omni.usd.get_shader_from_material(mat, get_prim=True))
+                shader.CreateInput("enable_opacity", Sdf.ValueTypeNames.Bool)
+                shader.GetInput("enable_opacity").Set(False)
+            self._spawned[model["instance_name"]] = (prim, rigid, model)
+            names.append(model["instance_name"])
+        return names
+
+    @staticmethod
+    def _child_meshes(prim):  # pragma: no cover - Isaac only
+        """All Mesh prims under `prim` (reference:
+        utils_func.get_all_child_mesh, isaacsim/utils_func.py:9-40)."""
+        from pxr import UsdGeom
+
+        out = []
+        stack = [prim]
+        while stack:
+            p = stack.pop()
+            if p.IsA(UsdGeom.Mesh):
+                out.append(p)
+            stack.extend(p.GetChildren())
+        return out
 
     def settle_physics(self, objects, max_rounds: int = 10, steps: int = 250,
                        vel_eps: float = 1e-3) -> bool:  # pragma: no cover
-        from omni.isaac.core.prims import RigidPrim
-
+        """Step physics until every spawned rigid body is quiet
+        (reference: std_object.py:244-259 — the spawn-time RigidPrim
+        handles are polled for linear velocity)."""
+        rigids = [self._spawned[o][1] for o in objects if o in self._spawned]
         for _ in range(max_rounds):
             for _ in range(steps):
                 self._world.step(render=False)
-            if all(np.linalg.norm(RigidPrim(o).get_linear_velocity()) <= vel_eps
-                   for o in objects):
+            if all(np.linalg.norm(r.get_linear_velocity()) <= vel_eps
+                   for r in rigids):
                 return True
         return False
 
     def bind_materials(self, objects, specs, opaque: bool) -> None:  # pragma: no cover
-        """OmniPBR/OmniGlass binding (reference: std_object.py:120-213;
-        opaque=True restores the original materials for the GT pass)."""
-        raise NotImplementedError
+        """OmniPBR/OmniGlass binding per DREDS spec (reference:
+        std_object.py:154-213). opaque=True restores the original
+        bindings so the GT depth pass sees every object."""
+        import omni.usd
+        from pxr import Sdf, UsdShade
+
+        stage = self._world.stage
+        if opaque:
+            for name, bindings in self._original_materials.items():
+                prim = self._spawned[name][0]
+                for mesh, mat in bindings:
+                    UsdShade.MaterialBindingAPI(mesh).Bind(
+                        mat, UsdShade.Tokens.strongerThanDescendants)
+            self._original_materials.clear()
+            return
+
+        for name, spec in zip(objects, specs):
+            prim = self._spawned[name][0]
+            meshes = self._child_meshes(prim)
+            if spec["class"] == "transparent":
+                # bind a fresh OmniGlass material (std_object.py:155-166),
+                # remembering the originals for the next GT pass
+                saved = []
+                for mesh in meshes:
+                    mat, _ = UsdShade.MaterialBindingAPI(mesh).ComputeBoundMaterial()
+                    saved.append((mesh, mat))
+                self._original_materials[name] = saved
+                mtl_path = omni.usd.get_stage_next_free_path(
+                    stage, "/World/Looks/OmniGlass", False)
+                glass = self._create_mdl_material("OmniGlass.mdl", "OmniGlass",
+                                                  mtl_path)
+                shader = UsdShade.Shader(
+                    omni.usd.get_shader_from_material(glass, get_prim=True))
+                for key, vt in (("glass_ior", Sdf.ValueTypeNames.Float),
+                                ("thin_walled", Sdf.ValueTypeNames.Bool)):
+                    if key in spec:
+                        shader.CreateInput(key, vt)
+                        shader.GetInput(key).Set(spec[key])
+                for mesh in meshes:
+                    UsdShade.MaterialBindingAPI(mesh).Bind(
+                        glass, UsdShade.Tokens.strongerThanDescendants)
+            elif spec["class"] == "specular":
+                # tune the bound material's metallic/roughness inputs
+                # in-place (std_object.py:167-210)
+                for mesh in meshes:
+                    mat, _ = UsdShade.MaterialBindingAPI(mesh).ComputeBoundMaterial()
+                    shader = UsdShade.Shader(
+                        omni.usd.get_shader_from_material(mat, get_prim=True))
+                    for key in ("metallic_constant",
+                                "reflection_roughness_constant"):
+                        shader.CreateInput(key, Sdf.ValueTypeNames.Float)
+                        shader.GetInput(key).Set(spec[key])
+                    UsdShade.MaterialBindingAPI(mesh).Bind(
+                        mat, UsdShade.Tokens.strongerThanDescendants)
+            # diffuse: keep the asset's own material (std_object.py:211-213)
+
+    def _create_mdl_material(self, mdl_url: str, mtl_name: str,
+                             mtl_path: str):  # pragma: no cover - Isaac only
+        """CreateMdlMaterialPrim (reference: scene_replicator.py:231-247)."""
+        import omni.kit.commands
+        from pxr import UsdShade
+
+        omni.kit.commands.execute(
+            "CreateMdlMaterialPrim", mtl_url=mdl_url, mtl_name=mtl_name,
+            mtl_path=mtl_path)
+        return UsdShade.Material(self._world.stage.GetPrimAtPath(mtl_path))
 
     def create_stereo_rig(self, sensor_cfg: dict) -> None:  # pragma: no cover
-        """RGB + left/right IR cameras + IR projector rect light
+        """RGB + left/right IR cameras (shared intrinsics incl. the
+        vertical-aperture hack), per-camera render products + annotators,
+        and the IR pattern-projector rect light
         (reference: scene_replicator.py:364-431)."""
-        raise NotImplementedError
+        import omni.kit.commands
+        from pxr import Sdf, UsdGeom
+
+        from d3roma_tpu.synthetic.isaac.geometry import stereo_rig_camera_params
+
+        rep = self._rep
+        self._placement = sensor_cfg["placement"]
+        p = stereo_rig_camera_params(sensor_cfg)
+        cam_kwargs = dict(focal_length=p["focal_length"],
+                          clipping_range=p["clipping_range"],
+                          horizontal_aperture=p["horizontal_aperture"])
+        self._cams = {
+            "rgb": rep.create.camera(name="CameraRGB", **cam_kwargs),
+            "left": rep.create.camera(name="Camera01", **cam_kwargs),
+            "right": rep.create.camera(name="Camera02", **cam_kwargs),
+        }
+        # vertical-aperture hack (scene_replicator.py:387-394)
+        for prim_name in ("CameraRGB", "Camera01", "Camera02"):
+            prim = self._world.stage.GetPrimAtPath(
+                f"/Replicator/{prim_name}_Xform/{prim_name}")
+            prim.GetAttribute("verticalAperture").Set(p["vertical_aperture"])
+
+        rps = {k: rep.create.render_product(c, p["resolution"])
+               for k, c in self._cams.items()}
+        ann = rep.AnnotatorRegistry
+        self._annotators = {
+            "rgb": ann.get_annotator("rgb"),
+            "left": ann.get_annotator("rgb"),
+            "right": ann.get_annotator("rgb"),
+            "depth": ann.get_annotator("distance_to_image_plane"),
+        }
+        self._annotators["rgb"].attach([rps["rgb"]])
+        self._annotators["left"].attach([rps["left"]])
+        self._annotators["right"].attach([rps["right"]])
+        self._annotators["depth"].attach([rps["rgb"]])
+
+        # IR pattern projector: rect light + isProjector attribute
+        # (scene_replicator.py:396-431)
+        self._projector = rep.create.light(
+            light_type="Rect", intensity=0, exposure=0.0, color=(1, 0, 0),
+            position=(0.0, 0.0, 0.0), scale=(1, 1, 1), count=1,
+            texture=f"file://{self._pattern_path}", name="RectLight",
+        )
+        prim_path = "/Replicator/RectLight_Xform/RectLight"
+        rect = self._world.stage.GetPrimAtPath(prim_path)
+        if not rect.GetAttribute("xformOp:scale"):
+            UsdGeom.Xformable(rect).AddScaleOp()
+        rect.GetAttribute("xformOp:scale").Set((1.532075471 * 1.1, 1.1 * 1.1, 1))
+        if not rect.GetAttribute("isProjector"):
+            omni.kit.commands.execute(
+                "CreateUsdAttribute", prim=rect, attr_name="isProjector",
+                attr_type=Sdf.ValueTypeNames.Bool, attr_value=True)
+        omni.kit.commands.execute(
+            "ChangeProperty", prop_path=Sdf.Path(prim_path + ".isProjector"),
+            value=True, prev=False)
 
     def set_camera_pose(self, pos, quat) -> None:  # pragma: no cover
-        raise NotImplementedError
+        """Apply one hemisphere pose to the whole rig: IR cameras and
+        projector offset along the camera x-axis, Isaac prim-frame euler
+        conversion in geometry.rig_pose_from_camera (reference:
+        scene_replicator.py:283-331)."""
+        from d3roma_tpu.synthetic.isaac.geometry import rig_pose_from_camera
+
+        rep = self._rep
+        rig = rig_pose_from_camera(pos, quat, self._placement)
+        for name in ("rgb", "left", "right"):
+            with self._cams[name]:
+                rep.modify.pose(
+                    position=tuple(rig[name]["position"]),
+                    rotation=tuple(rig[name]["euler_deg"]))
+        with self._projector:
+            rep.modify.pose(
+                position=tuple(rig["projector"]["position"]),
+                rotation=tuple(rig["projector"]["euler_deg"]))
 
     def set_projector(self, on: bool) -> None:  # pragma: no cover
-        raise NotImplementedError
+        """Projector toggling — intensity sequence [0, I] in the reference
+        (scene_replicator.py:319-339)."""
+        with self._projector:
+            self._rep.modify.attribute(
+                "intensity", self._projector_intensity if on else 0)
 
     def set_renderer_mode(self, mode: str) -> None:  # pragma: no cover
         if mode == "PathTracing":
@@ -123,8 +365,25 @@ class OmniBackend:
             self._rep.settings.set_render_rtx_realtime()
 
     def render(self, phase: str) -> Dict[str, np.ndarray]:  # pragma: no cover
-        self._rep.orchestrator.step(pause_timeline=True)
-        raise NotImplementedError("annotator fetch wiring is Isaac-version specific")
+        """Step the orchestrator and fetch annotator products, keyed as the
+        writers expect (reference: custom_writer.py:18-247 — color from
+        RenderProduct_CameraRGB, stereo IR from Camera01/Camera02, GT depth
+        from distance_to_image_plane)."""
+        self._rep.orchestrator.step(rt_subframes=self._rt_subframes,
+                                    pause_timeline=True)
+        ann = self._annotators
+        if phase == "gt":
+            return {"distance_to_image_plane":
+                    np.asarray(ann["depth"].get_data())}
+        if phase == "rgb":
+            return {"rgb_RenderProduct_CameraRGB":
+                    strip_alpha(ann["rgb"].get_data())}
+        if phase == "ir":
+            return {
+                "rgb_Camera01": strip_alpha(ann["left"].get_data()),
+                "rgb_Camera02": strip_alpha(ann["right"].get_data()),
+            }
+        raise ValueError(phase)
 
     def close(self) -> None:  # pragma: no cover
         self._app.close()

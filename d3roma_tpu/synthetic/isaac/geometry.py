@@ -112,3 +112,85 @@ def camera_orbit_poses(
         )
         poses.append((pos, look_at_quaternion(pos, center)))
     return poses
+
+
+def quat2mat(q: np.ndarray) -> np.ndarray:
+    """Unit quaternion [w,x,y,z] -> rotation matrix."""
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def mat2euler_sxyz(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> extrinsic static-xyz Euler angles (radians), the
+    convention the reference feeds omni `rep.modify.pose(rotation=...)`
+    with (scene_replicator.py:300-306, transforms3d 'sxyz')."""
+    R = np.asarray(R, np.float64)
+    cy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
+    if cy > 1e-8:
+        ax = np.arctan2(R[2, 1], R[2, 2])
+        ay = np.arctan2(-R[2, 0], cy)
+        az = np.arctan2(R[1, 0], R[0, 0])
+    else:
+        ax = np.arctan2(-R[1, 2], R[1, 1])
+        ay = np.arctan2(-R[2, 0], cy)
+        az = 0.0
+    return np.array([ax, ay, az])
+
+
+# Isaac camera-prim frame vs the OpenCV-style camera frame the pose
+# sampler produces: observed from the GUI as euler (pi/2, 0, pi/2)
+# (reference: scene_replicator.py:293-298).
+RPC = np.array([[0.0, 0.0, 1.0],
+                [1.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0]])
+
+
+def rig_pose_from_camera(pos: np.ndarray, quat_wxyz: np.ndarray,
+                         placement: dict) -> dict:
+    """Per-prim world poses for one stereo-rig step.
+
+    Mirrors the reference's pose math (scene_replicator.py:283-331): the
+    left/right IR cameras and the projector sit along the camera's +x
+    axis at the configured offsets; camera prims get the Rwc @ RPC^T
+    orientation (Isaac prim convention), the projector rect light gets
+    Rwc. Returns positions [3] and extrinsic-sxyz euler DEGREES per prim.
+    """
+    pos = np.asarray(pos, np.float64)
+    Rwc = quat2mat(quat_wxyz)
+    Rwp = Rwc @ RPC.T
+    cam_euler = np.rad2deg(mat2euler_sxyz(Rwp))
+    proj_euler = np.rad2deg(mat2euler_sxyz(Rwc))
+    x_axis = Rwc[:, 0]
+    return {
+        "rgb": {"position": pos, "euler_deg": cam_euler},
+        "left": {"position": pos + x_axis * placement["rgb_to_left_ir"],
+                 "euler_deg": cam_euler},
+        "right": {"position": pos + x_axis * placement["rgb_to_right_ir"],
+                  "euler_deg": cam_euler},
+        "projector": {
+            "position": pos + x_axis * placement.get("rgb_to_projector", 0.0),
+            "euler_deg": proj_euler,
+        },
+    }
+
+
+def stereo_rig_camera_params(sensor_cfg: dict, focal_length: float = 24.0) -> dict:
+    """USD camera attributes reproducing the sensor FOV: h = 2 f tan(FOV/2),
+    vertical aperture scaled by the image aspect (reference:
+    scene_replicator.py:364-398 incl. the vertical-aperture hack)."""
+    import math
+
+    W, H = sensor_cfg["resolution"]
+    fov = math.radians(sensor_cfg["fov"])
+    h = 2.0 * focal_length * math.tan(fov / 2.0)
+    return {
+        "focal_length": focal_length,
+        "horizontal_aperture": h,
+        "vertical_aperture": h * H / W,
+        "clipping_range": tuple(sensor_cfg.get("clipping_range", (0.1, 10.0))),
+        "resolution": (W, H),
+    }
