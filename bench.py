@@ -101,6 +101,26 @@ def bench_ldm(batch, reps):
 
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
+    if (quant in ("static", "mxu")
+            and os.environ.get("BENCH_CALIB", "1") == "1"):
+        # release default: per-layer calibrated activation scales (one
+        # capture pass on the bench conditions; replayed scales are
+        # compile-time constants, so the timed path's cost is unchanged).
+        # The remote-compile relay can drop mid-calibration — fall back
+        # to the global static scale rather than failing the bench.
+        for attempt in range(2):
+            try:
+                pipe = pipe.calibrate(
+                    jax.random.PRNGKey(99),
+                    [dict(rgb_images=rgb[:1], sim_disp=raw[:1])],
+                    cond_channels="rgb+raw", num_inference_steps=steps,
+                )
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"# calibration attempt {attempt} failed: "
+                      f"{type(e).__name__}", file=sys.stderr)
+                time.sleep(20)
+
     def run(i, block=True):
         # deployment setting decodes only the final x_hat0
         # (reference: d3roma_processor.py overrides num_intermediate_images=1)
@@ -111,7 +131,11 @@ def bench_ldm(batch, reps):
             jax.block_until_ready(out.images)
         return out
 
-    return run, f"ldm_rgb+raw_640x360_ddim{steps}"
+    from d3roma_tpu.utils.flops import latent_pipeline_flops_per_frame
+
+    flops = latent_pipeline_flops_per_frame(H, W, steps, n_conds=2,
+                                            in_channels=in_ch)
+    return run, f"ldm_rgb+raw_640x360_ddim{steps}", flops["total"]
 
 
 def bench_pixel(batch, reps):
@@ -145,7 +169,7 @@ def bench_pixel(batch, reps):
             jax.block_until_ready(out.images)
         return out
 
-    return run, "pixel_rgb+raw_640x360_ddpm10"
+    return run, "pixel_rgb+raw_640x360_ddpm10", None
 
 
 def main():
@@ -154,7 +178,8 @@ def main():
     model = os.environ.get("BENCH_MODEL", "ldm")
 
     try:
-        run, tag = (bench_ldm if model == "ldm" else bench_pixel)(batch, reps)
+        run, tag, flops_per_frame = (
+            bench_ldm if model == "ldm" else bench_pixel)(batch, reps)
         # the environment's remote-compile relay occasionally drops the
         # connection / 500s on large programs; retries usually succeed
         for attempt in range(4):
@@ -189,7 +214,7 @@ def main():
         }))
         return 1
 
-    print(json.dumps({
+    result = {
         "metric": "depth_fps_per_chip_640x360_10step",
         "value": round(fps, 3),
         "unit": "frames/s",
@@ -197,7 +222,20 @@ def main():
         "config": tag,
         "batch": batch,
         "ms_per_frame": round(1000.0 * dt / batch, 2),
-    }))
+    }
+    if flops_per_frame:
+        # analytic model FLOPs (utils/flops.py, XLA-validated): the MFU
+        # convention — contraction FLOPs only, no kernel padding waste
+        from d3roma_tpu.utils.flops import V5E_BF16_PEAK, V5E_INT8_PEAK
+
+        sustained = flops_per_frame * fps
+        result.update({
+            "tflop_per_frame": round(flops_per_frame / 1e12, 3),
+            "tflops_sustained": round(sustained / 1e12, 1),
+            "mfu_bf16_peak": round(sustained / V5E_BF16_PEAK, 4),
+            "mfu_int8_peak": round(sustained / V5E_INT8_PEAK, 4),
+        })
+    print(json.dumps(result))
     return 0
 
 

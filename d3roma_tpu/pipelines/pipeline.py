@@ -225,16 +225,18 @@ class GuidedLatentDiffusionPipeline:
     spec: SamplerSpec
     guidance: FlowGuidance
     normalizer: Normalizer
+    # Calibrated per-layer activation scales for the static int8 path
+    # ({"unet": [...], "vae_encode": [...], "vae_decode": [...]}, floats in
+    # call order — see ops/quant.py + calibrate()). None = the global
+    # STATIC_ACT_SCALE fallback.
+    act_scales: Optional[dict] = None
 
     def __post_init__(self):
         self._tables = self.spec.schedule.tables()
         self._jitted = {}
 
     def replace_sampler(self, spec: SamplerSpec) -> "GuidedLatentDiffusionPipeline":
-        return GuidedLatentDiffusionPipeline(
-            self.unet, self.unet_params, self.vae, self.vae_params,
-            self.text_embed, spec, self.guidance, self.normalizer,
-        )
+        return dataclasses.replace(self, spec=spec)
 
     def half_precision(self) -> "GuidedLatentDiffusionPipeline":
         """Inference-only bf16 params (see GuidedDiffusionPipeline.half_precision)."""
@@ -242,10 +244,9 @@ class GuidedLatentDiffusionPipeline:
 
         unet = _dc.replace(self.unet, dtype=jnp.bfloat16) if self.unet.dtype != jnp.bfloat16 else self.unet
         vae = _dc.replace(self.vae, dtype=jnp.bfloat16) if self.vae.dtype != jnp.bfloat16 else self.vae
-        return GuidedLatentDiffusionPipeline(
-            unet, _cast_tree_bf16(self.unet_params),
-            vae, _cast_tree_bf16(self.vae_params),
-            self.text_embed, self.spec, self.guidance, self.normalizer,
+        return _dc.replace(
+            self, unet=unet, unet_params=_cast_tree_bf16(self.unet_params),
+            vae=vae, vae_params=_cast_tree_bf16(self.vae_params),
         )
 
     def quantize_int8(self) -> "GuidedLatentDiffusionPipeline":
@@ -253,20 +254,18 @@ class GuidedLatentDiffusionPipeline:
         GuidedDiffusionPipeline.quantize_int8)."""
         import dataclasses as _dc
 
-        return GuidedLatentDiffusionPipeline(
-            _dc.replace(self.unet, quant=True), self.unet_params,
-            _dc.replace(self.vae, quant=True), self.vae_params,
-            self.text_embed, self.spec, self.guidance, self.normalizer,
+        return _dc.replace(
+            self, unet=_dc.replace(self.unet, quant=True),
+            vae=_dc.replace(self.vae, quant=True),
         )
 
     def fuse_norms(self) -> "GuidedLatentDiffusionPipeline":
         """Single-pass Pallas GroupNorm+SiLU on TPU for UNet + VAE."""
         import dataclasses as _dc
 
-        return GuidedLatentDiffusionPipeline(
-            _dc.replace(self.unet, fused_norm=True), self.unet_params,
-            _dc.replace(self.vae, fused_norm=True), self.vae_params,
-            self.text_embed, self.spec, self.guidance, self.normalizer,
+        return _dc.replace(
+            self, unet=_dc.replace(self.unet, fused_norm=True),
+            vae=_dc.replace(self.vae, fused_norm=True),
         )
 
     def fast_inference(self, mode: str = "throughput") -> "GuidedLatentDiffusionPipeline":
@@ -284,19 +283,147 @@ class GuidedLatentDiffusionPipeline:
             raise ValueError(f"unknown fast_inference mode {mode!r}")
         quant = "static" if mode == "throughput" else False
         pipe = self.half_precision()
-        return GuidedLatentDiffusionPipeline(
-            _dc.replace(pipe.unet, use_flash_attention="pallas-self",
-                        fused_ff=True, quant=quant),
-            pipe.unet_params,
-            _dc.replace(pipe.vae, quant=quant), pipe.vae_params,
-            pipe.text_embed, pipe.spec, pipe.guidance, pipe.normalizer,
+        return _dc.replace(
+            pipe,
+            unet=_dc.replace(pipe.unet, use_flash_attention="pallas-self",
+                             fused_ff=True, quant=quant),
+            vae=_dc.replace(pipe.vae, quant=quant),
         )
+
+    def calibrate(
+        self,
+        key: jax.Array,
+        batches,
+        cond_channels: str = "rgb+raw",
+        num_inference_steps: int = 10,
+        margin: float = 1.25,
+    ) -> "GuidedLatentDiffusionPipeline":
+        """Post-training calibration of the static int8 activation scales.
+
+        Capture passes record absmax(activation)/127 at every
+        static-quantized call site (in call order — ops/quant.py), maxed
+        over `batches`, with the UNet driven along the ACTUAL
+        `num_inference_steps`-step denoising trajectory (unquantized
+        forward) so the captured statistics cover every step's input
+        distribution. `margin` widens the scales against activation-tail
+        drift between calibration and deployment data (standard PTQ
+        practice). Returns a pipeline whose static int8 path replays the
+        calibrated per-layer scales as compile-time constants — same
+        runtime cost as the global-scale path, per-layer accuracy.
+
+        `batches` is a list of dicts with the __call__ condition arrays
+        (rgb_images/left_images/right_images/sim_disp as appropriate).
+        """
+        import dataclasses as _dc
+
+        from d3roma_tpu.ops.quant import capture_act_scales
+        from d3roma_tpu.ops.scheduler_step import ddim_step
+        from d3roma_tpu.ops.schedules import set_timesteps
+        from d3roma_tpu.pipelines.sampling import build_cond_concat
+
+        pipe = self
+        if pipe.unet.quant not in ("static", "mxu"):
+            pipe = _dc.replace(
+                pipe, unet=_dc.replace(pipe.unet, quant="static"),
+                vae=_dc.replace(pipe.vae, quant="static"),
+            )
+        vapply = pipe._vae_apply(pipe.vae_params)
+
+        def make_capture(apply_fn):
+            def fn(*args):
+                taps = []  # fresh per trace: retraces cannot leak tracers
+                with capture_act_scales(taps):
+                    out = apply_fn(*args)
+                stacked = (jnp.stack(taps) if taps
+                           else jnp.zeros((0,), jnp.float32))
+                return out, stacked
+            return jax.jit(fn)
+
+        enc_fn = make_capture(lambda x: encode_image_to_latent(vapply, x))
+        enc_disp_fn = make_capture(lambda x: encode_disp_to_latent(vapply, x))
+        dec_fn = make_capture(lambda z: decode_latent(vapply, z))
+
+        def unet_fwd(model_input, t):
+            return pipe.unet.apply({"params": pipe.unet_params}, model_input,
+                                   t, pipe.text_embed)
+
+        unet_fn = make_capture(unet_fwd)
+
+        tabs = {"unet": None, "vae_encode": None, "vae_decode": None}
+
+        def acc(name, arr):
+            arr = np.asarray(arr, np.float32)
+            tabs[name] = arr if tabs[name] is None else np.maximum(tabs[name], arr)
+
+        cfg = pipe.spec.schedule
+        ts = set_timesteps(cfg, num_inference_steps)
+        step_ratio = cfg.num_train_timesteps // num_inference_steps
+
+        @jax.jit
+        def _step(out, t, prev_t, x):
+            # jitted: on a remote-attached device each eager op would cost
+            # a dispatch round trip (docs/PERFORMANCE.md)
+            s = ddim_step(pipe._tables, cfg, out, t, prev_t, x)
+            return s.prev_sample, s.pred_original_sample
+
+        for bi, b in enumerate(batches):
+            rgb = b.get("rgb_images")
+            left = b.get("left_images")
+            right = b.get("right_images")
+            raw = b.get("sim_disp")
+            lat_parts = {}
+            for nm, img in (("rgb", rgb), ("left", left), ("right", right)):
+                if img is not None:
+                    z, s = enc_fn(img.astype(jnp.float32))
+                    lat_parts[nm] = z
+                    acc("vae_encode", s)
+            if raw is not None:
+                z, s = enc_disp_fn(raw.astype(jnp.float32))
+                lat_parts["raw"] = z
+                acc("vae_encode", s)
+            conds = build_cond_concat(cond_channels, **lat_parts)
+            bkey = jax.random.fold_in(key, bi)
+            # the real trajectory: start from pure noise, step with the
+            # pipeline's own sampler math (unquantized model forward)
+            x = jax.random.normal(bkey, conds.shape[:-1] + (4,))
+            x0 = x
+            for t in ts:
+                tt = jnp.full((x.shape[0],), int(t), jnp.int32)
+                model_input = jnp.concatenate([x, conds], axis=-1)
+                out, s = unet_fn(model_input, tt)
+                acc("unet", s)
+                x, x0 = _step(out, jnp.int32(int(t)),
+                              jnp.int32(int(t) - step_ratio), x)
+            _, s = dec_fn(x0)
+            acc("vae_decode", s)
+            if "raw" in lat_parts:  # intermediates also decode cond-scaled z
+                _, s = dec_fn(lat_parts["raw"])
+                acc("vae_decode", s)
+
+        act_scales = {
+            k: [float(max(v * margin, 1e-8)) for v in tab]
+            for k, tab in tabs.items() if tab is not None and tab.size
+        }
+        return _dc.replace(pipe, act_scales=act_scales)
 
     # vae helpers bound to params
     def _vae_apply(self, params):
         def apply(x, method):
             return self.vae.apply({"params": params}, x, method=method)
         return apply
+
+    def _replayed(self, fn, table_name):
+        """Wrap an apply fn so its static int8 ops consume the calibrated
+        per-call scales at trace time (no-op without a table)."""
+        scales = (self.act_scales or {}).get(table_name)
+        if not scales:
+            return fn
+        from d3roma_tpu.ops.quant import replay_act_scales
+
+        def wrapped(*args):
+            with replay_act_scales(scales):
+                return fn(*args)
+        return wrapped
 
     def __call__(
         self,
@@ -343,10 +470,15 @@ class GuidedLatentDiffusionPipeline:
                 if denorm_builder is not None:
                     dn = lambda x: denorm_builder(x, raw_depth, mask)
                 return latent_pipeline(
-                    unet_apply,
-                    vae_encode=lambda x: encode_image_to_latent(vapply, x),
-                    vae_encode_disp=lambda x: encode_disp_to_latent(vapply, x),
-                    vae_decode=lambda z: decode_latent(vapply, z),
+                    self._replayed(unet_apply, "unet"),
+                    vae_encode=self._replayed(
+                        lambda x: encode_image_to_latent(vapply, x),
+                        "vae_encode"),
+                    vae_encode_disp=self._replayed(
+                        lambda x: encode_disp_to_latent(vapply, x),
+                        "vae_encode"),
+                    vae_decode=self._replayed(
+                        lambda z: decode_latent(vapply, z), "vae_decode"),
                     text_embed=text_embed,
                     spec=self.spec, tables=self._tables, key=key,
                     num_inference_steps=num_inference_steps,
@@ -392,6 +524,11 @@ class GuidedLatentDiffusionPipeline:
         }
         with open(os.path.join(out_dir, "model_index.json"), "w") as f:
             json.dump(meta, f, indent=2)
+        if self.act_scales:
+            # calibrated int8 activation scales travel with the export
+            # (BASELINE release bench default uses them)
+            with open(os.path.join(out_dir, "act_scales.json"), "w") as f:
+                json.dump(self.act_scales, f)
 
     @classmethod
     def from_pretrained(cls, out_dir: str) -> "GuidedLatentDiffusionPipeline":
@@ -412,12 +549,17 @@ class GuidedLatentDiffusionPipeline:
         norm = meta["normalizer"]
         for k in ("ch_bounds", "ch_gammas"):
             norm[k] = tuple(norm[k])
+        act_scales = None
+        scales_path = os.path.join(out_dir, "act_scales.json")
+        if os.path.exists(scales_path):
+            with open(scales_path) as f:
+                act_scales = json.load(f)
         return cls(
             unet=UNet2DCondition(**unet_cfg), unet_params=unet_params,
             vae=AutoencoderKL(**vae_cfg), vae_params=vae_params,
             text_embed=text_embed, spec=spec,
             guidance=FlowGuidance(**meta["guidance"]),
-            normalizer=Normalizer(**norm),
+            normalizer=Normalizer(**norm), act_scales=act_scales,
         )
 
 
