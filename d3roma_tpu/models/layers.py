@@ -21,6 +21,7 @@ from d3roma_tpu.ops.quant import (
     consume_act_scale,
     int8_conv_general_dilated,
     int8_conv_general_dilated_static,
+    int8_conv_halo,
     int8_conv_mxu,
     int8_dot_general,
     int8_dot_general_static,
@@ -36,7 +37,7 @@ def _dense_q(quant) -> dict:
     (static scales + the Pallas implicit-GEMM conv kernel)."""
     if not quant:
         return {}
-    if quant in ("static", "mxu"):
+    if quant in ("static", "mxu", "halo"):
         return {"dot_general": int8_dot_general_static}
     return {"dot_general": int8_dot_general}
 
@@ -45,6 +46,8 @@ def _conv_q(quant) -> dict:
     """kwargs enabling the int8 conv path on an nn.Conv (off in "dense" mode)."""
     if not quant or quant == "dense":
         return {}
+    if quant == "halo":
+        return {"conv_general_dilated": int8_conv_halo}
     if quant == "mxu":
         return {"conv_general_dilated": int8_conv_mxu}
     if quant == "static":
@@ -290,7 +293,7 @@ class CrossAttention(nn.Module):
             # the fused kernel only has a STATIC-activation-scale int8
             # variant: dynamic-scale quant settings (True/"all") take the
             # unfused dynamic path below rather than silently downgrading
-            aq = "static" if self.quant in ("static", "mxu") else None
+            aq = "static" if self.quant in ("static", "mxu", "halo") else None
             itemsize = 1 if aq else jnp.dtype(self.dtype).itemsize
             if ((aq or not self.quant)
                     and x.shape[-1] == inner and self.query_dim == inner
@@ -332,7 +335,7 @@ class CrossAttention(nn.Module):
             # attention it replaces — measured 1.3 ms/call at N=240 vs the
             # score-matrix path (docs/PERFORMANCE.md)
             if mha_supported(M, self.head_dim) and M >= 512:
-                aq = "int8" if self.quant in (True, "all", "static", "mxu") else None
+                aq = "int8" if self.quant in (True, "all", "static", "mxu", "halo") else None
                 attn = mha_attention(q, k, v, quant=aq).reshape(B, N, inner)
                 return nn.Dense(self.query_dim, dtype=self.dtype,
                                 name="to_out", **dq)(attn)
@@ -399,7 +402,7 @@ class FeedForward(nn.Module):
         f = self.dim * self.mult
         # the fused kernel only has a static-activation-scale int8 variant;
         # dynamic-scale quant (True/"all") uses the unfused path below
-        q = "static" if self.quant in ("static", "mxu") else None
+        q = "static" if self.quant in ("static", "mxu", "halo") else None
         if self.fused and (q or not self.quant):
             from d3roma_tpu.ops.pallas import geglu_ff
 

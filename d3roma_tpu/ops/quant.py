@@ -294,3 +294,41 @@ def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
     )
     out = out.astype(jnp.float32) * ls * rs.reshape((1,) * (out.ndim - 1) + (-1,))
     return out.astype(out_dtype)
+
+
+def int8_conv_halo(lhs, rhs, window_strides, padding,
+                   lhs_dilation=None, rhs_dilation=None,
+                   dimension_numbers=None, feature_group_count=1,
+                   batch_group_count=1, precision=None,
+                   preferred_element_type=None):
+    """Drop-in `lax.conv_general_dilated` for flax Conv: dispatch stride-1
+    SAME 3x3 NHWC convs to the halo-DMA implicit-GEMM kernel
+    (ops/pallas/conv2d_halo.py); everything else falls back to the XLA
+    static-int8 conv."""
+    from d3roma_tpu.ops.pallas.conv2d_halo import (
+        conv3x3_halo,
+        halo_conv_supported,
+    )
+
+    if (
+        feature_group_count == 1
+        and batch_group_count == 1
+        and dimension_numbers in (None, ("NHWC", "HWIO", "NHWC"))
+        and lhs_dilation in (None, (1, 1))
+        and rhs_dilation in (None, (1, 1))
+        and halo_conv_supported(lhs.shape, rhs.shape, window_strides, padding)
+    ):
+        mode, scale = consume_act_scale(lhs)
+        if mode == "float":  # calibration capture pass
+            return lax.conv_general_dilated(
+                lhs, rhs, window_strides, padding, lhs_dilation,
+                rhs_dilation, dimension_numbers,
+                precision=precision,
+                preferred_element_type=preferred_element_type,
+            )
+        return conv3x3_halo(lhs, rhs, quant="static", act_scale=scale)
+    return int8_conv_general_dilated_static(
+        lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+        dimension_numbers, feature_group_count, batch_group_count,
+        precision=precision, preferred_element_type=preferred_element_type,
+    )

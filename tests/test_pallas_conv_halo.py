@@ -51,3 +51,41 @@ def test_supported_gate():
                                    (2, 2), "SAME")  # strided
     assert not halo_conv_supported((16, 45, 80, 321), (3, 3, 321, 640),
                                    (1, 1), "SAME")  # unaligned channels
+
+
+def test_quant_mode_halo_dispatch(monkeypatch):
+    """quant='halo' routes eligible convs through the halo kernel (interpret
+    on CPU via direct call) and falls back to XLA static int8 elsewhere."""
+    import jax
+
+    from d3roma_tpu.ops import quant as Q
+
+    calls = []
+    real = Q.int8_conv_general_dilated_static
+
+    def spy_static(*a, **k):
+        calls.append("xla")
+        return real(*a, **k)
+
+    import d3roma_tpu.ops.pallas.conv2d_halo as CH0
+
+    real_halo = CH0.conv3x3_halo
+
+    def spy_halo(x, w, **k):
+        calls.append("halo")
+        return real_halo(x, w, interpret=True, block_m=128, **k)
+
+    monkeypatch.setattr(Q, "int8_conv_general_dilated_static", spy_static)
+    import d3roma_tpu.ops.pallas.conv2d_halo as CH
+
+    monkeypatch.setattr(CH, "conv3x3_halo", spy_halo)
+
+    x = jnp.zeros((1, 8, 8, 128))
+    w3 = jnp.zeros((3, 3, 128, 128))
+    w1 = jnp.zeros((1, 1, 128, 128))
+    Q.int8_conv_halo(x, w3, (1, 1), "SAME",
+                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert calls[-1] == "halo"
+    Q.int8_conv_halo(x, w1, (1, 1), "SAME",
+                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert calls[-1] == "xla"  # 1x1 -> fallback
