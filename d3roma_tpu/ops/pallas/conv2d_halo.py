@@ -7,18 +7,34 @@ in-kernel; those slices shift rows by +-1/+-(W+2) elements, which is
 sublane-misaligned under the (8,128) VMEM tiling, so Mosaic materialized
 each with VPU copies and the kernel lost to XLA's conv emitter.
 
-Here the tap shifts move into the DMA BASE OFFSETS instead:
+This version splits the 9 taps into a host-side dx fold and an in-kernel
+dy halo, shaped by two on-device Mosaic findings:
 
-- The padded input is flattened to [M, Cin] rows (batch and height folded
-  into one large GEMM M dim: 16 x 47 x 82 ~ 62k rows at the flagship's
-  45x80 level) and stays in HBM (memory_space=ANY).
-- Each grid step issues NINE async copies of the SAME [block_m, Cin]
-  window at element-granular row offsets base + dy*(W+2) + dx — the DMA
-  engine handles the relayout, so every tap lands sublane-ALIGNED at the
-  start of its own VMEM buffer. The 9x input re-read is ~0.2 ms/conv of
-  HBM traffic at flagship shapes, overlapped with the MXU.
-- The 9 accumulating [block_m, Cin] x [Cin, Cout] contractions then run
-  on aligned operands only — int8 x int8 -> int32 on the MXU (or bf16).
+- memref slices (DMA operands included) must be LANE-aligned: slicing a
+  [M, 320] window fails with "Slice shape along dimension 1 must be
+  aligned to tiling (128)". All channel dims are therefore lane-padded
+  on the host (Cin 320->384 costs +20% MACs at the UNet's hottest level;
+  640/1280 and the VAE's 128/256/512 are already aligned).
+- DMA row offsets must be SUBLANE-TILE-aligned even from HBM ("Failed to
+  prove that a tile index in dimension 0 is divisible by the tiling") —
+  so the +-1-element dx shifts cannot be DMA base offsets at all.
+
+Hence:
+
+- The dx in {-1,0,1} taps are folded into the channel dim on the host:
+  x3[b,h,w] = concat(x[w-1], x[w], x[w+1]) — one fused XLA pad/concat
+  pass over the (already int8) input, [B,Hp,Wr,3*cin_p]. The row width
+  Wr is padded up to the sublane tile so dy row-shifts stay aligned.
+- Batch and height fold into one large GEMM M dim (16 x 47 x 96 ~ 72k
+  rows at the flagship's 45x80 level); the array stays in HBM
+  (memory_space=pltpu.HBM) so row-windows can be DMA'd at block offsets.
+- Each grid step issues THREE async copies of the same [block_m, 3cin_p]
+  window at row offsets {-Wr, 0, +Wr} (the dy taps) — all tile-aligned.
+  The 3x re-read of the 3x-folded input is ~9x raw input traffic, ~0.3 ms
+  of HBM time at flagship shapes, overlapped with the MXU.
+- The 3 accumulating [block_m, 3cin_p] x [3cin_p, cout_p] contractions
+  run on aligned operands only — int8 x int8 -> int32 on the MXU (or
+  bf16), with K=3*cin_p deep enough to keep the MXU busy.
 
 Reference obligation: the conv stack of the SD2.1 UNet/VAE
 (reference models come from diffusers; conv math per train.py:751-772).
@@ -42,6 +58,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _row_align(itemsize: int) -> int:
+    # Mosaic sublane tile: (8,128) for 16/32-bit, (32,128) for int8.
+    return 32 if itemsize == 1 else 8
+
+
 def halo_conv_supported(x_shape, w_shape, strides, padding,
                         itemsize: int = 1, block_m: int = 512) -> bool:
     """Stride-1 SAME 3x3 with the per-block working set inside VMEM."""
@@ -58,10 +79,11 @@ def halo_conv_supported(x_shape, w_shape, strides, padding,
     cin, cout = w_shape[2], w_shape[3]
     if cin % 8 or cout % 8:
         return False
-    # budget with lane-padded channel dims (Mosaic rounds lanes to 128)
+    if block_m % _row_align(itemsize):
+        return False
     cin_p, cout_p = _round_up(cin, _LANES), _round_up(cout, _LANES)
-    bufs = 9 * block_m * cin_p * itemsize        # tap windows
-    wts = 9 * cin_p * cout_p * itemsize          # resident weights
+    bufs = 3 * block_m * 3 * cin_p * itemsize    # dy tap windows
+    wts = 3 * 3 * cin_p * cout_p * itemsize      # resident weights
     acc = block_m * cout_p * 4                   # f32 accumulator
     out = block_m * cout_p * 2
     return bufs + wts + acc + out <= 11 * 1024 * 1024
@@ -69,7 +91,7 @@ def halo_conv_supported(x_shape, w_shape, strides, padding,
 
 def _kernel(x_hbm, w_ref, ws_ref, o_ref, bufs, acc_ref, sems,
             *, offsets, block_m, quant, act_scale, out_dtype):
-    """One grid step: 9 halo DMAs -> 9 aligned MXU contractions."""
+    """One grid step: 3 dy-halo DMAs -> 3 aligned MXU contractions."""
     base = pl.program_id(0) * block_m
     copies = []
     for t, off in enumerate(offsets):
@@ -82,7 +104,7 @@ def _kernel(x_hbm, w_ref, ws_ref, o_ref, bufs, acc_ref, sems,
 
     cout = o_ref.shape[1]
     acc_ref[:, :] = jnp.zeros((block_m, cout), jnp.float32)
-    for t in range(9):
+    for t in range(3):
         copies[t].wait()
         prod = jax.lax.dot_general(
             bufs[t], w_ref[t],
@@ -109,33 +131,41 @@ def conv3x3_halo(x, w, *, quant: str | None = "static",
     Cout = w.shape[3]
     out_dtype = x.dtype
     Wp, Hp = W + 2, H + 2
+    cin_p = _round_up(Cin, _LANES)
+    cout_p = _round_up(Cout, _LANES)
+    itemsize = 1 if quant else 2
+    Wr = _round_up(Wp, _row_align(itemsize))
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    Mp = B * Hp * Wp
-    Mg = _round_up(Mp, block_m)
-    # guard rows so every tap window base + off (off in [-(Wp+1), Wp+1])
-    # stays in-bounds without clamping; guard reads only feed pad-border
-    # outputs, which the final interior slice discards
-    lo = Wp + 1
-    hi = (Wp + 1) + (Mg - Mp)
-
+    # width-pad by 2 so the three dx-shifted views slice in-bounds
+    xpe = jnp.pad(x, ((0, 0), (1, 1), (2, 2), (0, cin_p - Cin)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - Cin), (0, cout_p - Cout)))
     if quant:
-        xq = quantize_int8(xp, jnp.float32(act_scale)).reshape(Mp, Cin)
-        ws = absmax_scale(w, axes=(0, 1, 2))  # [1,1,1,Cout]
-        wq = quantize_int8(w, ws).reshape(9, Cin, Cout)
-        ws_in = ws.reshape(1, Cout).astype(jnp.float32)
+        xpe = quantize_int8(xpe, jnp.float32(act_scale))
+        ws = absmax_scale(wp, axes=(0, 1, 2))  # [1,1,1,cout_p]
+        wq = quantize_int8(wp, ws).reshape(3, 3 * cin_p, cout_p)
+        ws_in = ws.reshape(1, cout_p).astype(jnp.float32)
         buf_dtype = jnp.int8
     else:
-        xq = xp.astype(jnp.bfloat16).reshape(Mp, Cin)
-        wq = w.astype(jnp.bfloat16).reshape(9, Cin, Cout)
-        ws_in = jnp.ones((1, Cout), jnp.float32)
+        xpe = xpe.astype(jnp.bfloat16)
+        wq = wp.astype(jnp.bfloat16).reshape(3, 3 * cin_p, cout_p)
+        ws_in = jnp.ones((1, cout_p), jnp.float32)
         buf_dtype = jnp.bfloat16
 
-    xf = jnp.pad(xq, ((lo, hi), (0, 0)))
+    # dx fold: x3[b,h,w,(k,c)] = xpe[b,h,w+k,c], k=dx+1 — matches the
+    # row-major (dx, cin) weight reshape above
+    x3 = jnp.concatenate([xpe[:, :, k:k + Wp] for k in range(3)], axis=-1)
+    x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, Wr - Wp), (0, 0)))
+    Mp = B * Hp * Wr
+    Mg = _round_up(Mp, block_m)
+    # guard rows so every dy tap base + off (off in {-Wr, 0, +Wr}) stays
+    # in-bounds without clamping; guard reads only feed pad-border
+    # outputs, which the final interior slice discards
+    lo = Wr
+    hi = Wr + (Mg - Mp)
+    xf = jnp.pad(x3.reshape(Mp, 3 * cin_p), ((lo, hi), (0, 0)))
 
-    offsets = [dy * Wp + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    # base row m reads taps at xf[lo + m + off]; fold `lo` into the base
-    offsets = [lo + off for off in offsets]
+    # base row m reads dy taps at xf[lo + m + (dy-1)*Wr]; fold `lo` in
+    offsets = [lo + (dy - 1) * Wr for dy in range(3)]
 
     grid = (Mg // block_m,)
     kern = functools.partial(
@@ -146,24 +176,24 @@ def conv3x3_halo(x, w, *, quant: str | None = "static",
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((9, Cin, Cout), lambda i: (0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x pinned to HBM
+            pl.BlockSpec((3, 3 * cin_p, cout_p), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda i: (0, 0),
+            pl.BlockSpec((1, cout_p), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, Cout), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_m, cout_p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mg, Cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Mg, cout_p), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((9, block_m, Cin), buf_dtype),
-            pltpu.VMEM((block_m, Cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((3, block_m, 3 * cin_p), buf_dtype),
+            pltpu.VMEM((block_m, cout_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(xf, wq, ws_in)
 
-    out = out[:Mp].reshape(B, Hp, Wp, Cout)
-    return out[:, 1:-1, 1:-1, :]
+    out = out[:Mp, :Cout].reshape(B, Hp, Wr, Cout)
+    return out[:, 1:H + 1, 1:W + 1, :]
