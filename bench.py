@@ -110,9 +110,13 @@ def bench_ldm(batch, reps):
         # to the global static scale rather than failing the bench.
         for attempt in range(2):
             try:
+                # full-batch conditions: the capture program then has the
+                # same shapes as the timed program (batch-1 programs have
+                # been observed to crash the remote compile helper), and
+                # the absmax statistics cover the whole bench batch
                 pipe = pipe.calibrate(
                     jax.random.PRNGKey(99),
-                    [dict(rgb_images=rgb[:1], sim_disp=raw[:1])],
+                    [dict(rgb_images=rgb, sim_disp=raw)],
                     cond_channels="rgb+raw", num_inference_steps=steps,
                 )
                 break

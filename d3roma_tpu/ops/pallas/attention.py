@@ -50,10 +50,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def mha_supported(n_kv: int, head_dim: int) -> bool:
+def mha_supported(n_kv: int, head_dim: int, itemsize: int = 2) -> bool:
     """Whole-row attention needs the [block_q, Nk] fp32 score slab and the
-    [Nk, d] K/V blocks resident; beyond ~6k tokens use the flash kernel."""
-    return head_dim <= 128 and _round_up(n_kv, _LANES) <= _MAX_NK
+    [Nk, d] K/V blocks resident; beyond ~6k tokens use the flash kernel.
+
+    Wide heads (the VAE's single 512-dim head at 3600 tokens) fit only on
+    the int8 path (itemsize=1): bf16 K/V slabs at head_dim 512 overflow
+    Mosaic VMEM allocation on device (measured), int8 halves them —
+    138 vs XLA's 54 TFLOP/s at the VAE mid-attention shape."""
+    nk = _round_up(n_kv, _LANES)
+    if nk > _MAX_NK:
+        return False
+    if head_dim <= 128:
+        return True
+    return itemsize == 1 and head_dim <= 512 and nk * head_dim <= 2**21
 
 
 def _kernel_f32(q_ref, k_ref, v_ref, o_ref, *, m_real, scale, out_dtype):

@@ -84,3 +84,25 @@ def test_supported_gate():
     assert mha_supported(77, 64)
     assert not mha_supported(100_000, 64)
     assert not mha_supported(512, 256)
+
+
+def test_wide_head_int8_vae_shape():
+    # the VAE mid-attention: single 512-dim head over 45x80 tokens
+    # (models/vae.py mid_attn; reference AttnBlock via diffusers)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 640, 640, 1, 512)
+    q, k, v = q * 0.1, k * 0.1, v * 0.1
+    out = mha_attention(q, k, v, quant="int8", interpret=True)
+    ref = _ref_attention(q, k, v)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.mean() < 0.02
+    assert err.max() < 0.15
+
+
+def test_supported_gate_wide_head():
+    # wide heads admitted only on the int8 path (itemsize=1) and only
+    # while the K/V slab stays inside the VMEM budget
+    assert not mha_supported(3600, 512)              # bf16: measured OOM
+    assert mha_supported(3600, 512, itemsize=1)      # VAE mid-attention
+    assert mha_supported(512, 256, itemsize=1)
+    assert not mha_supported(3600, 1024, itemsize=1)
+    assert not mha_supported(6000, 512, itemsize=1)  # slab over budget
