@@ -34,6 +34,9 @@ from d3roma_tpu.ops.schedules import ScheduleConfig
 from d3roma_tpu.pipelines.sampling import (
     PipelineOutput,
     SamplerSpec,
+    latent_decode_images,
+    latent_denoise,
+    latent_encode_conds,
     latent_pipeline,
     pixel_pipeline,
 )
@@ -344,8 +347,14 @@ class GuidedLatentDiffusionPipeline:
         dec_fn = make_capture(lambda z: decode_latent(vapply, z))
 
         def unet_fwd(model_input, t):
+            # broadcast the (1, 77, D) embed to the calibration batch, as
+            # the sampling loop does (sampling.py::denoise_scan)
+            ctx = pipe.text_embed
+            if ctx.shape[0] == 1 and model_input.shape[0] > 1:
+                ctx = jnp.broadcast_to(
+                    ctx, (model_input.shape[0],) + ctx.shape[1:])
             return pipe.unet.apply({"params": pipe.unet_params}, model_input,
-                                   t, pipe.text_embed)
+                                   t, ctx)
 
         unet_fn = make_capture(unet_fwd)
 
@@ -440,6 +449,7 @@ class GuidedLatentDiffusionPipeline:
         denorm_builder: Optional[Callable] = None,
         denorm_mask=None,
         add_noise_rgb: bool = False,
+        split_programs: bool = False,
     ) -> PipelineOutput:
         # Two ways to supply the guidance denormalizer:
         # - `denormer`: a ready closure — its captured arrays are baked in
@@ -451,12 +461,21 @@ class GuidedLatentDiffusionPipeline:
         #   retrace and never goes stale.
         assert denormer is None or denorm_builder is None
         sig = (num_inference_steps, num_intermediate_images, cond_channels,
-               add_noise_rgb,
+               add_noise_rgb, split_programs,
                id(denormer) if denormer is not None else None,
                id(denorm_builder) if denorm_builder is not None else None,
-               tuple(x.shape for x in (rgb_images, left_images, right_images,
-                                       sim_disp, raw_depth, denorm_mask)
+               # dtype is part of the key: the split path bakes the noise
+               # dtype into its closure, so a dtype change must re-build
+               tuple((x.shape, str(x.dtype))
+                     for x in (rgb_images, left_images, right_images,
+                               sim_disp, raw_depth, denorm_mask)
                      if x is not None))
+        if split_programs:
+            return self._call_split(
+                sig, key, num_inference_steps, num_intermediate_images,
+                cond_channels, rgb_images, left_images, right_images,
+                sim_disp, raw_depth, denormer, denorm_builder, denorm_mask,
+                add_noise_rgb)
         if sig not in self._jitted:
             def fn(unet_params, vae_params, text_embed, key,
                    rgb, left, right, raw, raw_depth, mask):
@@ -495,6 +514,75 @@ class GuidedLatentDiffusionPipeline:
             rgb_images, left_images, right_images, sim_disp, raw_depth,
             denorm_mask,
         )
+
+    def _call_split(self, sig, key, num_inference_steps,
+                    num_intermediate_images, cond_channels, rgb_images,
+                    left_images, right_images, sim_disp, raw_depth,
+                    denormer, denorm_builder, denorm_mask, add_noise_rgb):
+        """Same math as the monolithic program, as THREE jitted programs
+        (VAE encode / denoise scan / VAE decode). For latency/streaming
+        deployments: each program is a fraction of the monolithic one's
+        size (the remote compile helper has been observed to fail on the
+        full batch-1 program), and the three dispatches pipeline through
+        the device queue, so steady-state cost is unchanged. Bit-identical
+        to the monolithic path (tests/test_pipelines.py)."""
+        ref = next(x for x in (rgb_images, left_images, right_images,
+                               sim_disp) if x is not None)
+        noise_dtype = ref.dtype
+
+        if sig not in self._jitted:
+            def enc_fn(vae_params, rgb, left, right, raw):
+                vapply = self._vae_apply(vae_params)
+                return latent_encode_conds(
+                    self._replayed(
+                        lambda x: encode_image_to_latent(vapply, x),
+                        "vae_encode"),
+                    cond_channels, rgb=rgb, left=left, right=right,
+                    sim_disp=raw)
+
+            def scan_fn(unet_params, vae_params, text_embed, key, conds,
+                        lat, raw_depth, mask):
+                def unet_apply(model_input, t, ctx):
+                    return self.unet.apply({"params": unet_params},
+                                           model_input, t, ctx)
+
+                guidance_fn = None
+                if (raw_depth is not None and self.guidance is not None
+                        and self.guidance.enabled):
+                    assert self.spec.is_ode
+                    vapply = self._vae_apply(vae_params)
+                    dn = denormer
+                    if denorm_builder is not None:
+                        dn = lambda x: denorm_builder(x, raw_depth, mask)
+                    assert dn is not None
+                    guidance_fn = self.guidance.make_latent_guidance_fn(
+                        self._replayed(
+                            lambda z: decode_latent(vapply, z),
+                            "vae_decode"),
+                        dn, raw_depth)
+                return latent_denoise(
+                    self._replayed(unet_apply, "unet"), text_embed,
+                    self.spec, self._tables, key, num_inference_steps,
+                    num_intermediate_images, conds, lat, cond_channels,
+                    guidance_fn=guidance_fn, add_noise_rgb=add_noise_rgb,
+                    noise_dtype=noise_dtype)
+
+            def dec_fn(vae_params, kept):
+                vapply = self._vae_apply(vae_params)
+                return latent_decode_images(
+                    self._replayed(
+                        lambda z: decode_latent(vapply, z), "vae_decode"),
+                    kept)
+
+            self._jitted[sig] = (
+                (jax.jit(enc_fn), jax.jit(scan_fn), jax.jit(dec_fn)),
+                (denormer, denorm_builder))
+        enc_j, scan_j, dec_j = self._jitted[sig][0]
+        conds, lat = enc_j(self.vae_params, rgb_images, left_images,
+                           right_images, sim_disp)
+        kept = scan_j(self.unet_params, self.vae_params, self.text_embed,
+                      key, conds, lat, raw_depth, denorm_mask)
+        return dec_j(self.vae_params, kept)
 
     # ------------------------------------------------------------------ #
     def save_pretrained(self, out_dir: str) -> None:

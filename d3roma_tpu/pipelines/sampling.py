@@ -290,11 +290,44 @@ def latent_pipeline(
     "gradient" mode runs inside the scan; the returned images are VAE
     decodes of x_hat0 (channel-mean -> 1 channel), clamped to [-1, 1].
     """
-    ref = next(x for x in (rgb, left, right, sim_disp) if x is not None)
-    B, H, W, _ = ref.shape
+    guidance_fn = None
+    if guidance is not None and guidance.enabled:
+        assert spec.is_ode, (
+            "in-step guidance is routed only for deterministic samplers "
+            "(reference routes it only for MyDDIM, custom_pipelines.py:390-402; "
+            "euler/heun also support the hook here)"
+        )
+        assert raw_depth is not None and denormer is not None
+        guidance_fn = guidance.make_latent_guidance_fn(
+            vae_decode, denormer, raw_depth
+        )
 
-    # one batched VAE encode for all conditions (better MXU utilization
-    # than 2-4 separate encodes; disparity tiled to 3 channels first)
+    ref = next(x for x in (rgb, left, right, sim_disp) if x is not None)
+    conds, lat = latent_encode_conds(
+        vae_encode, cond_channels, rgb=rgb, left=left, right=right,
+        sim_disp=sim_disp,
+    )
+    kept = latent_denoise(
+        unet_apply, text_embed, spec, tables, key, num_inference_steps,
+        num_intermediate_images, conds, lat, cond_channels,
+        guidance_fn=guidance_fn, add_noise_rgb=add_noise_rgb,
+        noise_dtype=ref.dtype,
+    )
+    return latent_decode_images(vae_decode, kept)
+
+
+def latent_encode_conds(
+    vae_encode: Callable[[jnp.ndarray], jnp.ndarray],
+    cond_channels: str,
+    rgb: Optional[jnp.ndarray] = None,
+    left: Optional[jnp.ndarray] = None,
+    right: Optional[jnp.ndarray] = None,
+    sim_disp: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Stage 1 of the latent pipeline: one batched VAE encode for all
+    conditions (better MXU utilization than 2-4 separate encodes;
+    disparity tiled to 3 channels first). Returns the channel-concat
+    condition latents and the per-name latent dict."""
     to_encode = []
     names = []
     for name, img in (("rgb", rgb), ("left", left), ("right", right)):
@@ -312,27 +345,43 @@ def latent_pipeline(
     conds = build_cond_concat(
         cond_channels, lat.get("rgb"), lat.get("left"), lat.get("right"), lat.get("raw")
     )
+    return conds, lat
+
+
+def latent_denoise(
+    unet_apply: Callable,
+    text_embed: jnp.ndarray,
+    spec: SamplerSpec,
+    tables: ScheduleTables,
+    key: jax.Array,
+    num_inference_steps: int,
+    num_intermediate_images: int,
+    conds: jnp.ndarray,
+    lat: Dict[str, jnp.ndarray],
+    cond_channels: str,
+    guidance_fn=None,
+    add_noise_rgb: bool = False,
+    noise_dtype=None,
+) -> jnp.ndarray:
+    """Stage 2: latent-noise init + the T-step denoise scan. Returns the
+    kept x_hat0 latents [S, B, h, w, 4] (last kept index = final step).
+
+    `noise_dtype` is the dtype of the initial latent noise — the INPUT
+    image dtype in the monolithic pipeline (not the latent dtype, which
+    may be bf16): PRNG bits drawn at a different precision are different
+    values, so split/monolithic parity requires matching it."""
+    B = conds.shape[0]
 
     key, k_init = jax.random.split(key)
-    x_init = jax.random.normal(k_init, (B, H // 8, W // 8, 4), ref.dtype)
+    x_init = jax.random.normal(
+        k_init, conds.shape[:-1] + (4,),
+        noise_dtype if noise_dtype is not None else conds.dtype)
 
     if text_embed.shape[0] == 1 and B > 1:
         text_embed = jnp.broadcast_to(text_embed, (B,) + text_embed.shape[1:])
 
     def model_fn(model_input, t):
         return unet_apply(model_input, t, text_embed)
-
-    guidance_fn = None
-    if guidance is not None and guidance.enabled:
-        assert spec.is_ode, (
-            "in-step guidance is routed only for deterministic samplers "
-            "(reference routes it only for MyDDIM, custom_pipelines.py:390-402; "
-            "euler/heun also support the hook here)"
-        )
-        assert raw_depth is not None and denormer is not None
-        guidance_fn = guidance.make_latent_guidance_fn(
-            vae_decode, denormer, raw_depth
-        )
 
     noise_rgb_cfg = None
     if add_noise_rgb and "rgb" in lat and "rgb" in cond_channels:
@@ -342,11 +391,17 @@ def latent_pipeline(
         model_fn, spec, tables, x_init, conds, key,
         num_inference_steps, guidance_fn, noise_rgb_cfg,
     )
+    return x0_stack[_kept_indices(num_inference_steps, num_intermediate_images)]
 
-    kept = x0_stack[_kept_indices(num_inference_steps, num_intermediate_images)]
-    # the last kept intermediate IS the final step's x_hat0 (the last index
-    # is forced into the kept set), so one decode pass serves both (each
-    # full-res VAE decode costs ~2 UNet steps)
+
+def latent_decode_images(
+    vae_decode: Callable[[jnp.ndarray], jnp.ndarray],
+    kept: jnp.ndarray,
+) -> PipelineOutput:
+    """Stage 3: decode the kept x_hat0 latents. The last kept intermediate
+    IS the final step's x_hat0 (the last index is forced into the kept
+    set), so one decode pass serves both (each full-res VAE decode costs
+    ~2 UNet steps)."""
     decoded = jax.vmap(vae_decode)(kept)
     inter = jnp.clip(decoded, -1.0, 1.0)
     final = inter[-1]

@@ -171,6 +171,24 @@ def test_pipeline_calibrate_end_metric_gate(tmp_path):
     np.testing.assert_allclose(out_l, out_c, atol=1e-5)
 
 
+def test_calibrate_broadcasts_text_embed_to_batch():
+    """Regression: calibrating on a batch > 1 with the pipeline's (1, L, D)
+    text embed must broadcast the context like the sampling loop does
+    (bench.py calibrates on the full bench batch)."""
+    import dataclasses as _dc
+
+    pipe = _tiny_latent_pipe()
+    static = _dc.replace(
+        pipe, unet=_dc.replace(pipe.unet, quant="static"),
+        vae=_dc.replace(pipe.vae, quant="static"))
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(key, (2, 32, 32, 3)) * 0.3
+    cal = static.calibrate(key, [dict(rgb_images=rgb,
+                                      sim_disp=jnp.abs(rgb[..., :1]))],
+                           num_inference_steps=2)
+    assert all(len(v) > 0 for v in cal.act_scales.values())
+
+
 def test_fast_inference_keeps_act_scales():
     import dataclasses as _dc
 

@@ -281,3 +281,56 @@ def test_pixel_pipeline_with_imputation_guidance():
     # final x_hat0 (perturbed) should equal the imputed raw value
     inter = np.asarray(out.intermediates[-1])
     np.testing.assert_allclose(inter, 0.7, atol=1e-4)
+
+
+def test_split_programs_matches_monolithic():
+    """split_programs=True (three jitted programs: encode / scan / decode)
+    must reproduce the monolithic single-program output — it exists so
+    latency/streaming deployments can compile where the monolithic batch-1
+    program overflows the remote compile helper."""
+    from tests.test_calibration import _tiny_latent_pipe
+
+    pipe = _tiny_latent_pipe()
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 32, 1))) * 0.3
+    kwargs = dict(num_inference_steps=3, num_intermediate_images=2,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+
+    mono = pipe(jax.random.PRNGKey(9), **kwargs)
+    split = pipe(jax.random.PRNGKey(9), split_programs=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(split.images),
+                               np.asarray(mono.images), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(split.intermediates),
+                               np.asarray(mono.intermediates), atol=1e-5)
+
+
+def test_split_programs_matches_monolithic_with_guidance():
+    """The split scan program builds the in-step gradient-guidance closure
+    (VAE decode + denormalizer) exactly like the monolithic one."""
+    import dataclasses as _dc
+
+    from tests.test_calibration import _tiny_latent_pipe
+
+    pipe = _tiny_latent_pipe()
+    pipe = _dc.replace(pipe, guidance=FlowGuidance(
+        flow_guidance_weight=1.0, flow_guidance_mode="gradient",
+        num_opt_steps=2, opt_lr=0.05))
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 32, 1))) * 0.3
+    raw_depth = jnp.abs(jax.random.normal(jax.random.fold_in(key, 3),
+                                          (1, 32, 32, 1))) + 0.5
+    mask = jnp.ones((1, 32, 32, 1), bool)
+
+    def builder(x, rd, m):
+        return x  # identity denormalizer, data threaded as traced args
+
+    kwargs = dict(num_inference_steps=3, num_intermediate_images=1,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw,
+                  raw_depth=raw_depth, denorm_builder=builder,
+                  denorm_mask=mask)
+    mono = pipe(jax.random.PRNGKey(9), **kwargs)
+    split = pipe(jax.random.PRNGKey(9), split_programs=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(split.images),
+                               np.asarray(mono.images), atol=1e-5)
