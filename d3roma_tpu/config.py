@@ -73,6 +73,14 @@ class TrainingConfig:
     # docs/PERFORMANCE.md.
     fast_inference: str = "off"
 
+    # Run the latent pipeline as three jitted programs (VAE encode /
+    # denoise scan / VAE decode) instead of one. Same math and steady-state
+    # cost (the dispatches pipeline through the device queue); each program
+    # is a fraction of the monolithic one's size, which matters when the
+    # remote compile helper rejects very large programs (observed at
+    # batch 1). Latency/streaming deployments should prefer it.
+    split_programs: bool = False
+
     overwrite_output_dir: bool = True
 
     train_dataset: List[str] = field(default_factory=lambda: ["NYUv2"])

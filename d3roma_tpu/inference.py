@@ -216,6 +216,8 @@ class D3RoMa:
             add_noise_rgb=self.config.noise_rgb,
         )
         if isinstance(self.pipeline, GuidedLatentDiffusionPipeline):
+            if self.config.split_programs:
+                kwargs["split_programs"] = True
             if self.pipeline.guidance.enabled:
                 kwargs["raw_depth"] = raw_disp_b
                 # stable builder + traced mask: raw/mask enter the jitted

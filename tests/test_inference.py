@@ -162,3 +162,39 @@ def test_repo_demo_assets_standalone(tmp_path, monkeypatch):
     for n in ("0000_ir_l.png", "0000_ir_r.png"):
         ir = cv2.imread(os.path.join(d, n), cv2.IMREAD_GRAYSCALE)
         assert ir is not None and ir.shape == (360, 640)
+
+
+def test_d3roma_split_programs_matches_monolithic():
+    """config.split_programs=True routes the latent pipeline through the
+    three-program path and reproduces the monolithic result through the
+    full D3RoMa API (pre/post processing included)."""
+    from d3roma_tpu.inference import D3RoMa
+    from d3roma_tpu.utils.camera import Realsense
+    from tests.test_calibration import _tiny_latent_pipe
+
+    pipe = _tiny_latent_pipe()
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    raw_depth = rng.uniform(0.5, 1.5, (48, 64)).astype(np.float32)
+
+    def build(split):
+        return D3RoMa(
+            overrides=[
+                "task=train_ldm_mixed_rgb+raw",
+                "task.cond_channels=rgb+raw",
+                "task.image_size=[48,64]",
+                "task.num_inference_timesteps=2",
+                "task.num_intermediate_images=1",
+                "task.num_inference_rounds=1",
+                "task.flow_guidance_weights=[0.0]",
+                "task.ssi=true", "task.safe_ssi=false",
+                f"task.split_programs={str(split).lower()}",
+            ],
+            camera=Realsense.default_real("fxm"), variant="rgb+raw",
+            pipeline=pipe,
+        )
+
+    d_mono = build(False).infer_with_rgb_raw(rgb, raw_depth)
+    d_split = build(True).infer_with_rgb_raw(rgb, raw_depth)
+    assert d_mono.shape == (48, 64)
+    np.testing.assert_allclose(d_split, d_mono, atol=1e-4)
