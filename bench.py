@@ -106,23 +106,46 @@ def bench_ldm(batch, reps):
         # release default: per-layer calibrated activation scales (one
         # capture pass on the bench conditions; replayed scales are
         # compile-time constants, so the timed path's cost is unchanged).
-        # The remote-compile relay can drop mid-calibration — retry at the
-        # full batch, then at batch 2 (8x smaller capture programs; absmax
-        # + the 1.25 margin is robust to the smaller sample), then fall
-        # back to the global static scale rather than failing the bench.
-        for cb in (batch, batch, 2):
-            try:
-                pipe = pipe.calibrate(
-                    jax.random.PRNGKey(99),
-                    [dict(rgb_images=rgb[:cb], sim_disp=raw[:cb])],
-                    cond_channels="rgb+raw", num_inference_steps=steps,
-                )
-                print(f"# calibrated at batch {cb}", file=sys.stderr)
-                break
-            except Exception as e:  # noqa: BLE001
-                print(f"# calibration at batch {cb} failed: "
-                      f"{type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
-                time.sleep(20)
+        # Scales are cached on disk keyed by the bench config — in
+        # production they ship with the pipeline export (act_scales.json),
+        # so reusing a prior capture is the deployed behavior, and it
+        # keeps the bench calibrated even when the remote-compile relay
+        # drops the (large) capture programs that day.
+        import dataclasses as _dc
+
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache", f"act_scales_b{batch}_s{steps}.json")
+        if os.path.exists(cache) and os.environ.get("BENCH_CALIB") != "force":
+            with open(cache) as f:
+                pipe = _dc.replace(pipe, act_scales=json.load(f))
+            print(f"# calibrated scales loaded from {cache}", file=sys.stderr)
+        else:
+            # The relay can drop mid-calibration (the batch-16 capture
+            # program is large) — retry at the full batch, then at batch 8
+            # (smaller capture programs; batches 1/2/4 are avoided — small
+            # batches crash today's compile helper outright), then batch 8
+            # at half width (scales are activation statistics, roughly
+            # size-invariant; absmax + the 1.25 margin absorbs the smaller
+            # sample), then fall back to the global static scale.
+            for cb, w_step in ((batch, 1), (min(8, batch), 1),
+                               (min(8, batch), 2)):
+                try:
+                    pipe = pipe.calibrate(
+                        jax.random.PRNGKey(99),
+                        [dict(rgb_images=rgb[:cb, :, ::w_step],
+                              sim_disp=raw[:cb, :, ::w_step])],
+                        cond_channels="rgb+raw", num_inference_steps=steps,
+                    )
+                    os.makedirs(os.path.dirname(cache), exist_ok=True)
+                    with open(cache, "w") as f:
+                        json.dump(pipe.act_scales, f)
+                    print(f"# calibrated at batch {cb} w/{w_step} -> {cache}",
+                          file=sys.stderr)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    print(f"# calibration at batch {cb} w/{w_step} failed: "
+                          f"{type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
+                    time.sleep(20)
 
     def run(i, block=True):
         # deployment setting decodes only the final x_hat0
