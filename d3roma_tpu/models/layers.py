@@ -18,6 +18,7 @@ from flax import linen as nn
 
 from d3roma_tpu.ops.quant import (
     STATIC_ACT_SCALE,
+    act_ctx_mode,
     consume_act_scale,
     int8_conv_general_dilated,
     int8_conv_general_dilated_static,
@@ -241,6 +242,7 @@ class SelfAttention2D(nn.Module):
         attn = None
         if (jax.default_backend() == "tpu"
                 and self.quant in (True, "all", "static", "mxu", "halo")
+                and act_ctx_mode() != "capture"
                 and H * W >= 512 and C // num_heads >= 64):
             from d3roma_tpu.ops.pallas import mha_attention, mha_supported
 
@@ -318,12 +320,24 @@ class CrossAttention(nn.Module):
                 ascale = STATIC_ACT_SCALE
                 if aq:
                     # per-call calibrated scale (ops/quant.py): capture
-                    # mode records the tap and runs the kernel unquantized
+                    # mode records the tap, then runs the same math inline
+                    # in XLA — a Mosaic kernel compile in the capture
+                    # program adds nothing to the statistics and made the
+                    # capture compiles outlive the remote relay connection
                     mode, s = consume_act_scale(x)
                     if mode == "float":
-                        aq = None
-                    else:
-                        ascale = s
+                        xf = x.astype(self.dtype)
+                        qf = (xf @ wq.astype(self.dtype)).reshape(
+                            B, N, self.heads, self.head_dim)
+                        kf = (xf @ wk.astype(self.dtype)).reshape(
+                            B, N, self.heads, self.head_dim)
+                        vf = (xf @ wv.astype(self.dtype)).reshape(
+                            B, N, self.heads, self.head_dim)
+                        attn = jax.nn.dot_product_attention(qf, kf, vf)
+                        return (attn.reshape(B, N, inner)
+                                @ wo.astype(self.dtype)
+                                + bo.astype(self.dtype))
+                    ascale = s
                 return fused_self_attention(
                     x.astype(self.dtype), wq, wk, wv, wo, bo,
                     heads=self.heads, quant=aq, act_scale=ascale,
@@ -346,7 +360,12 @@ class CrossAttention(nn.Module):
             # pad/quantize passes, tiny-program grid) exceeds the XLA
             # attention it replaces — measured 1.3 ms/call at N=240 vs the
             # score-matrix path (docs/PERFORMANCE.md)
-            if mha_supported(M, self.head_dim) and M >= 512:
+            # the whole-row kernel consumes no taps, so the capture pass
+            # (calibration) skips it — pure-XLA capture programs compile
+            # fast enough for the remote relay; statistics shift is within
+            # the int8-rounding the kernel itself introduces
+            if (mha_supported(M, self.head_dim) and M >= 512
+                    and act_ctx_mode() != "capture"):
                 aq = "int8" if self.quant in (True, "all", "static", "mxu", "halo") else None
                 attn = mha_attention(q, k, v, quant=aq).reshape(B, N, inner)
                 return nn.Dense(self.query_dim, dtype=self.dtype,
@@ -424,9 +443,13 @@ class FeedForward(nn.Module):
             if q:
                 mode, s = consume_act_scale(x)  # calibrated per-call scale
                 if mode == "float":
-                    q = None
-                else:
-                    ascale = s
+                    # capture pass: tap recorded; run the GEGLU math inline
+                    # in XLA (no Mosaic compile in the capture program)
+                    xf = x.astype(self.dtype)
+                    h = xf @ k1.astype(self.dtype) + b1.astype(self.dtype)
+                    h = h[..., :f] * nn.gelu(h[..., f:])
+                    return h @ k2.astype(self.dtype) + b2.astype(self.dtype)
+                ascale = s
             # interpret mode keeps the fused path usable (and its param
             # tree testable) on non-TPU backends
             return geglu_ff(x.astype(self.dtype), k1[:, :f], k1[:, f:], k2,

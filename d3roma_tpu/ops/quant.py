@@ -114,6 +114,18 @@ class _ScaleCtxManager:
         return False
 
 
+def act_ctx_mode():
+    """The active act-scale context mode: None | "capture" | "replay".
+
+    Model code consults this to keep the CAPTURE forward free of Mosaic
+    kernels: tapless Pallas paths (whole-row attention) are skipped and
+    tap-consuming fused branches run inline XLA math instead — the
+    Mosaic compiles made the capture programs slower to build than the
+    remote-compile relay's connection lifetime (observed: Broken pipe at
+    ~30 min), and the kernels do not change the recorded statistics."""
+    return _ACTX.mode
+
+
 def capture_act_scales(taps: list):
     """Context: static int8 ops record absmax(x)/127 tracers into `taps`
     and compute in float (the calibration forward)."""

@@ -224,3 +224,40 @@ def test_calibrate_pipeline_cli(tmp_path):
     from d3roma_tpu.pipelines import GuidedLatentDiffusionPipeline
 
     assert GuidedLatentDiffusionPipeline.from_pretrained(d).act_scales == scales
+
+
+def test_capture_forward_is_mosaic_free():
+    """The calibration capture pass must not trace any pallas_call: Mosaic
+    compiles made the capture programs outlive the remote relay connection
+    (Broken pipe at ~30 min). Tap-consuming fused branches run inline XLA
+    math after recording their tap; tapless kernel routes are skipped."""
+    import jax
+
+    from d3roma_tpu.models import UNet2DCondition
+
+    unet = UNet2DCondition(
+        in_channels=8, out_channels=4, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=8, cross_attention_dim=16,
+        norm_groups=8, use_flash_attention="pallas-self", fused_ff=True,
+        quant="static",
+    )
+    x = jnp.zeros((1, 8, 8, 8))
+    ctx = jnp.zeros((1, 3, 16))
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x,
+                                jnp.array([0]), ctx)["params"]
+
+    def capture_fwd(x):
+        taps = []
+        with capture_act_scales(taps):
+            out = unet.apply({"params": params}, x, jnp.array([0]), ctx)
+        return out, jnp.stack(taps)
+
+    jaxpr = jax.make_jaxpr(capture_fwd)(x)
+    assert "pallas_call" not in str(jaxpr)
+
+    # the normal (uncaptured) forward keeps the fused GEGLU kernel
+    jaxpr_run = jax.make_jaxpr(
+        lambda x: unet.apply({"params": params}, x, jnp.array([0]), ctx))(x)
+    assert "pallas_call" in str(jaxpr_run)
