@@ -81,6 +81,12 @@ class TrainingConfig:
     # batch 1). Latency/streaming deployments should prefer it.
     split_programs: bool = False
 
+    # With split_programs: additionally run the denoise scan as
+    # ceil(S/scan_chunk) calls of ONE compiled scan_chunk-step program
+    # (timestep slice is a traced argument; the carried x/PRNG key keeps
+    # the result identical). 0 = whole scan in one program.
+    scan_chunk: int = 0
+
     overwrite_output_dir: bool = True
 
     train_dataset: List[str] = field(default_factory=lambda: ["NYUv2"])

@@ -218,6 +218,8 @@ class D3RoMa:
         if isinstance(self.pipeline, GuidedLatentDiffusionPipeline):
             if self.config.split_programs:
                 kwargs["split_programs"] = True
+            if self.config.scan_chunk:
+                kwargs["scan_chunk"] = self.config.scan_chunk
             if self.pipeline.guidance.enabled:
                 kwargs["raw_depth"] = raw_disp_b
                 # stable builder + traced mask: raw/mask enter the jitted

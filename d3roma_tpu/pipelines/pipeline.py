@@ -450,6 +450,7 @@ class GuidedLatentDiffusionPipeline:
         denorm_mask=None,
         add_noise_rgb: bool = False,
         split_programs: bool = False,
+        scan_chunk: Optional[int] = None,
     ) -> PipelineOutput:
         # Two ways to supply the guidance denormalizer:
         # - `denormer`: a ready closure — its captured arrays are baked in
@@ -461,7 +462,7 @@ class GuidedLatentDiffusionPipeline:
         #   retrace and never goes stale.
         assert denormer is None or denorm_builder is None
         sig = (num_inference_steps, num_intermediate_images, cond_channels,
-               add_noise_rgb, split_programs,
+               add_noise_rgb, split_programs, scan_chunk,
                id(denormer) if denormer is not None else None,
                id(denorm_builder) if denorm_builder is not None else None,
                # dtype is part of the key: the split path bakes the noise
@@ -470,12 +471,12 @@ class GuidedLatentDiffusionPipeline:
                      for x in (rgb_images, left_images, right_images,
                                sim_disp, raw_depth, denorm_mask)
                      if x is not None))
-        if split_programs:
+        if split_programs or scan_chunk:
             return self._call_split(
                 sig, key, num_inference_steps, num_intermediate_images,
                 cond_channels, rgb_images, left_images, right_images,
                 sim_disp, raw_depth, denormer, denorm_builder, denorm_mask,
-                add_noise_rgb)
+                add_noise_rgb, scan_chunk)
         if sig not in self._jitted:
             def fn(unet_params, vae_params, text_embed, key,
                    rgb, left, right, raw, raw_depth, mask):
@@ -518,14 +519,21 @@ class GuidedLatentDiffusionPipeline:
     def _call_split(self, sig, key, num_inference_steps,
                     num_intermediate_images, cond_channels, rgb_images,
                     left_images, right_images, sim_disp, raw_depth,
-                    denormer, denorm_builder, denorm_mask, add_noise_rgb):
+                    denormer, denorm_builder, denorm_mask, add_noise_rgb,
+                    scan_chunk=None):
         """Same math as the monolithic program, as THREE jitted programs
         (VAE encode / denoise scan / VAE decode). For latency/streaming
         deployments: each program is a fraction of the monolithic one's
         size (the remote compile helper has been observed to fail on the
         full batch-1 program), and the three dispatches pipeline through
         the device queue, so steady-state cost is unchanged. Bit-identical
-        to the monolithic path (tests/test_pipelines.py)."""
+        to the monolithic path (tests/test_pipelines.py).
+
+        With `scan_chunk=c`, the denoise scan itself additionally runs as
+        ceil(S/c) calls of ONE compiled c-step program (the timestep slice
+        enters as a traced argument, so equal-length chunks share the
+        compilation); the carry (x, PRNG key) threads between calls, so
+        the step/key sequence — and the result — is identical."""
         ref = next(x for x in (rgb_images, left_images, right_images,
                                sim_disp) if x is not None)
         noise_dtype = ref.dtype
@@ -546,26 +554,12 @@ class GuidedLatentDiffusionPipeline:
                     return self.unet.apply({"params": unet_params},
                                            model_input, t, ctx)
 
-                guidance_fn = None
-                if (raw_depth is not None and self.guidance is not None
-                        and self.guidance.enabled):
-                    assert self.spec.is_ode
-                    vapply = self._vae_apply(vae_params)
-                    dn = denormer
-                    if denorm_builder is not None:
-                        dn = lambda x: denorm_builder(x, raw_depth, mask)
-                    assert dn is not None
-                    guidance_fn = self.guidance.make_latent_guidance_fn(
-                        self._replayed(
-                            lambda z: decode_latent(vapply, z),
-                            "vae_decode"),
-                        dn, raw_depth)
                 return latent_denoise(
                     self._replayed(unet_apply, "unet"), text_embed,
                     self.spec, self._tables, key, num_inference_steps,
                     num_intermediate_images, conds, lat, cond_channels,
-                    guidance_fn=guidance_fn, add_noise_rgb=add_noise_rgb,
-                    noise_dtype=noise_dtype)
+                    guidance_fn=_guidance_fn(vae_params, raw_depth, mask),
+                    add_noise_rgb=add_noise_rgb, noise_dtype=noise_dtype)
 
             def dec_fn(vae_params, kept):
                 vapply = self._vae_apply(vae_params)
@@ -574,14 +568,85 @@ class GuidedLatentDiffusionPipeline:
                         lambda z: decode_latent(vapply, z), "vae_decode"),
                     kept)
 
+            def _guidance_fn(vae_params, raw_depth, mask):
+                if (raw_depth is None or self.guidance is None
+                        or not self.guidance.enabled):
+                    return None
+                assert self.spec.is_ode
+                vapply = self._vae_apply(vae_params)
+                dn = denormer
+                if denorm_builder is not None:
+                    dn = lambda x: denorm_builder(x, raw_depth, mask)
+                assert dn is not None
+                return self.guidance.make_latent_guidance_fn(
+                    self._replayed(
+                        lambda z: decode_latent(vapply, z), "vae_decode"),
+                    dn, raw_depth)
+
+            def init_fn(key, conds):
+                # exactly latent_denoise's noise init (bit-parity)
+                key, k_init = jax.random.split(key)
+                x_init = jax.random.normal(
+                    k_init, conds.shape[:-1] + (4,), noise_dtype)
+                return x_init, key
+
+            def chunk_fn(unet_params, vae_params, text_embed, key, x,
+                         conds, lat, ts, prev_ts, raw_depth, mask):
+                from d3roma_tpu.pipelines.sampling import run_sampler_steps
+
+                B = conds.shape[0]
+                if text_embed.shape[0] == 1 and B > 1:
+                    text_embed = jnp.broadcast_to(
+                        text_embed, (B,) + text_embed.shape[1:])
+
+                def unet_apply(model_input, t, ctx):
+                    return self.unet.apply({"params": unet_params},
+                                           model_input, t, ctx)
+
+                model_fn = self._replayed(
+                    lambda mi, t: unet_apply(mi, t, text_embed), "unet")
+                noise_rgb_cfg = None
+                if add_noise_rgb and "rgb" in lat and "rgb" in cond_channels:
+                    noise_rgb_cfg = {"rgb": lat["rgb"],
+                                     "slice": (0, lat["rgb"].shape[-1])}
+                return run_sampler_steps(
+                    model_fn, self.spec, self._tables, x, conds, key,
+                    ts, prev_ts, _guidance_fn(vae_params, raw_depth, mask),
+                    noise_rgb_cfg)
+
             self._jitted[sig] = (
-                (jax.jit(enc_fn), jax.jit(scan_fn), jax.jit(dec_fn)),
+                (jax.jit(enc_fn), jax.jit(scan_fn), jax.jit(dec_fn),
+                 jax.jit(init_fn), jax.jit(chunk_fn)),
                 (denormer, denorm_builder))
-        enc_j, scan_j, dec_j = self._jitted[sig][0]
+        enc_j, scan_j, dec_j, init_j, chunk_j = self._jitted[sig][0]
         conds, lat = enc_j(self.vae_params, rgb_images, left_images,
                            right_images, sim_disp)
-        kept = scan_j(self.unet_params, self.vae_params, self.text_embed,
-                      key, conds, lat, raw_depth, denorm_mask)
+        if not scan_chunk:
+            kept = scan_j(self.unet_params, self.vae_params,
+                          self.text_embed, key, conds, lat, raw_depth,
+                          denorm_mask)
+        else:
+            from d3roma_tpu.pipelines.sampling import (
+                _kept_indices,
+                _timestep_arrays,
+            )
+
+            ts, prev_ts = _timestep_arrays(self.spec.schedule,
+                                           num_inference_steps)
+            # host-side slicing: no per-chunk device dispatch for the tables
+            ts, prev_ts = np.asarray(ts), np.asarray(prev_ts)
+            x, key = init_j(key, conds)
+            parts = []
+            for s0 in range(0, num_inference_steps, scan_chunk):
+                s1 = min(s0 + scan_chunk, num_inference_steps)
+                x, key, x0_part = chunk_j(
+                    self.unet_params, self.vae_params, self.text_embed,
+                    key, x, conds, lat, ts[s0:s1], prev_ts[s0:s1],
+                    raw_depth, denorm_mask)
+                parts.append(x0_part)
+            stack = jnp.concatenate(parts, axis=0)
+            kept = stack[_kept_indices(num_inference_steps,
+                                       num_intermediate_images)]
         return dec_j(self.vae_params, kept)
 
     # ------------------------------------------------------------------ #

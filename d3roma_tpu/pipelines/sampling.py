@@ -143,6 +143,31 @@ def run_sampler(
     (custom_pipelines.py:343-350).
     """
     ts, prev_ts = _timestep_arrays(spec.schedule, num_inference_steps)
+    x_final, _, x0_stack = run_sampler_steps(
+        model_fn, spec, tables, x_init, conds, key, ts, prev_ts,
+        guidance_fn, noise_rgb_cfg,
+    )
+    return x_final, x0_stack
+
+
+def run_sampler_steps(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    spec: SamplerSpec,
+    tables: ScheduleTables,
+    x_init: jnp.ndarray,
+    conds: jnp.ndarray,
+    key: jax.Array,
+    ts: jnp.ndarray,
+    prev_ts: jnp.ndarray,
+    guidance_fn=None,
+    noise_rgb_cfg: Optional[Dict] = None,
+) -> tuple[jnp.ndarray, jax.Array, jnp.ndarray]:
+    """run_sampler over an explicit (ts, prev_ts) slice, returning the
+    carry key too: `(x_final, key_final, x0_stack)`. The timestep arrays
+    may be TRACED — one compiled program then serves every equal-length
+    chunk of a denoise trajectory (the scan_chunk deployment mode, where
+    very long single-program scans cannot compile through the remote
+    relay)."""
     cfg = spec.schedule
 
     def body(carry, step_in):
@@ -196,8 +221,9 @@ def run_sampler(
             raise ValueError(f"unknown sampler kind {spec.kind!r}")
         return (out.prev_sample, k), out.perturbed_original_sample
 
-    (x_final, _), x0_stack = jax.lax.scan(body, (x_init, key), (ts, prev_ts))
-    return x_final, x0_stack
+    (x_final, key_final), x0_stack = jax.lax.scan(
+        body, (x_init, key), (ts, prev_ts))
+    return x_final, key_final, x0_stack
 
 
 # ---------------------------------------------------------------------- #

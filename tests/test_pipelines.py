@@ -334,3 +334,54 @@ def test_split_programs_matches_monolithic_with_guidance():
     split = pipe(jax.random.PRNGKey(9), split_programs=True, **kwargs)
     np.testing.assert_allclose(np.asarray(split.images),
                                np.asarray(mono.images), atol=1e-5)
+
+
+def test_scan_chunk_matches_monolithic():
+    """scan_chunk=c runs the denoise as ceil(S/c) calls of one compiled
+    chunk program (timesteps traced); the carried (x, key) makes the step
+    and PRNG sequence — and the result — identical to the monolithic scan,
+    including a tail chunk when c does not divide S."""
+    from tests.test_calibration import _tiny_latent_pipe
+
+    pipe = _tiny_latent_pipe()
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 32, 1))) * 0.3
+    kwargs = dict(num_inference_steps=5, num_intermediate_images=2,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+
+    mono = pipe(jax.random.PRNGKey(9), **kwargs)
+    for c in (1, 2, 5):
+        chunked = pipe(jax.random.PRNGKey(9), scan_chunk=c, **kwargs)
+        np.testing.assert_allclose(np.asarray(chunked.images),
+                                   np.asarray(mono.images), atol=1e-5,
+                                   err_msg=f"scan_chunk={c}")
+        np.testing.assert_allclose(np.asarray(chunked.intermediates),
+                                   np.asarray(mono.intermediates), atol=1e-5,
+                                   err_msg=f"scan_chunk={c}")
+
+
+def test_scan_chunk_with_guidance_matches_monolithic():
+    import dataclasses as _dc
+
+    from tests.test_calibration import _tiny_latent_pipe
+
+    pipe = _tiny_latent_pipe()
+    pipe = _dc.replace(pipe, guidance=FlowGuidance(
+        flow_guidance_weight=1.0, flow_guidance_mode="gradient",
+        num_opt_steps=2, opt_lr=0.05))
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 32, 1))) * 0.3
+    raw_depth = jnp.abs(jax.random.normal(jax.random.fold_in(key, 3),
+                                          (1, 32, 32, 1))) + 0.5
+    mask = jnp.ones((1, 32, 32, 1), bool)
+    builder = lambda x, rd, m: x
+    kwargs = dict(num_inference_steps=3, num_intermediate_images=1,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw,
+                  raw_depth=raw_depth, denorm_builder=builder,
+                  denorm_mask=mask)
+    mono = pipe(jax.random.PRNGKey(9), **kwargs)
+    chunked = pipe(jax.random.PRNGKey(9), scan_chunk=2, **kwargs)
+    np.testing.assert_allclose(np.asarray(chunked.images),
+                               np.asarray(mono.images), atol=1e-5)
