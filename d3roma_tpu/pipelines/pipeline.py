@@ -330,31 +330,37 @@ class GuidedLatentDiffusionPipeline:
                 pipe, unet=_dc.replace(pipe.unet, quant="static"),
                 vae=_dc.replace(pipe.vae, quant="static"),
             )
-        vapply = pipe._vae_apply(pipe.vae_params)
-
         def make_capture(apply_fn):
-            def fn(*args):
+            # params enter as a traced argument, NOT a closure: a captured
+            # param tree is baked into the lowered module as constants
+            # (1.7-3.5 GB), and on a remote-compile attachment that whole
+            # blob ships with the compile request — large enough to take
+            # the compile relay down (observed: scan-cell 3.46 GB capture
+            # -> relay connection-refused for every later program).
+            def fn(params, *args):
                 taps = []  # fresh per trace: retraces cannot leak tracers
                 with capture_act_scales(taps):
-                    out = apply_fn(*args)
+                    out = apply_fn(params, *args)
                 stacked = (jnp.stack(taps) if taps
                            else jnp.zeros((0,), jnp.float32))
                 return out, stacked
             return jax.jit(fn)
 
-        enc_fn = make_capture(lambda x: encode_image_to_latent(vapply, x))
-        enc_disp_fn = make_capture(lambda x: encode_disp_to_latent(vapply, x))
-        dec_fn = make_capture(lambda z: decode_latent(vapply, z))
+        enc_fn = make_capture(
+            lambda p, x: encode_image_to_latent(pipe._vae_apply(p), x))
+        enc_disp_fn = make_capture(
+            lambda p, x: encode_disp_to_latent(pipe._vae_apply(p), x))
+        dec_fn = make_capture(
+            lambda p, z: decode_latent(pipe._vae_apply(p), z))
 
-        def unet_fwd(model_input, t):
+        def unet_fwd(params, model_input, t):
             # broadcast the (1, 77, D) embed to the calibration batch, as
             # the sampling loop does (sampling.py::denoise_scan)
             ctx = pipe.text_embed
             if ctx.shape[0] == 1 and model_input.shape[0] > 1:
                 ctx = jnp.broadcast_to(
                     ctx, (model_input.shape[0],) + ctx.shape[1:])
-            return pipe.unet.apply({"params": pipe.unet_params}, model_input,
-                                   t, ctx)
+            return pipe.unet.apply({"params": params}, model_input, t, ctx)
 
         unet_fn = make_capture(unet_fwd)
 
@@ -383,11 +389,11 @@ class GuidedLatentDiffusionPipeline:
             lat_parts = {}
             for nm, img in (("rgb", rgb), ("left", left), ("right", right)):
                 if img is not None:
-                    z, s = enc_fn(img.astype(jnp.float32))
+                    z, s = enc_fn(pipe.vae_params, img.astype(jnp.float32))
                     lat_parts[nm] = z
                     acc("vae_encode", s)
             if raw is not None:
-                z, s = enc_disp_fn(raw.astype(jnp.float32))
+                z, s = enc_disp_fn(pipe.vae_params, raw.astype(jnp.float32))
                 lat_parts["raw"] = z
                 acc("vae_encode", s)
             conds = build_cond_concat(cond_channels, **lat_parts)
@@ -399,14 +405,14 @@ class GuidedLatentDiffusionPipeline:
             for t in ts:
                 tt = jnp.full((x.shape[0],), int(t), jnp.int32)
                 model_input = jnp.concatenate([x, conds], axis=-1)
-                out, s = unet_fn(model_input, tt)
+                out, s = unet_fn(pipe.unet_params, model_input, tt)
                 acc("unet", s)
                 x, x0 = _step(out, jnp.int32(int(t)),
                               jnp.int32(int(t) - step_ratio), x)
-            _, s = dec_fn(x0)
+            _, s = dec_fn(pipe.vae_params, x0)
             acc("vae_decode", s)
             if "raw" in lat_parts:  # intermediates also decode cond-scaled z
-                _, s = dec_fn(lat_parts["raw"])
+                _, s = dec_fn(pipe.vae_params, lat_parts["raw"])
                 acc("vae_decode", s)
 
         act_scales = {
