@@ -69,6 +69,8 @@ class D3RoMa:
         # created lazily on first run_pipeline (shapes fixed by the camera)
         self._jit_pre = None
         self._jit_post = None
+        self._jit_pre_b = None
+        self._jit_post_b = None
         # stable identity: the pipeline's jit cache keys on this object
         self._denorm_builder = (
             lambda x, raw, mask: denormalize(self.config, x, raw, mask)
@@ -117,6 +119,39 @@ class D3RoMa:
         assert self.config.prediction_space == "disp", "not implemented"
         raw_disp = np.where(raw_depth > 0, self.camera.fxb_depth / np.maximum(raw_depth, 1e-8), 0.0)
         return self.run_pipeline(None, None, raw_disp.astype(np.float32), rgb)
+
+    def infer_with_rgb_raw_batch(self, frames) -> List[np.ndarray]:
+        """Batched `infer_with_rgb_raw`: N (rgb, raw_depth) frames in ONE
+        pipeline call (batch N x rounds). This is the TPU-efficient path
+        for multi-camera / multi-client serving — one batch-16 call costs
+        ~4x less per frame than 16 single-frame calls
+        (docs/PERFORMANCE.md); `streaming.MicroBatcher` aggregates
+        concurrent requests into it.
+
+        `frames`: sequence of (rgb uint8 [H,W,3] or [H,W], raw_depth
+        float meters [H,W]). Returns a list of [H,W] float32 metric
+        depths, frame order preserved.
+        """
+        cv2 = _cv2()
+        rgbs, disps = [], []
+        for rgb, raw_depth in frames:
+            assert rgb.dtype == np.uint8
+            if rgb.ndim == 2:
+                rgb = np.tile(rgb[..., None], (1, 1, 3))
+            rgb = rgb[..., :3]
+            rgb = cv2.resize(rgb, self.camera.resolution[::-1],
+                             interpolation=cv2.INTER_LINEAR)
+            if raw_depth.shape[:2] != tuple(self.camera.resolution):
+                raw_depth = cv2.resize(raw_depth, self.camera.resolution[::-1],
+                                       interpolation=cv2.INTER_NEAREST)
+            disps.append(np.where(
+                raw_depth > 0,
+                self.camera.fxb_depth / np.maximum(raw_depth, 1e-8),
+                0.0).astype(np.float32))
+            rgbs.append(rgb)
+        assert self.config.prediction_space == "disp", "not implemented"
+        depths = self.run_pipeline_batch(np.stack(disps), np.stack(rgbs))
+        return [depths[i] for i in range(len(frames))]
 
     def infer(self, left: np.ndarray, right: np.ndarray,
               raw_depth: Optional[np.ndarray] = None,
@@ -238,4 +273,82 @@ class D3RoMa:
             self.last_uncertainty = np.asarray(unc)
         logger.info("metrics vs raw: %s",
                     metrics_to_dict(np.asarray(md), np.asarray(me)))
+        return np.asarray(pred_depth, np.float32)
+
+    # ------------------------------------------------------------------ #
+    def run_pipeline_batch(self, raw_disps: np.ndarray,
+                           rgbs: np.ndarray) -> np.ndarray:
+        """Batched `run_pipeline` for the rgb+raw variant: N frames ->
+        ONE pipeline call at batch N*rounds. Returns [N,H,W] metric depth.
+
+        Same math per frame as the single path (normalize / denoise /
+        per-frame SSI denormalize over rounds / disparity->depth); the
+        serving contract pins num_intermediate_images=1 (the reference's
+        deployment override, d3roma_processor.py:38-42)."""
+        assert self.config.num_intermediate_images == 1, (
+            "batched serving decodes only the final prediction")
+        R = self.config.num_inference_rounds
+
+        def rep_b(x):  # [N, ...] -> [N*R, ...] (frame-major: rounds adjacent)
+            return jnp.broadcast_to(
+                x[:, None], (x.shape[0], R) + x.shape[1:]
+            ).reshape((x.shape[0] * R,) + x.shape[1:])
+
+        if self._jit_pre_b is None:
+            def pre_fn(raw_disp, rgb):  # [N,H,W], [N,H,W,3] uint8
+                rgb_n = (rgb.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+                raw = raw_disp[..., None]                      # [N,H,W,1]
+                normalized, _, _ = self.normer.normalize(raw)  # per-sample
+                raw_b = rep_b(raw)
+                mask_b = (raw_b > 0).astype(jnp.float32)
+                return rep_b(normalized), rep_b(rgb_n), raw_b, mask_b
+
+            def post_fn(pred, raw_disp, key):  # pred [N*R,H,W,1]
+                N = raw_disp.shape[0]
+                p = pred[..., 0].reshape((N, R) + pred.shape[1:3])
+                p = jnp.moveaxis(p, 1, -1)                     # [N,H,W,R]
+                raw = raw_disp[..., None]
+                mask = (raw > 0).astype(jnp.float32)
+                pred_unnorm = denormalize(
+                    self.config, p, raw, mask,
+                    key=jax.random.fold_in(key, 1))            # [N,H,W,R]
+                unc = jnp.std(p, axis=-1)                      # [N,H,W]
+                pred_disp = jnp.mean(pred_unnorm, axis=-1)     # [N,H,W]
+                pred_depth = jnp.where(
+                    pred_disp > 0,
+                    self.camera.fxb_depth / jnp.maximum(pred_disp, 1e-8),
+                    0.0)
+                return pred_depth, unc
+
+            self._jit_pre_b = jax.jit(pre_fn)
+            self._jit_post_b = jax.jit(post_fn)
+
+        raw_dev = jnp.asarray(raw_disps)
+        norm_b, rgb_b, raw_b, mask_b = self._jit_pre_b(
+            raw_dev, jnp.asarray(rgbs))
+
+        self._key, key = jax.random.split(self._key)
+        kwargs = dict(
+            num_inference_steps=self.config.num_inference_timesteps,
+            num_intermediate_images=1,
+            cond_channels=self.config.cond_channels,
+            rgb_images=rgb_b, sim_disp=norm_b,
+            add_noise_rgb=self.config.noise_rgb,
+        )
+        if isinstance(self.pipeline, GuidedLatentDiffusionPipeline):
+            if self.config.split_programs:
+                kwargs["split_programs"] = True
+            if self.config.scan_chunk:
+                kwargs["scan_chunk"] = self.config.scan_chunk
+            if self.pipeline.guidance.enabled:
+                kwargs["raw_depth"] = raw_b
+                kwargs["denorm_builder"] = self._denorm_builder
+                kwargs["denorm_mask"] = mask_b
+        else:
+            kwargs["depth_channels"] = self.config.depth_channels
+        out = self.pipeline(key, **kwargs)
+
+        pred_depth, unc = self._jit_post_b(out.images, raw_dev, key)
+        if R > 1:
+            self.last_uncertainty = np.asarray(unc)
         return np.asarray(pred_depth, np.float32)
