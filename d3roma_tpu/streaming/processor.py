@@ -43,6 +43,7 @@ class D3RoMaProcessor:
         voxel_size: float = 0.005,
         queue_size: int = 10,
         depth_scale_hack: float = 1.0,
+        max_batch: int = 1,
     ):
         self.droma = droma
         self.intrinsic = intrinsic
@@ -50,6 +51,12 @@ class D3RoMaProcessor:
         self.publish = publish or (lambda *a, **k: None)
         self.voxel_size = voxel_size
         self.depth_scale_hack = depth_scale_hack
+        # max_batch > 1: the worker drains up to max_batch queued frames
+        # per iteration into ONE batched pipeline call
+        # (D3RoMa.infer_with_rgb_raw_batch) — the TPU-efficient mode when
+        # several cameras feed one processor (docs/PERFORMANCE.md: a full
+        # batch costs ~4x less per frame than batch-1 calls).
+        self.max_batch = int(max_batch)
         self.frame_queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -93,24 +100,39 @@ class D3RoMaProcessor:
 
     # -------------------------------------------------------------- #
     def process_frame(self, rgb: np.ndarray, depth: np.ndarray):
+        return self.process_frames([(rgb, depth)])[0]
+
+    def process_frames(self, frames):
+        """Restore a list of (rgb, depth) frames — ONE pipeline call when
+        len > 1 — and publish each frame's (raw_pc, pred_pc)."""
         t0 = time.time()
-        pred_depth = self.droma.infer_with_rgb_raw(rgb, depth)
-        pred_depth = pred_depth * self.depth_scale_hack
+        n = len(frames)
+        if n == 1:
+            preds = [self.droma.infer_with_rgb_raw(*frames[0])]
+        else:
+            # pad the tail by repeating the last frame: exactly one batched
+            # program shape ever compiles (padded rows are dropped)
+            batch = frames + [frames[-1]] * (self.max_batch - n)
+            preds = self.droma.infer_with_rgb_raw_batch(batch)[:n]
 
         import cv2
 
-        h, w = pred_depth.shape[:2]
-        rgb_r = cv2.resize(rgb, (w, h))
-        depth_r = cv2.resize(depth, (w, h), interpolation=cv2.INTER_NEAREST)
+        out = []
+        for (rgb, depth), pred_depth in zip(frames, preds):
+            pred_depth = pred_depth * self.depth_scale_hack
+            h, w = pred_depth.shape[:2]
+            rgb_r = cv2.resize(rgb, (w, h))
+            depth_r = cv2.resize(depth, (w, h), interpolation=cv2.INTER_NEAREST)
 
-        raw_pc = rgbd_to_pointcloud(rgb_r, depth_r, self.intrinsic,
-                                    self.extrinsic, self.voxel_size)
-        pred_pc = rgbd_to_pointcloud(rgb_r, pred_depth, self.intrinsic,
-                                     self.extrinsic, self.voxel_size)
-        self.last_latency_s = time.time() - t0
-        self.frames_processed += 1
-        self.publish(raw_pc, pred_pc, {"latency_s": self.last_latency_s})
-        return raw_pc, pred_pc
+            raw_pc = rgbd_to_pointcloud(rgb_r, depth_r, self.intrinsic,
+                                        self.extrinsic, self.voxel_size)
+            pred_pc = rgbd_to_pointcloud(rgb_r, pred_depth, self.intrinsic,
+                                         self.extrinsic, self.voxel_size)
+            self.last_latency_s = time.time() - t0
+            self.frames_processed += 1
+            self.publish(raw_pc, pred_pc, {"latency_s": self.last_latency_s})
+            out.append((raw_pc, pred_pc))
+        return out
 
     def _worker(self):
         """(reference: d3roma_processor.py:248-286)"""
@@ -119,8 +141,15 @@ class D3RoMaProcessor:
                 rgb, depth, t_in = self.frame_queue.get(timeout=0.5)
             except queue.Empty:
                 continue
+            frames = [(rgb, depth)]
+            while len(frames) < self.max_batch:
+                try:
+                    r, d, _ = self.frame_queue.get_nowait()
+                    frames.append((r, d))
+                except queue.Empty:
+                    break
             try:
-                self.process_frame(rgb, depth)
+                self.process_frames(frames)
             except Exception:
                 logger.exception("frame processing failed")
 

@@ -174,3 +174,38 @@ def test_batcher_serves_d3roma():
     for i, d in enumerate(depths):
         assert d.shape == (48, 64)
         assert abs(np.median(d) - 0.5 * (i + 1)) < 0.3 * (i + 1)
+
+
+def test_processor_batched_drain():
+    """D3RoMaProcessor(max_batch>1) drains queued frames into ONE batched
+    call, pads the tail to a fixed batch, and publishes per frame."""
+    from d3roma_tpu.streaming import D3RoMaProcessor
+
+    calls = []
+
+    class StubDroma:
+        def infer_with_rgb_raw(self, rgb, depth):
+            calls.append(1)
+            return depth
+
+        def infer_with_rgb_raw_batch(self, frames):
+            calls.append(len(frames))
+            return [d for _, d in frames]
+
+    K = np.eye(3) * 50.0
+    K[2, 2] = 1
+    published = []
+    proc = D3RoMaProcessor(StubDroma(), K,
+                           publish=lambda r, p, m: published.append(1),
+                           max_batch=4)
+    rng = np.random.default_rng(0)
+    frames = [(rng.integers(0, 255, (24, 32, 3), np.uint8),
+               rng.uniform(0.5, 1.5, (24, 32)).astype(np.float32))
+              for _ in range(3)]
+    proc.process_frames(frames)
+    assert calls == [4]          # one padded fixed-size batched call
+    assert len(published) == 3   # padded row not published
+    assert proc.frames_processed == 3
+    # single-frame path still uses the unbatched program
+    proc.process_frame(*frames[0])
+    assert calls == [4, 1]
