@@ -87,7 +87,7 @@ def bench_ldm(batch, reps):
     quant = os.environ.get("BENCH_QUANT", "static")
     if quant in ("1", "all"):
         pipe = pipe.quantize_int8()
-    elif quant in ("dense", "static", "mxu"):
+    elif quant in ("dense", "static", "mxu", "halo", "wino", "wino_static"):
         import dataclasses as _dc
 
         pipe = _dc.replace(
@@ -101,7 +101,7 @@ def bench_ldm(batch, reps):
 
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
-    if (quant in ("static", "mxu")
+    if (quant in ("static", "mxu", "halo", "wino_static")
             and os.environ.get("BENCH_CALIB", "1") == "1"):
         # release default: per-layer calibrated activation scales (one
         # capture pass on the bench conditions; replayed scales are

@@ -34,11 +34,13 @@ def _dense_q(quant) -> dict:
 
     `quant` is False (off), True/"all" (dense + conv, dynamic activation
     scales), "dense" (dense layers only), "static" (dense + conv with a
-    constant activation scale — no absmax pass before each op), or "mxu"
-    (static scales + the Pallas implicit-GEMM conv kernel)."""
-    if not quant:
+    constant activation scale — no absmax pass before each op), "mxu"
+    (static scales + the Pallas implicit-GEMM conv kernel), "wino"
+    (bf16 Winograd convs, bf16 denses — ops/winograd.py), or
+    "wino_static" (Winograd convs + static-int8 denses)."""
+    if not quant or quant == "wino":
         return {}
-    if quant in ("static", "mxu", "halo"):
+    if quant in ("static", "mxu", "halo", "wino_static"):
         return {"dot_general": int8_dot_general_static}
     return {"dot_general": int8_dot_general}
 
@@ -47,6 +49,10 @@ def _conv_q(quant) -> dict:
     """kwargs enabling the int8 conv path on an nn.Conv (off in "dense" mode)."""
     if not quant or quant == "dense":
         return {}
+    if quant in ("wino", "wino_static"):
+        from d3roma_tpu.ops.winograd import wino_conv_general_dilated
+
+        return {"conv_general_dilated": wino_conv_general_dilated}
     if quant == "halo":
         return {"conv_general_dilated": int8_conv_halo}
     if quant == "mxu":
@@ -241,7 +247,7 @@ class SelfAttention2D(nn.Module):
         v = v.reshape(B, H * W, num_heads, C // num_heads)
         attn = None
         if (jax.default_backend() == "tpu"
-                and self.quant in (True, "all", "static", "mxu", "halo")
+                and self.quant in (True, "all", "static", "mxu", "halo", "wino_static")
                 and act_ctx_mode() != "capture"
                 and H * W >= 512 and C // num_heads >= 64):
             from d3roma_tpu.ops.pallas import mha_attention, mha_supported
@@ -307,7 +313,7 @@ class CrossAttention(nn.Module):
             # the fused kernel only has a STATIC-activation-scale int8
             # variant: dynamic-scale quant settings (True/"all") take the
             # unfused dynamic path below rather than silently downgrading
-            aq = "static" if self.quant in ("static", "mxu", "halo") else None
+            aq = "static" if self.quant in ("static", "mxu", "halo", "wino_static") else None
             itemsize = 1 if aq else jnp.dtype(self.dtype).itemsize
             if ((aq or not self.quant)
                     and x.shape[-1] == inner and self.query_dim == inner
@@ -366,7 +372,7 @@ class CrossAttention(nn.Module):
             # the int8-rounding the kernel itself introduces
             if (mha_supported(M, self.head_dim) and M >= 512
                     and act_ctx_mode() != "capture"):
-                aq = "int8" if self.quant in (True, "all", "static", "mxu", "halo") else None
+                aq = "int8" if self.quant in (True, "all", "static", "mxu", "halo", "wino_static") else None
                 attn = mha_attention(q, k, v, quant=aq).reshape(B, N, inner)
                 return nn.Dense(self.query_dim, dtype=self.dtype,
                                 name="to_out", **dq)(attn)
@@ -433,7 +439,7 @@ class FeedForward(nn.Module):
         f = self.dim * self.mult
         # the fused kernel only has a static-activation-scale int8 variant;
         # dynamic-scale quant (True/"all") uses the unfused path below
-        q = "static" if self.quant in ("static", "mxu", "halo") else None
+        q = "static" if self.quant in ("static", "mxu", "halo", "wino_static") else None
         if self.fused and (q or not self.quant):
             from d3roma_tpu.ops.pallas import geglu_ff
 

@@ -1,0 +1,134 @@
+"""Winograd F(2x2, 3x3) convolution for TPU (pure XLA formulation).
+
+Why: the direct-form ceiling is proven — no conv-as-GEMM kernel (Pallas
+or XLA) beats XLA's conv emitter at the flagship shapes
+(docs/PERFORMANCE.md round-3). Winograd sidesteps that proof
+ALGORITHMICALLY: F(2x2,3x3) computes each 2x2 output tile with 16 MACs
+instead of 36 (2.25x fewer MXU FLOPs), so even a memory-bound batched
+GEMM can beat the emitter's effective rate. The reference (CUDA/torch)
+gets Winograd implicitly from cuDNN; XLA:TPU has no Winograd lowering,
+so this is the TPU-native equivalent.
+
+Formulation (Lavin & Gray, arXiv:1509.09308):
+    Y = A^T [ (G g G^T) .* (B^T d B) ] A      per 4x4 input tile d
+- B^T entries are {0,+-1} and A^T entries are {0,+-1}: the input/output
+  transforms are pure adds/subs, done here in f32 (exact).
+- G has {1, +-0.5, 0}: the weight transform is exact in f32 and is
+  loop-invariant — XLA hoists it out of the sampling scan.
+- The 16 per-tap contractions run as ONE batched GEMM
+  [16, B*Th*Tw, C] x [16, C, O] in bf16 with f32 accumulation, which is
+  where the 2.25x FLOP reduction lands on the MXU.
+
+Numerics: transforms exact in f32; the only loss vs a direct bf16 conv
+is bf16 rounding of V/U GEMM inputs (the tile transform grows the
+dynamic range by <= 4x, i.e. ~2 bits). Parity-tested against
+`lax.conv_general_dilated` (tests/test_winograd.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["winograd_conv3x3", "winograd_supported", "wino_conv_general_dilated"]
+
+# A^T (2x4), B^T (4x4), G (4x3) — F(2x2, 3x3)
+_AT = np.array([[1, 1, 1, 0],
+                [0, 1, -1, -1]], np.float32)
+_BT = np.array([[1, 0, -1, 0],
+                [0, 1, 1, 0],
+                [0, -1, 1, 0],
+                [0, 1, 0, -1]], np.float32)
+_G = np.array([[1, 0, 0],
+               [0.5, 0.5, 0.5],
+               [0.5, -0.5, 0.5],
+               [0, 0, 1]], np.float32)
+
+
+def winograd_supported(lhs_shape, rhs_shape, window_strides, padding) -> bool:
+    """stride-1 SAME 3x3 (the UNet/VAE resnet conv shape)."""
+    if tuple(window_strides) != (1, 1):
+        return False
+    if rhs_shape[:2] != (3, 3):
+        return False
+    if isinstance(padding, str):
+        return padding.upper() == "SAME"
+    return tuple(map(tuple, padding)) == ((1, 1), (1, 1))
+
+
+def winograd_conv3x3(x: jnp.ndarray, w: jnp.ndarray,
+                     gemm_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """NHWC x HWIO stride-1 SAME 3x3 conv via Winograd F(2x2,3x3).
+
+    Returns the same dtype as `jnp.promote_types(x, w)` (matching
+    `lax.conv_general_dilated`'s flax usage).
+    """
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+    out_dtype = jnp.promote_types(x.dtype, w.dtype)
+    Th, Tw = (H + 1) // 2, (W + 1) // 2
+
+    # SAME halo of 1 + tail padding to the tile grid
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (1, 2 * Th + 1 - H), (1, 2 * Tw + 1 - W), (0, 0)))
+
+    # d[i][j] [B,Th,Tw,C]: tap (i,j) of every tile (strided slices, no gather)
+    d = [[xp[:, i:i + 2 * Th - 1:2, j:j + 2 * Tw - 1:2, :] for j in range(4)]
+         for i in range(4)]
+
+    # V = B^T d B — adds/subs only (B^T rows: x0=d0-d2, x1=d1+d2,
+    # x2=d2-d1, x3=d1-d3), applied along rows then columns
+    def bt_apply(a):
+        return [a[0] - a[2], a[1] + a[2], a[2] - a[1], a[1] - a[3]]
+
+    cols = [bt_apply([d[i][j] for i in range(4)]) for j in range(4)]
+    V = [bt_apply([cols[j][x] for j in range(4)]) for x in range(4)]
+
+    # U = G g G^T [4,4,C,O] — f32 exact, loop-invariant (hoisted by XLA)
+    U = jnp.einsum("xi,ijco,yj->xyco", _G, w.astype(jnp.float32), _G)
+
+    # batched GEMM over the 16 taps: [16, B*Th*Tw, C] x [16, C, O]
+    Vs = jnp.stack([V[i][j] for i in range(4) for j in range(4)])
+    Vs = Vs.reshape(16, B * Th * Tw, C).astype(gemm_dtype)
+    Us = U.reshape(16, C, O).astype(gemm_dtype)
+    M = lax.dot_general(
+        Vs, Us, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(4, 4, B, Th, Tw, O)
+
+    # Y = A^T M A — adds/subs only (A^T rows: u0=m0+m1+m2, u1=m1-m2-m3)
+    def at_apply(a):
+        return [a[0] + a[1] + a[2], a[1] - a[2] - a[3]]
+
+    f = at_apply([M[i] for i in range(4)])               # [2][4,...]
+    Y = [at_apply([f[u][y] for y in range(4)]) for u in range(2)]
+    # Y[u][v] [B,Th,Tw,O] -> [B, Th,2, Tw,2, O] -> [B, 2Th, 2Tw, O]
+    y = jnp.stack([jnp.stack(Y[u], axis=3) for u in range(2)], axis=2)
+    y = y.reshape(B, 2 * Th, 2 * Tw, O)
+    return y[:, :H, :W, :].astype(out_dtype)
+
+
+def wino_conv_general_dilated(lhs, rhs, window_strides, padding,
+                              lhs_dilation=None, rhs_dilation=None,
+                              dimension_numbers=None, feature_group_count=1,
+                              batch_group_count=1, precision=None,
+                              preferred_element_type=None):
+    """Drop-in `lax.conv_general_dilated` for flax Conv: stride-1 SAME 3x3
+    NHWC convs go through Winograd F(2x2,3x3); everything else falls back
+    to the exact XLA conv."""
+    if (
+        feature_group_count == 1
+        and batch_group_count == 1
+        and dimension_numbers in (None, ("NHWC", "HWIO", "NHWC"))
+        and lhs_dilation in (None, (1, 1))
+        and rhs_dilation in (None, (1, 1))
+        and winograd_supported(lhs.shape, rhs.shape, window_strides, padding)
+    ):
+        return winograd_conv3x3(lhs, rhs)
+    return lax.conv_general_dilated(
+        lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+        dimension_numbers, feature_group_count, batch_group_count,
+        precision=precision, preferred_element_type=preferred_element_type,
+    )

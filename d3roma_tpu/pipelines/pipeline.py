@@ -325,7 +325,7 @@ class GuidedLatentDiffusionPipeline:
         from d3roma_tpu.pipelines.sampling import build_cond_concat
 
         pipe = self
-        if pipe.unet.quant not in ("static", "mxu"):
+        if pipe.unet.quant not in ("static", "mxu", "halo", "wino_static"):
             pipe = _dc.replace(
                 pipe, unet=_dc.replace(pipe.unet, quant="static"),
                 vae=_dc.replace(pipe.vae, quant="static"),

@@ -1,0 +1,101 @@
+"""Winograd F(2x2,3x3) conv: exactness vs lax.conv_general_dilated.
+
+The transforms are exact in f32, so with an f32 GEMM the result must
+match the direct conv to float tolerance; bf16-GEMM error must stay
+comparable to a direct bf16 conv's.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax import lax
+
+from d3roma_tpu.ops.winograd import (
+    wino_conv_general_dilated,
+    winograd_conv3x3,
+    winograd_supported,
+)
+
+
+def _direct(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 8, 8, 4, 6),      # even H/W
+    (1, 45, 80, 8, 8),    # the flagship latent grid (odd H)
+    (2, 7, 9, 3, 5),      # odd H and W
+    (1, 2, 2, 2, 2),      # single tile
+])
+def test_winograd_matches_direct_f32(shape):
+    B, H, W, C, O = shape
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (B, H, W, C), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, C, O), jnp.float32) / 3.0
+    ref = _direct(x, w)
+    got = winograd_conv3x3(x, w, gemm_dtype=jnp.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_winograd_bf16_error_comparable_to_direct_bf16():
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (2, 16, 20, 16), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, 16, 16), jnp.float32) / 3.0
+    exact = np.asarray(_direct(x, w))
+    direct_bf16 = np.asarray(
+        _direct(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    ).astype(np.float32)
+    wino_bf16 = np.asarray(
+        winograd_conv3x3(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    ).astype(np.float32)
+    err_direct = np.abs(direct_bf16 - exact).mean()
+    err_wino = np.abs(wino_bf16 - exact).mean()
+    # transform range growth costs ~2 bits -> allow 4x the direct error
+    assert err_wino < 4 * err_direct + 1e-6
+
+
+def test_dispatcher_gates():
+    assert winograd_supported((1, 8, 8, 4), (3, 3, 4, 4), (1, 1), "SAME")
+    assert winograd_supported((1, 8, 8, 4), (3, 3, 4, 4), (1, 1),
+                              ((1, 1), (1, 1)))
+    assert not winograd_supported((1, 8, 8, 4), (3, 3, 4, 4), (2, 2), "SAME")
+    assert not winograd_supported((1, 8, 8, 4), (1, 1, 4, 4), (1, 1), "SAME")
+    assert not winograd_supported((1, 8, 8, 4), (3, 3, 4, 4), (1, 1), "VALID")
+
+
+def test_dispatcher_fallback_matches_direct():
+    """Non-eligible convs (stride 2) route to the exact XLA conv."""
+    kx, kw = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(kx, (1, 8, 8, 4), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, 4, 6), jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = wino_conv_general_dilated(
+        x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_unet_wino_mode_close_to_bf16():
+    """quant='wino' routes every eligible UNet conv through Winograd and
+    stays close to the plain bf16 forward."""
+    from d3roma_tpu.models import UNet2DCondition
+
+    kw = dict(in_channels=8, out_channels=4,
+              block_out_channels=(32, 64, 64, 64),
+              attention_head_dim=8, cross_attention_dim=32, norm_groups=8,
+              dtype=jnp.bfloat16)
+    unet = UNet2DCondition(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 7, 32))
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x,
+                                jnp.array([0]), ctx)["params"]
+    ref = unet.apply({"params": params}, x, jnp.array([0]), ctx)
+    wino = UNet2DCondition(**{**kw, "quant": "wino"}).apply(
+        {"params": params}, x, jnp.array([0]), ctx)
+    assert jnp.abs(wino.astype(jnp.float32) - ref.astype(jnp.float32)).mean() \
+        < 0.05 * (jnp.abs(ref.astype(jnp.float32)).mean() + 1e-6)
