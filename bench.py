@@ -114,7 +114,11 @@ def bench_ldm(batch, reps):
         import dataclasses as _dc
 
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache", f"act_scales_b{batch}_s{steps}.json")
+                             ".bench_cache",
+                             # keyed by quant mode too: wino_static consumes
+                             # a different (dense-only) scale sequence than
+                             # static, and replay is call-order-strict
+                             f"act_scales_{quant}_b{batch}_s{steps}.json")
         if os.path.exists(cache) and os.environ.get("BENCH_CALIB") != "force":
             with open(cache) as f:
                 pipe = _dc.replace(pipe, act_scales=json.load(f))
