@@ -1,0 +1,118 @@
+"""Chipless AOT compile-check of pipeline programs against a v5e topology.
+
+No tunnel, no chip: libtpu compiles locally (incl. Mosaic kernels), so
+VMEM overflows / alignment errors / giant-program pathologies surface in
+seconds instead of a TPU round trip. Checks the exact programs that
+matter this round:
+
+  PB_WHAT=b1scan     the batch-1 5-step denoise scan (relay-killer repro)
+  PB_WHAT=b16wino    batch-16 wino_static UNet step
+  PB_WHAT=b16vae     batch-16 wino VAE decode
+  PB_WHAT=all        everything
+
+usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu TPU_SKIP_MDS_QUERY=1 \
+           python _scratch/aot_check.py [what]
+"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import topologies
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+WHAT = (sys.argv[1] if len(sys.argv) > 1 else
+        os.environ.get("PB_WHAT", "all"))
+
+topo = topologies.get_topology_desc("v5e:2x2x1", "tpu")
+mesh = Mesh(np.array(topo.devices).reshape(-1)[:1], "x")
+S = NamedSharding(mesh, P())
+
+
+def check(name, fn, *shape_structs, static=None):
+    t0 = time.time()
+    try:
+        jf = jax.jit(fn, in_shardings=(S,) * len(shape_structs),
+                     out_shardings=S, static_argnames=static)
+        jf.lower(*shape_structs).compile()
+        print(f"PASS {name} in {time.time()-t0:.0f}s", flush=True)
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL {name} after {time.time()-t0:.0f}s: "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+        return False
+
+
+from d3roma_tpu.models import AutoencoderKL, UNet2DCondition, widened_in_channels
+from d3roma_tpu.models.vae import decode_latent
+from d3roma_tpu.ops import ScheduleConfig
+from d3roma_tpu.pipelines import SamplerSpec
+from d3roma_tpu.pipelines.sampling import latent_decode_images, latent_denoise
+
+H, W = 360, 640
+in_ch = widened_in_channels("rgb+raw")
+sched = ScheduleConfig(
+    num_train_timesteps=1000, beta_schedule="scaled_linear",
+    beta_start=0.00085, beta_end=0.012, prediction_type="v_prediction",
+    clip_sample=False, timestep_spacing="leading", steps_offset=1,
+)
+spec = SamplerSpec("my_ddim", sched)
+tables = sched.tables()
+
+
+def param_structs(model, *init_args):
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *init_args)
+    return shapes["params"]
+
+
+def bf16_tree(t):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype), t)
+
+
+if WHAT in ("b1scan", "all"):
+    unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
+                           use_flash_attention="pallas-self", fused_ff=True,
+                           dtype=jnp.bfloat16)
+    p = bf16_tree(param_structs(
+        unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
+        jnp.zeros((1, 77, 1024))))
+
+    def scan_fn(params, key, conds):
+        def unet_apply(mi, t, ctx):
+            return unet.apply({"params": params}, mi, t, ctx)
+        return latent_denoise(unet_apply, jnp.zeros((1, 77, 1024)), spec,
+                              tables, key, 5, 1, conds, {}, "rgb+raw",
+                              noise_dtype=jnp.float32)
+
+    check("b1 scan 5-step 360x640", scan_fn, p,
+          jax.ShapeDtypeStruct((2,), jnp.uint32),
+          jax.ShapeDtypeStruct((1, H // 8, W // 8, 8), jnp.float32))
+
+if WHAT in ("b16wino", "all"):
+    unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
+                           use_flash_attention="pallas-self", fused_ff=True,
+                           quant="wino_static", dtype=jnp.bfloat16)
+    p = bf16_tree(param_structs(
+        unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
+        jnp.zeros((1, 77, 1024))))
+
+    def step_fn(params, x, ctx):
+        return unet.apply({"params": params}, x, jnp.full((16,), 500), ctx)
+
+    check("b16 wino_static UNet step", step_fn, p,
+          jax.ShapeDtypeStruct((16, H // 8, W // 8, in_ch), jnp.bfloat16),
+          jax.ShapeDtypeStruct((16, 77, 1024), jnp.bfloat16))
+
+if WHAT in ("b16vae", "all"):
+    vae = AutoencoderKL(quant="wino", dtype=jnp.bfloat16)
+    vp = bf16_tree(param_structs(vae, jnp.zeros((1, 64, 64, 3))))
+
+    def dec_fn(params, kept):
+        def va(x, method):
+            return vae.apply({"params": params}, x, method=method)
+        return latent_decode_images(lambda z: decode_latent(va, z), kept)
+
+    check("b16 wino VAE decode", dec_fn, vp,
+          jax.ShapeDtypeStruct((1, 16, H // 8, W // 8, 4), jnp.float32))
