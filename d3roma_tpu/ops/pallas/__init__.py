@@ -12,6 +12,10 @@
   softmax, optional int8 MXU dots.
 - geglu.py: fused GEGLU feed-forward (proj -> gelu-gate -> out-proj) —
   the 8x-wide intermediate never leaves VMEM; optional int8 MXU dots.
+- winograd_fused.py: fused Winograd F(2x2,3x3) conv — the transformed
+  tiles V and tap products M stay in VMEM (the XLA Winograd is
+  HBM-bound on their round trips); 2.25x fewer MXU FLOPs than any
+  direct-form conv.
 """
 
 from d3roma_tpu.ops.pallas.attention import (  # noqa: F401
@@ -30,4 +34,8 @@ from d3roma_tpu.ops.pallas.geglu import geglu_ff  # noqa: F401
 from d3roma_tpu.ops.pallas.groupnorm import (  # noqa: F401
     fused_group_norm_silu,
     group_norm_silu_supported,
+)
+from d3roma_tpu.ops.pallas.winograd_fused import (  # noqa: F401
+    conv3x3_wino_fused,
+    wino_fused_supported,
 )

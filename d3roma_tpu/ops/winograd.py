@@ -126,6 +126,22 @@ def wino_conv_general_dilated(lhs, rhs, window_strides, padding,
         and rhs_dilation in (None, (1, 1))
         and winograd_supported(lhs.shape, rhs.shape, window_strides, padding)
     ):
+        import os
+
+        import jax
+
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("D3ROMA_WINO_FUSED", "1") == "1"):
+            from d3roma_tpu.ops.pallas.winograd_fused import (
+                conv3x3_wino_fused,
+                pick_block_tr,
+            )
+
+            tr = pick_block_tr(lhs.shape, rhs.shape)
+            if tr is not None:
+                # fused kernel: V/M stay in VMEM (the XLA formulation
+                # below is HBM-bound on their round trips)
+                return conv3x3_wino_fused(lhs, rhs, block_tr=tr)
         return winograd_conv3x3(lhs, rhs)
     return lax.conv_general_dilated(
         lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,

@@ -99,3 +99,42 @@ def test_unet_wino_mode_close_to_bf16():
         {"params": params}, x, jnp.array([0]), ctx)
     assert jnp.abs(wino.astype(jnp.float32) - ref.astype(jnp.float32)).mean() \
         < 0.05 * (jnp.abs(ref.astype(jnp.float32)).mean() + 1e-6)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 16, 16, 8, 8),
+    (2, 13, 17, 8, 16),   # odd H/W, O > C
+    (1, 45, 80, 16, 8),   # flagship latent grid
+])
+def test_fused_kernel_matches_direct(shape):
+    """The Pallas fused Winograd kernel (interpret mode) reproduces the
+    direct conv to bf16-GEMM tolerance."""
+    from d3roma_tpu.ops.pallas.winograd_fused import conv3x3_wino_fused
+
+    B, H, W, C, O = shape
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (B, H, W, C), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, C, O), jnp.float32) / 3.0
+    ref = np.asarray(_direct(x, w))
+    got = np.asarray(conv3x3_wino_fused(x, w, block_tr=2, interpret=True))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02
+
+
+def test_fused_block_tr_selection():
+    from d3roma_tpu.ops.pallas.winograd_fused import (
+        pick_block_tr,
+        wino_fused_supported,
+    )
+
+    # flagship latent site: biggest block fits
+    assert pick_block_tr((16, 45, 80, 320), (3, 3, 320, 320)) == 8
+    # full-res VAE site: tr=8 overflows VMEM (measured), tr=4 fits
+    assert pick_block_tr((16, 360, 640, 128), (3, 3, 128, 128)) == 4
+    # th=12: tr=8 pads 12->16 (33% waste), tr=4 is exact
+    assert pick_block_tr((16, 23, 40, 640), (3, 3, 640, 640)) == 4
+    assert wino_fused_supported((16, 45, 80, 320), (3, 3, 320, 320),
+                                (1, 1), "SAME")
+    assert not wino_fused_supported((16, 45, 80, 320), (3, 3, 320, 320),
+                                    (2, 2), "SAME")
