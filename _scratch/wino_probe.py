@@ -15,6 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from d3roma_tpu.ops.pallas.winograd_fused import (
+    conv3x3_wino_fused,
+    pick_block_tr,
+)
 from d3roma_tpu.ops.quant import int8_conv_general_dilated_static
 from d3roma_tpu.ops.winograd import winograd_conv3x3
 
@@ -79,8 +83,14 @@ for (B, H, W, C, O) in sites:
         return y if O == C else (
             y[..., :C] if O > C else jnp.tile(y, (1, 1, 1, C // O)))
 
+    def winof(c, wt):
+        tr = pick_block_tr(c.shape, wt.shape)
+        y = conv3x3_wino_fused(c, wt, block_tr=tr)
+        return y if O == C else (
+            y[..., :C] if O > C else jnp.tile(y, (1, 1, 1, C // O)))
+
     for name, fn in (("xla bf16 ", direct), ("xla int8 ", int8c),
-                     ("wino bf16", wino)):
+                     ("wino bf16", wino), ("wino FUSED", winof)):
         try:
             timed(name, fn, x, w, flops)
         except Exception as e:  # noqa: BLE001
