@@ -130,8 +130,12 @@ def wino_conv_general_dilated(lhs, rhs, window_strides, padding,
 
         import jax
 
-        if (jax.default_backend() == "tpu"
-                and os.environ.get("D3ROMA_WINO_FUSED", "1") == "1"):
+        fused_env = os.environ.get("D3ROMA_WINO_FUSED", "1")
+        # "force" routes the fused kernel regardless of the default
+        # backend — for chipless AOT compile-checks where the default
+        # backend is cpu but the lowering target is the TPU topology
+        if (fused_env == "force"
+                or (jax.default_backend() == "tpu" and fused_env == "1")):
             from d3roma_tpu.ops.pallas.winograd_fused import (
                 conv3x3_wino_fused,
                 pick_block_tr,
