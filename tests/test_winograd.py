@@ -138,3 +138,41 @@ def test_fused_block_tr_selection():
                                 (1, 1), "SAME")
     assert not wino_fused_supported((16, 45, 80, 320), (3, 3, 320, 320),
                                     (2, 2), "SAME")
+
+
+def test_wino_static_pipeline_end_metric_gate():
+    """End-metric gate for the wino_static mode: the full latent pipeline
+    with Winograd convs + calibrated static-int8 denses stays close to
+    the bf16 output, and calibrate() keeps wino_static's (dense-only)
+    scale sequence."""
+    import dataclasses as _dc
+
+    from tests.test_calibration import _tiny_latent_pipe
+
+    pipe = _tiny_latent_pipe()
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2),
+                                    (1, 32, 32, 1))) * 0.3
+    kwargs = dict(num_inference_steps=3, num_intermediate_images=1,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+
+    out_f = np.asarray(pipe(jax.random.PRNGKey(9), **kwargs).images)
+
+    wino = _dc.replace(
+        pipe, unet=_dc.replace(pipe.unet, quant="wino_static"),
+        vae=_dc.replace(pipe.vae, quant="wino_static"))
+    cal = wino.calibrate(
+        jax.random.PRNGKey(3), [dict(rgb_images=rgb, sim_disp=raw)],
+        cond_channels="rgb+raw", num_inference_steps=3)
+    out_w = np.asarray(cal(jax.random.PRNGKey(9), **kwargs).images)
+
+    scale = np.abs(out_f).mean()
+    assert np.abs(out_w - out_f).mean() < 0.05 * max(scale, 0.1)
+
+    # pure-wino (bf16 denses) must be tighter still
+    wino_bf = _dc.replace(
+        pipe, unet=_dc.replace(pipe.unet, quant="wino"),
+        vae=_dc.replace(pipe.vae, quant="wino"))
+    out_wb = np.asarray(wino_bf(jax.random.PRNGKey(9), **kwargs).images)
+    assert np.abs(out_wb - out_f).mean() < 0.02 * max(scale, 0.1)
