@@ -71,18 +71,26 @@ def _block_budget(x_shape, w_shape, block_tr: int, o_block: int) -> int:
     return taps + u + v16 + m + y
 
 
+# Measured on the AOT compiler: blocks estimated at >= ~15 MB fail Mosaic
+# VMEM allocation (transform temps ride on top of this estimate); every
+# passing site sits at <= ~11 MB. 13 MB keeps margin for the temps.
+_VMEM_CAP = 13 * 1024 * 1024
+
+
 def pick_block_tr(x_shape, w_shape, o_block: int = 128):
-    """block_tr minimizing row-padding waste within the VMEM budget
-    (ties -> larger blocks); None if nothing fits."""
+    """Largest block_tr within the VMEM budget whose row-padding waste is
+    within 10% of the best achievable (bigger blocks -> bigger GEMM M;
+    tiny waste savings don't justify halving it); None if nothing fits."""
     th = (x_shape[1] + 1) // 2
-    best = None
-    for tr in (8, 4, 2):
-        if _block_budget(x_shape, w_shape, tr, o_block) > 30 * 1024 * 1024:
-            continue
-        waste = _round_up(th, tr)
-        if best is None or waste < best[0]:
-            best = (waste, tr)
-    return best[1] if best else None
+    fitting = [tr for tr in (8, 4, 2)
+               if _block_budget(x_shape, w_shape, tr, o_block) <= _VMEM_CAP]
+    if not fitting:
+        return None
+    best_ratio = min(_round_up(th, tr) / th for tr in fitting)
+    for tr in fitting:  # descending size
+        if _round_up(th, tr) / th <= best_ratio * 1.10:
+            return tr
+    return fitting[-1]
 
 
 def wino_fused_supported(x_shape, w_shape, strides, padding,
@@ -100,46 +108,53 @@ def wino_fused_supported(x_shape, w_shape, strides, padding,
     return pick_block_tr(x_shape, w_shape, o_block) is not None
 
 
-def _kernel(xj_hbm0, xj_hbm1, xj_hbm2, xj_hbm3, u_ref, o_ref, bufs, sems,
-            *, block_tr, twp, cp, o_blk, out_dtype):
-    """One grid step: DMA 4 tap windows, 16 transform+GEMMs, A^T, write."""
+def _kernel(xj_hbm0, xj_hbm1, xj_hbm2, xj_hbm3, u_ref, o_ref, bufs, v_ref,
+            sems, *, block_tr, twp, cp, o_blk, out_dtype):
+    """One grid step: DMA 4 tap windows, 16 transform+GEMMs, A^T, write.
+
+    The o-block grid dim iterates innermost over the SAME input window:
+    the tap DMAs and the B^T transforms run only at o==0 and the
+    transformed tiles V persist in scratch across the o steps (TPU grid
+    steps are sequential; scratch persists) — at the 320->320 latent
+    site this saves 2/3 of both the DMA traffic and the VPU transform
+    work."""
     TR = block_tr
     b = pl.program_id(0)
     r = pl.program_id(1)
 
-    xj = (xj_hbm0, xj_hbm1, xj_hbm2, xj_hbm3)
-    copies = []
-    for j in range(4):
-        c = pltpu.make_async_copy(
-            xj[j].at[b, pl.ds(r * 2 * TR, 2 * TR + 2)],
-            bufs.at[j], sems.at[j],
-        )
-        c.start()
-        copies.append(c)
-    for c in copies:
-        c.wait()
+    @pl.when(pl.program_id(2) == 0)
+    def _load_and_transform():
+        xj = (xj_hbm0, xj_hbm1, xj_hbm2, xj_hbm3)
+        copies = []
+        for j in range(4):
+            c = pltpu.make_async_copy(
+                xj[j].at[b, pl.ds(r * 2 * TR, 2 * TR + 2)],
+                bufs.at[j], sems.at[j],
+            )
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
 
-    def bt(a):  # B^T combination (adds only)
-        return [a[0] - a[2], a[1] + a[2], a[2] - a[1], a[1] - a[3]]
+        def bt(a):  # B^T combination (adds only)
+            return [a[0] - a[2], a[1] + a[2], a[2] - a[1], a[1] - a[3]]
 
-    # per tile-row: rows d[i][j] = bufs[j, 2*tr+i] (row dim is untiled),
-    # row-combine over i, column-combine over j -> 16 V rows per tr,
-    # accumulated per tap; then one [TR*twp, cp] GEMM per tap.
-    v_rows = [[None] * TR for _ in range(16)]
-    for tr in range(TR):
-        d = [[bufs[j, 2 * tr + i].astype(jnp.float32) for j in range(4)]
-             for i in range(4)]
-        e = [bt([d[i][j] for i in range(4)]) for j in range(4)]  # e[j][x]
-        for x in range(4):
-            col = bt([e[j][x] for j in range(4)])                # col[y]
-            for y in range(4):
-                v_rows[x * 4 + y][tr] = col[y].astype(jnp.bfloat16)
+        # per tile-row: rows d[i][j] = bufs[j, 2*tr+i] (row dim untiled),
+        # row-combine over i, column-combine over j -> 16 V rows per tr
+        for tr in range(TR):
+            d = [[bufs[j, 2 * tr + i].astype(jnp.float32) for j in range(4)]
+                 for i in range(4)]
+            e = [bt([d[i][j] for i in range(4)]) for j in range(4)]  # e[j][x]
+            for x in range(4):
+                col = bt([e[j][x] for j in range(4)])                # col[y]
+                for y in range(4):
+                    v_ref[x * 4 + y, pl.ds(tr * twp, twp)] = (
+                        col[y].astype(jnp.bfloat16))
 
     m_taps = []
     for t in range(16):
-        v = jnp.concatenate(v_rows[t], axis=0)               # [TR*twp, cp]
         m = jax.lax.dot_general(
-            v, u_ref[t],
+            v_ref[t], u_ref[t],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -205,6 +220,7 @@ def conv3x3_wino_fused(x, w, block_tr: int = 8, o_block: int = 128,
         out_shape=jax.ShapeDtypeStruct((B, 2 * th, twp, 2 * op), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((4, 2 * TR + 2, twp, cp), jnp.bfloat16),
+            pltpu.VMEM((16, TR * twp, cp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

@@ -130,10 +130,12 @@ def test_fused_block_tr_selection():
 
     # flagship latent site: biggest block fits
     assert pick_block_tr((16, 45, 80, 320), (3, 3, 320, 320)) == 8
-    # full-res VAE site: tr=8 overflows VMEM (measured), tr=4 fits
-    assert pick_block_tr((16, 360, 640, 128), (3, 3, 128, 128)) == 4
+    # full-res VAE site: wide rows -> only tr=2 fits the VMEM cap
+    assert pick_block_tr((16, 360, 640, 128), (3, 3, 128, 128)) == 2
     # th=12: tr=8 pads 12->16 (33% waste), tr=4 is exact
     assert pick_block_tr((16, 23, 40, 640), (3, 3, 640, 640)) == 4
+    # wide-C site: VMEM cap forces tr=4 (tr=8 measured-fails Mosaic)
+    assert pick_block_tr((16, 45, 80, 640), (3, 3, 640, 320)) == 4
     assert wino_fused_supported((16, 45, 80, 320), (3, 3, 320, 320),
                                 (1, 1), "SAME")
     assert not wino_fused_supported((16, 45, 80, 320), (3, 3, 320, 320),
