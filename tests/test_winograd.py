@@ -178,3 +178,19 @@ def test_wino_static_pipeline_end_metric_gate():
         vae=_dc.replace(pipe.vae, quant="wino"))
     out_wb = np.asarray(wino_bf(jax.random.PRNGKey(9), **kwargs).images)
     assert np.abs(out_wb - out_f).mean() < 0.02 * max(scale, 0.1)
+
+
+def test_fused_kernel_multi_o_block():
+    """O > o_block exercises the V-cache-across-o-blocks path and the
+    o-block-major (v, o) lane un-interleave."""
+    from d3roma_tpu.ops.pallas.winograd_fused import conv3x3_wino_fused
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(kx, (1, 10, 12, 8), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, 8, 160), jnp.float32) / 3.0
+    ref = np.asarray(_direct(x, w))
+    got = np.asarray(conv3x3_wino_fused(x, w, block_tr=2, o_block=128,
+                                        interpret=True))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02
