@@ -103,22 +103,30 @@ class D3RoMa:
         return pipeline
 
     # ------------------------------------------------------------------ #
-    def infer_with_rgb_raw(self, rgb: np.ndarray, raw_depth: np.ndarray) -> np.ndarray:
-        """RGB (uint8, aligned with depth) + raw depth (meters) -> restored
-        metric depth (reference: inference.py:98-134)."""
+    def _prep_rgb_raw(self, rgb: np.ndarray, raw_depth: np.ndarray):
+        """Shared host prep: resize to the camera resolution, depth (m) ->
+        raw disparity (reference: inference.py:98-134)."""
         cv2 = _cv2()
         assert rgb.dtype == np.uint8
         if rgb.ndim == 2:
             rgb = np.tile(rgb[..., None], (1, 1, 3))
         rgb = rgb[..., :3]
-        rgb = cv2.resize(rgb, self.camera.resolution[::-1], interpolation=cv2.INTER_LINEAR)
+        rgb = cv2.resize(rgb, self.camera.resolution[::-1],
+                         interpolation=cv2.INTER_LINEAR)
         if raw_depth.shape[:2] != tuple(self.camera.resolution):
             raw_depth = cv2.resize(raw_depth, self.camera.resolution[::-1],
                                    interpolation=cv2.INTER_NEAREST)
-
         assert self.config.prediction_space == "disp", "not implemented"
-        raw_disp = np.where(raw_depth > 0, self.camera.fxb_depth / np.maximum(raw_depth, 1e-8), 0.0)
-        return self.run_pipeline(None, None, raw_disp.astype(np.float32), rgb)
+        raw_disp = np.where(
+            raw_depth > 0,
+            self.camera.fxb_depth / np.maximum(raw_depth, 1e-8), 0.0)
+        return rgb, raw_disp.astype(np.float32)
+
+    def infer_with_rgb_raw(self, rgb: np.ndarray, raw_depth: np.ndarray) -> np.ndarray:
+        """RGB (uint8, aligned with depth) + raw depth (meters) -> restored
+        metric depth (reference: inference.py:98-134)."""
+        rgb, raw_disp = self._prep_rgb_raw(rgb, raw_depth)
+        return self.run_pipeline(None, None, raw_disp, rgb)
 
     def infer_with_rgb_raw_batch(self, frames) -> List[np.ndarray]:
         """Batched `infer_with_rgb_raw`: N (rgb, raw_depth) frames in ONE
@@ -132,24 +140,11 @@ class D3RoMa:
         float meters [H,W]). Returns a list of [H,W] float32 metric
         depths, frame order preserved.
         """
-        cv2 = _cv2()
         rgbs, disps = [], []
         for rgb, raw_depth in frames:
-            assert rgb.dtype == np.uint8
-            if rgb.ndim == 2:
-                rgb = np.tile(rgb[..., None], (1, 1, 3))
-            rgb = rgb[..., :3]
-            rgb = cv2.resize(rgb, self.camera.resolution[::-1],
-                             interpolation=cv2.INTER_LINEAR)
-            if raw_depth.shape[:2] != tuple(self.camera.resolution):
-                raw_depth = cv2.resize(raw_depth, self.camera.resolution[::-1],
-                                       interpolation=cv2.INTER_NEAREST)
-            disps.append(np.where(
-                raw_depth > 0,
-                self.camera.fxb_depth / np.maximum(raw_depth, 1e-8),
-                0.0).astype(np.float32))
+            rgb, raw_disp = self._prep_rgb_raw(rgb, raw_depth)
             rgbs.append(rgb)
-        assert self.config.prediction_space == "disp", "not implemented"
+            disps.append(raw_disp)
         depths = self.run_pipeline_batch(np.stack(disps), np.stack(rgbs))
         return [depths[i] for i in range(len(frames))]
 

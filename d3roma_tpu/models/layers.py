@@ -50,9 +50,14 @@ def _conv_q(quant) -> dict:
     if not quant or quant == "dense":
         return {}
     if quant in ("wino", "wino_static"):
-        from d3roma_tpu.ops.winograd import wino_conv_general_dilated
+        from d3roma_tpu.ops.winograd import (
+            wino_conv_general_dilated,
+            wino_static_conv_general_dilated,
+        )
 
-        return {"conv_general_dilated": wino_conv_general_dilated}
+        return {"conv_general_dilated": (
+            wino_static_conv_general_dilated if quant == "wino_static"
+            else wino_conv_general_dilated)}
     if quant == "halo":
         return {"conv_general_dilated": int8_conv_halo}
     if quant == "mxu":

@@ -56,34 +56,46 @@ _G = np.array([[1, 0, 0],
                [0, 0, 1]], np.float32)
 
 
-def _block_budget(x_shape, w_shape, block_tr: int, o_block: int) -> int:
-    """Peak VMEM bytes of one grid step (measured-validated: the
-    16x360x640 128ch site fails at tr=8 and passes at tr=4)."""
+def _block_budget(x_shape, block_tr: int, o_block: int) -> int:
+    """Peak VMEM bytes of one grid step.
+
+    The pipelined blocks (the u weight block and the output block) are
+    DOUBLE-buffered by Mosaic across grid steps — counted twice. This is
+    AOT-probe-validated across every model conv site
+    (_scratch/wino_sites_aot.py): with single-counted u, the C=1280
+    sites (u = 5 MB) estimated 12.0 MB and failed Mosaic VMEM
+    allocation; every site this model admits compiles."""
     _, _, W, C = x_shape
     cp = _round_up(C, _LANES)
     twp = _round_up((W + 1) // 2, _SUBL)
     tr = block_tr
     taps = 4 * (2 * tr + 2) * twp * cp * 2          # DMA'd input windows
-    u = 16 * cp * o_block * 2                       # transformed weights
+    u = 16 * cp * o_block * 2 * 2                   # weights (dbl-buffered)
     v16 = 16 * tr * twp * cp * 2                    # ALL taps' V rows live
     m = 16 * tr * twp * o_block * 4                 # f32 tap products
-    y = 2 * tr * twp * 2 * o_block * 4              # output block (f32)
+    y = 2 * tr * twp * 2 * o_block * 4 * 2          # out blk (dbl-buffered)
     return taps + u + v16 + m + y
 
 
-# Measured on the AOT compiler: blocks estimated at >= ~15 MB fail Mosaic
-# VMEM allocation (transform temps ride on top of this estimate); every
-# passing site sits at <= ~11 MB. 13 MB keeps margin for the temps.
+# AOT-probe measured: every admitted (site, tr, o_block) compiles and the
+# rejected ones fail Mosaic VMEM allocation; 13 MB leaves margin for the
+# transform temps that ride on top of this estimate.
 _VMEM_CAP = 13 * 1024 * 1024
 
 
-def pick_block_tr(x_shape, w_shape, o_block: int = 128):
+def pick_block_tr(x_shape, o_block: int = 128):
     """Largest block_tr within the VMEM budget whose row-padding waste is
     within 10% of the best achievable (bigger blocks -> bigger GEMM M;
-    tiny waste savings don't justify halving it); None if nothing fits."""
+    tiny waste savings don't justify halving it). None if nothing fits OR
+    the per-block GEMM M (= tr * twp) would starve the MXU — tiny tile
+    grids (the UNet's 12x20 / 6x10 bottom levels) are better served by
+    the XLA Winograd, which folds the batch into the GEMM M dim (and
+    whose small slabs don't hit the HBM-inflation cap there)."""
     th = (x_shape[1] + 1) // 2
+    twp = _round_up((x_shape[2] + 1) // 2, _SUBL)
     fitting = [tr for tr in (8, 4, 2)
-               if _block_budget(x_shape, w_shape, tr, o_block) <= _VMEM_CAP]
+               if _block_budget(x_shape, tr, o_block) <= _VMEM_CAP
+               and tr * twp >= 96]
     if not fitting:
         return None
     best_ratio = min(_round_up(th, tr) / th for tr in fitting)
@@ -91,6 +103,20 @@ def pick_block_tr(x_shape, w_shape, o_block: int = 128):
         if _round_up(th, tr) / th <= best_ratio * 1.10:
             return tr
     return fitting[-1]
+
+
+def pick_config(x_shape):
+    """(block_tr, o_block) for the fused kernel, or None.
+
+    o_block is always 128: Mosaic requires the u weight block's last dim
+    to be a full lane tile (o_block=64 fails lowering — AOT-probed), and
+    shrinking it would not rescue the wide-C sites anyway: at C=1280 the
+    fused kernel re-streams the 5 MB u block for every (batch, row-block)
+    grid step (~2.5 GB/call vs the XLA formulation's single 52 MB weight
+    read), so those sites are weight-bound and belong on the XLA
+    Winograd, which they fall back to when this returns None."""
+    tr = pick_block_tr(x_shape, 128)
+    return None if tr is None else (tr, 128)
 
 
 def wino_fused_supported(x_shape, w_shape, strides, padding,
@@ -105,7 +131,7 @@ def wino_fused_supported(x_shape, w_shape, strides, padding,
             return False
     elif tuple(map(tuple, padding)) != ((1, 1), (1, 1)):
         return False
-    return pick_block_tr(x_shape, w_shape, o_block) is not None
+    return pick_config(x_shape) is not None
 
 
 def _kernel(xj_hbm0, xj_hbm1, xj_hbm2, xj_hbm3, u_ref, o_ref, bufs, v_ref,

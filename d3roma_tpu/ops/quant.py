@@ -33,6 +33,21 @@ from jax import lax
 _EPS = 1e-8
 
 
+def is_nhwc_dn(dimension_numbers) -> bool:
+    """True iff `dimension_numbers` denotes NHWC/HWIO/NHWC.
+
+    flax nn.Conv passes a NUMERIC lax.ConvDimensionNumbers (lhs_spec
+    (0,3,1,2), rhs_spec (3,2,0,1), out_spec (0,3,1,2)), never the string
+    tuple — a gate comparing against ("NHWC","HWIO","NHWC") silently
+    rejects every real model call and falls back to the XLA conv."""
+    dn = dimension_numbers
+    if dn is None or dn == ("NHWC", "HWIO", "NHWC"):
+        return True
+    return (getattr(dn, "lhs_spec", None) == (0, 3, 1, 2)
+            and getattr(dn, "rhs_spec", None) == (3, 2, 0, 1)
+            and getattr(dn, "out_spec", None) == (0, 3, 1, 2))
+
+
 def absmax_scale(x: jnp.ndarray, axes) -> jnp.ndarray:
     """Symmetric absmax scale over `axes`, kept-dims, >= _EPS (so exact-zero
     tensors quantize to zeros instead of NaN)."""
@@ -230,7 +245,7 @@ def int8_conv_mxu(lhs, rhs, window_strides, padding,
         and batch_group_count == 1
         # the Pallas kernel assumes NHWC/HWIO; any other layout must take
         # the XLA path or results would be silently transposed
-        and dimension_numbers in (None, ("NHWC", "HWIO", "NHWC"))
+        and is_nhwc_dn(dimension_numbers)
         and lhs_dilation in (None, (1, 1))
         and rhs_dilation in (None, (1, 1))
         # the kernel's VMEM frame block is int8 (quantized pre-kernel)
@@ -325,7 +340,7 @@ def int8_conv_halo(lhs, rhs, window_strides, padding,
     if (
         feature_group_count == 1
         and batch_group_count == 1
-        and dimension_numbers in (None, ("NHWC", "HWIO", "NHWC"))
+        and is_nhwc_dn(dimension_numbers)
         and lhs_dilation in (None, (1, 1))
         and rhs_dilation in (None, (1, 1))
         and halo_conv_supported(lhs.shape, rhs.shape, window_strides, padding)

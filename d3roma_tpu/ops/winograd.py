@@ -32,6 +32,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from d3roma_tpu.ops.quant import is_nhwc_dn
+
 __all__ = ["winograd_conv3x3", "winograd_supported", "wino_conv_general_dilated"]
 
 # A^T (2x4), B^T (4x4), G (4x3) — F(2x2, 3x3)
@@ -110,44 +112,129 @@ def winograd_conv3x3(x: jnp.ndarray, w: jnp.ndarray,
     return y[:, :H, :W, :].astype(out_dtype)
 
 
+# Winograd inflates HBM liveness: the tap-split ships ~2x the (lane-
+# padded) input slab and the padded/interleaved output adds ~2x more.
+# At the VAE's full-resolution slabs (943 MB each at batch 16) that
+# blows past the 16 GB chip (measured: wino on every VAE-decode conv
+# compiles to 31.7 GB of HBM). Big slabs either stay on the direct conv
+# — which XLA already runs near its int8 roofline at exactly those
+# shapes (161-224 TFLOP/s, docs/PERFORMANCE.md) — or, with
+# D3ROMA_WINO_CHUNK=1, run Winograd in a serialized `lax.map` over
+# batch chunks so only one chunk's inflated temporaries are live at a
+# time (per-image tile grids at full res are still huge GEMM M dims:
+# 180x320 = 57.6k rows per frame).
+_WINO_SLAB_CAP_MB = 256
+
+
+def _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
+                   rhs_dilation, dimension_numbers, feature_group_count,
+                   batch_group_count):
+    """Batch-chunk size to run Winograd with, or None if ineligible.
+
+    Returns B (no chunking) when the whole slab fits the HBM-inflation
+    cap; a smaller divisor of B when chunking is enabled and a chunk
+    fits; None otherwise (caller falls back to the direct conv)."""
+    import os
+
+    if not (
+        feature_group_count == 1
+        and batch_group_count == 1
+        and is_nhwc_dn(dimension_numbers)
+        and lhs_dilation in (None, (1, 1))
+        and rhs_dilation in (None, (1, 1))
+        and winograd_supported(lhs.shape, rhs.shape, window_strides, padding)
+    ):
+        return None
+    B, H, W, C = lhs.shape
+    cp = -(-C // 128) * 128
+    cap = float(os.environ.get("D3ROMA_WINO_SLAB_MB", _WINO_SLAB_CAP_MB))
+
+    def fits(bc):
+        return bc * H * W * cp * 2 / 2**20 <= cap
+
+    if fits(B):
+        return B
+    if os.environ.get("D3ROMA_WINO_CHUNK", "0") != "1":
+        return None
+    for bc in range(B - 1, 0, -1):
+        if B % bc == 0 and fits(bc):
+            return bc
+    return None
+
+
+def _wino_dispatch_single(lhs, rhs):
+    import os
+
+    import jax
+
+    fused_env = os.environ.get("D3ROMA_WINO_FUSED", "1")
+    # "force" routes the fused kernel regardless of the default backend —
+    # for chipless AOT compile-checks where the default backend is cpu
+    # but the lowering target is the TPU topology
+    if (fused_env == "force"
+            or (jax.default_backend() == "tpu" and fused_env == "1")):
+        from d3roma_tpu.ops.pallas.winograd_fused import (
+            conv3x3_wino_fused,
+            pick_config,
+        )
+
+        cfg = pick_config(lhs.shape)
+        if cfg is not None:
+            # fused kernel: V/M stay in VMEM (the XLA formulation below
+            # is HBM-bound on their round trips)
+            return conv3x3_wino_fused(lhs, rhs, block_tr=cfg[0],
+                                      o_block=cfg[1])
+    return winograd_conv3x3(lhs, rhs)
+
+
+def _wino_dispatch(lhs, rhs, bc):
+    B = lhs.shape[0]
+    if bc == B:
+        return _wino_dispatch_single(lhs, rhs)
+    xs = lhs.reshape(B // bc, bc, *lhs.shape[1:])
+    ys = lax.map(lambda xc: _wino_dispatch_single(xc, rhs), xs)
+    return ys.reshape(B, *ys.shape[2:])
+
+
 def wino_conv_general_dilated(lhs, rhs, window_strides, padding,
                               lhs_dilation=None, rhs_dilation=None,
                               dimension_numbers=None, feature_group_count=1,
                               batch_group_count=1, precision=None,
                               preferred_element_type=None):
     """Drop-in `lax.conv_general_dilated` for flax Conv: stride-1 SAME 3x3
-    NHWC convs go through Winograd F(2x2,3x3); everything else falls back
-    to the exact XLA conv."""
-    if (
-        feature_group_count == 1
-        and batch_group_count == 1
-        and dimension_numbers in (None, ("NHWC", "HWIO", "NHWC"))
-        and lhs_dilation in (None, (1, 1))
-        and rhs_dilation in (None, (1, 1))
-        and winograd_supported(lhs.shape, rhs.shape, window_strides, padding)
-    ):
-        import os
-
-        import jax
-
-        fused_env = os.environ.get("D3ROMA_WINO_FUSED", "1")
-        # "force" routes the fused kernel regardless of the default
-        # backend — for chipless AOT compile-checks where the default
-        # backend is cpu but the lowering target is the TPU topology
-        if (fused_env == "force"
-                or (jax.default_backend() == "tpu" and fused_env == "1")):
-            from d3roma_tpu.ops.pallas.winograd_fused import (
-                conv3x3_wino_fused,
-                pick_block_tr,
-            )
-
-            tr = pick_block_tr(lhs.shape, rhs.shape)
-            if tr is not None:
-                # fused kernel: V/M stay in VMEM (the XLA formulation
-                # below is HBM-bound on their round trips)
-                return conv3x3_wino_fused(lhs, rhs, block_tr=tr)
-        return winograd_conv3x3(lhs, rhs)
+    NHWC convs within the slab cap go through Winograd F(2x2,3x3);
+    everything else falls back to the exact XLA conv (the 'wino' mode)."""
+    bc = _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
+                        rhs_dilation, dimension_numbers, feature_group_count,
+                        batch_group_count)
+    if bc is not None:
+        return _wino_dispatch(lhs, rhs, bc)
     return lax.conv_general_dilated(
+        lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+        dimension_numbers, feature_group_count, batch_group_count,
+        precision=precision, preferred_element_type=preferred_element_type,
+    )
+
+
+def wino_static_conv_general_dilated(lhs, rhs, window_strides, padding,
+                                     lhs_dilation=None, rhs_dilation=None,
+                                     dimension_numbers=None,
+                                     feature_group_count=1,
+                                     batch_group_count=1, precision=None,
+                                     preferred_element_type=None):
+    """The 'wino_static' conv: Winograd where eligible, the static-int8
+    XLA conv for everything else (big slabs, strides) — the measured-best
+    direct path at those shapes. Routing is shape-deterministic, so the
+    calibration capture and replay passes traverse the same static-int8
+    call sequence."""
+    bc = _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
+                        rhs_dilation, dimension_numbers, feature_group_count,
+                        batch_group_count)
+    if bc is not None:
+        return _wino_dispatch(lhs, rhs, bc)
+    from d3roma_tpu.ops.quant import int8_conv_general_dilated_static
+
+    return int8_conv_general_dilated_static(
         lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
         dimension_numbers, feature_group_count, batch_group_count,
         precision=precision, preferred_element_type=preferred_element_type,

@@ -112,6 +112,12 @@ class MicroBatcher:
     def _run(self):
         while not (self._stop.is_set() and self._q.empty()):
             pairs = self._collect()
+            # claim each future: a client that cancel()ed while queued is
+            # dropped here, and claimed futures can no longer be cancelled
+            # — so the set_result/set_exception below cannot raise
+            # InvalidStateError and kill the worker thread
+            pairs = [(it, f) for it, f in pairs
+                     if f.set_running_or_notify_cancel()]
             if not pairs:
                 continue
             items = [p[0] for p in pairs]
@@ -127,5 +133,5 @@ class MicroBatcher:
                     fut.set_result(results[i])
             except Exception as e:  # noqa: BLE001 — fail the whole batch
                 for _, fut in pairs:
-                    if not fut.cancelled():
+                    if not fut.done():
                         fut.set_exception(e)

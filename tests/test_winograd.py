@@ -129,13 +129,13 @@ def test_fused_block_tr_selection():
     )
 
     # flagship latent site: biggest block fits
-    assert pick_block_tr((16, 45, 80, 320), (3, 3, 320, 320)) == 8
+    assert pick_block_tr((16, 45, 80, 320)) == 8
     # full-res VAE site: wide rows -> only tr=2 fits the VMEM cap
-    assert pick_block_tr((16, 360, 640, 128), (3, 3, 128, 128)) == 2
+    assert pick_block_tr((16, 360, 640, 128)) == 2
     # th=12: tr=8 pads 12->16 (33% waste), tr=4 is exact
-    assert pick_block_tr((16, 23, 40, 640), (3, 3, 640, 640)) == 4
+    assert pick_block_tr((16, 23, 40, 640)) == 4
     # wide-C site: VMEM cap forces tr=4 (tr=8 measured-fails Mosaic)
-    assert pick_block_tr((16, 45, 80, 640), (3, 3, 640, 320)) == 4
+    assert pick_block_tr((16, 45, 80, 640)) == 4
     assert wino_fused_supported((16, 45, 80, 320), (3, 3, 320, 320),
                                 (1, 1), "SAME")
     assert not wino_fused_supported((16, 45, 80, 320), (3, 3, 320, 320),
@@ -194,3 +194,90 @@ def test_fused_kernel_multi_o_block():
     assert got.shape == ref.shape
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.02
+
+    # o_block=64 (the wide-C config: half-lane (v,o) packs) must
+    # un-interleave identically
+    got64 = np.asarray(conv3x3_wino_fused(x, w, block_tr=2, o_block=64,
+                                          interpret=True))
+    rel64 = np.abs(got64 - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel64 < 0.02
+
+
+def test_wino_mode_actually_routes(monkeypatch):
+    """Regression (review finding): flax passes a NUMERIC
+    ConvDimensionNumbers, not ("NHWC","HWIO","NHWC") — the dispatcher
+    must still route eligible convs to Winograd. Spy on winograd_conv3x3
+    through a real nn.Conv call."""
+    import flax.linen as nn
+
+    import d3roma_tpu.ops.winograd as wg
+
+    calls = {"n": 0}
+    real = wg.winograd_conv3x3
+
+    def spy(x, w, **kw):
+        calls["n"] += 1
+        return real(x, w, **kw)
+
+    monkeypatch.setattr(wg, "winograd_conv3x3", spy)
+    conv = nn.Conv(8, (3, 3), padding=1,
+                   conv_general_dilated=wg.wino_conv_general_dilated)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    params = conv.init(jax.random.PRNGKey(1), x)
+    calls["n"] = 0
+    conv.apply(params, x)
+    assert calls["n"] == 1, "flax Conv did not route through Winograd"
+
+    # stride-2 flax conv must NOT route
+    calls["n"] = 0
+    conv2 = nn.Conv(8, (3, 3), strides=(2, 2), padding=1,
+                    conv_general_dilated=wg.wino_conv_general_dilated)
+    params2 = conv2.init(jax.random.PRNGKey(1), x)
+    conv2.apply(params2, x)
+    assert calls["n"] == 0
+
+
+def test_wino_batch_chunking(monkeypatch):
+    """Big slabs route through the serialized batch-chunked Winograd when
+    D3ROMA_WINO_CHUNK=1 (and stay on the fallback when it's off)."""
+    import d3roma_tpu.ops.winograd as wg
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 12, 4),
+                          jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 6),
+                          jnp.float32) * 0.2
+    # force every slab over the cap: 1 image = 10*12*128*2/2^20 = 0.03 MB
+    monkeypatch.setenv("D3ROMA_WINO_SLAB_MB", "0.05")
+    monkeypatch.setenv("D3ROMA_WINO_CHUNK", "1")
+    bc = wg._wino_eligible(x, w, (1, 1), "SAME", None, None, None, 1, 1)
+    assert bc == 1  # largest divisor of 4 whose slab fits
+
+    calls = {"n": 0}
+    real = wg.winograd_conv3x3
+
+    def spy(xc, wc, **kw):
+        calls["n"] += 1
+        assert xc.shape[0] == 1
+        return real(xc, wc, **kw)
+
+    monkeypatch.setattr(wg, "winograd_conv3x3", spy)
+    got = wg.wino_conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # lax.map traces the body once
+    assert calls["n"] == 1
+    ref = _direct(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    # chunking off -> ineligible -> exact fallback, no winograd call
+    monkeypatch.setenv("D3ROMA_WINO_CHUNK", "0")
+    assert wg._wino_eligible(x, w, (1, 1), "SAME",
+                             None, None, None, 1, 1) is None
+    calls["n"] = 0
+    got2 = wg.wino_conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert calls["n"] == 0
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
