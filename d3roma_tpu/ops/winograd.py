@@ -167,11 +167,17 @@ def _wino_dispatch_single(lhs, rhs):
 
     import jax
 
+    from d3roma_tpu.ops.quant import act_ctx_mode
+
     fused_env = os.environ.get("D3ROMA_WINO_FUSED", "1")
     # "force" routes the fused kernel regardless of the default backend —
     # for chipless AOT compile-checks where the default backend is cpu
-    # but the lowering target is the TPU topology
-    if (fused_env == "force"
+    # but the lowering target is the TPU topology. The calibration
+    # CAPTURE forward stays Mosaic-free (same policy as the attention
+    # kernels — giant Mosaic capture programs outlived the compile
+    # relay's connection): the XLA formulation below is the same math.
+    if act_ctx_mode() != "capture" and (
+            fused_env == "force"
             or (jax.default_backend() == "tpu" and fused_env == "1")):
         from d3roma_tpu.ops.pallas.winograd_fused import (
             conv3x3_wino_fused,
