@@ -69,8 +69,9 @@ class TrainingConfig:
     # "off" = plain XLA; "throughput" = measured-best batch config on v5e
     # (bf16 + whole-row Pallas self-attention + fused GEGLU FF + static
     # int8 MXU); "latency" = the batch-1/streaming config (same kernels,
-    # no int8 — quantization is latency-bound at batch 1). Numbers:
-    # docs/PERFORMANCE.md.
+    # no int8 — quantization is latency-bound at batch 1); "wino" =
+    # throughput kernels with stride-1 3x3 convs on Winograd F(2x2,3x3)
+    # (on-chip measurement pending). Numbers: docs/PERFORMANCE.md.
     fast_inference: str = "off"
 
     # Run the latent pipeline as three jitted programs (VAE encode /

@@ -277,14 +277,18 @@ class GuidedLatentDiffusionPipeline:
         self-attention (N>=512 sites), fused GEGLU feed-forward, and —
         in "throughput" mode — the static-scale int8 MXU path for
         UNet+VAE. "latency" (batch-1/streaming) skips int8, which is
-        latency-bound there. "off" returns self unchanged."""
+        latency-bound there. "wino" routes stride-1 3x3 convs through
+        Winograd F(2x2,3x3) (fused Pallas kernel where it fits VMEM,
+        static int8 elsewhere — ops/winograd.py; on-chip measurement
+        pending, docs/PERFORMANCE.md). "off" returns self unchanged."""
         import dataclasses as _dc
 
         if mode in ("off", "", None):
             return self
-        if mode not in ("throughput", "latency"):
+        if mode not in ("throughput", "latency", "wino"):
             raise ValueError(f"unknown fast_inference mode {mode!r}")
-        quant = "static" if mode == "throughput" else False
+        quant = {"throughput": "static", "wino": "wino_static",
+                 "latency": False}[mode]
         pipe = self.half_precision()
         return _dc.replace(
             pipe,

@@ -53,6 +53,14 @@ def test_latency_mode_skips_int8():
     assert p.vae.quant is False
 
 
+def test_wino_mode_sets_winograd_convs():
+    p = _tiny_pipe().fast_inference("wino")
+    assert p.unet.use_flash_attention == "pallas-self"
+    assert p.unet.fused_ff is True
+    assert p.unet.quant == "wino_static"
+    assert p.vae.quant == "wino_static"
+
+
 def test_off_is_identity_and_bad_mode_raises():
     p = _tiny_pipe()
     assert p.fast_inference("off") is p
