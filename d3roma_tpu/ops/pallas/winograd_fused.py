@@ -93,9 +93,14 @@ def pick_block_tr(x_shape, o_block: int = 128):
     whose small slabs don't hit the HBM-inflation cap there)."""
     th = (x_shape[1] + 1) // 2
     twp = _round_up((x_shape[2] + 1) // 2, _SUBL)
+    # tr * twp >= 96: enough GEMM M rows per block to feed the MXU.
+    # waste <= 25%: a tile-row grid that tr can't divide without heavy
+    # padding (th=6 at the 12x20 level: 8/6 = 33%) wastes MXU work the
+    # XLA formulation doesn't (it folds batch into M instead).
     fitting = [tr for tr in (8, 4, 2)
                if _block_budget(x_shape, tr, o_block) <= _VMEM_CAP
-               and tr * twp >= 96]
+               and tr * twp >= 96
+               and _round_up(th, tr) / th <= 1.25]
     if not fitting:
         return None
     best_ratio = min(_round_up(th, tr) / th for tr in fitting)
@@ -119,9 +124,9 @@ def pick_config(x_shape):
     return None if tr is None else (tr, 128)
 
 
-def wino_fused_supported(x_shape, w_shape, strides, padding,
-                         o_block: int = 128) -> bool:
-    """Stride-1 SAME 3x3, NHWC, with the per-block working set in VMEM."""
+def wino_fused_supported(x_shape, w_shape, strides, padding) -> bool:
+    """Stride-1 SAME 3x3, NHWC, with the per-block working set in VMEM
+    (at the kernel's only legal o_block, 128 — see pick_config)."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     if tuple(w_shape[:2]) != (3, 3) or tuple(strides) != (1, 1):

@@ -39,9 +39,13 @@ def is_nhwc_dn(dimension_numbers) -> bool:
     flax nn.Conv passes a NUMERIC lax.ConvDimensionNumbers (lhs_spec
     (0,3,1,2), rhs_spec (3,2,0,1), out_spec (0,3,1,2)), never the string
     tuple — a gate comparing against ("NHWC","HWIO","NHWC") silently
-    rejects every real model call and falls back to the XLA conv."""
+    rejects every real model call and falls back to the XLA conv.
+
+    None is REJECTED: `lax.conv_general_dilated(dimension_numbers=None)`
+    means the NCHW/OIHW defaults — an NHWC-assuming kernel would
+    silently contract the wrong axes."""
     dn = dimension_numbers
-    if dn is None or dn == ("NHWC", "HWIO", "NHWC"):
+    if dn == ("NHWC", "HWIO", "NHWC"):
         return True
     return (getattr(dn, "lhs_spec", None) == (0, 3, 1, 2)
             and getattr(dn, "rhs_spec", None) == (3, 2, 0, 1)
@@ -164,6 +168,14 @@ def consume_act_scale(x):
             jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0)
         return "float", None
     if _ACTX.mode == "replay":
+        if _ACTX.idx >= len(_ACTX.scales):
+            raise RuntimeError(
+                f"calibrated-scale replay needs more than the "
+                f"{len(_ACTX.scales)} captured scales — the quantized "
+                "call sequence no longer matches the calibration pass. "
+                "With wino_static, conv eligibility depends on batch "
+                "size and the D3ROMA_WINO_* env: calibrate at the "
+                "deployment batch size and env settings.")
         s = float(_ACTX.scales[_ACTX.idx])
         _ACTX.idx += 1
         return "int8", s

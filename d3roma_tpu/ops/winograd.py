@@ -34,7 +34,12 @@ from jax import lax
 
 from d3roma_tpu.ops.quant import is_nhwc_dn
 
-__all__ = ["winograd_conv3x3", "winograd_supported", "wino_conv_general_dilated"]
+__all__ = [
+    "winograd_conv3x3",
+    "winograd_supported",
+    "wino_conv_general_dilated",
+    "wino_static_conv_general_dilated",
+]
 
 # A^T (2x4), B^T (4x4), G (4x3) — F(2x2, 3x3)
 _AT = np.array([[1, 1, 1, 0],
@@ -112,18 +117,23 @@ def winograd_conv3x3(x: jnp.ndarray, w: jnp.ndarray,
     return y[:, :H, :W, :].astype(out_dtype)
 
 
-# Winograd inflates HBM liveness: the tap-split ships ~2x the (lane-
-# padded) input slab and the padded/interleaved output adds ~2x more.
-# At the VAE's full-resolution slabs (943 MB each at batch 16) that
-# blows past the 16 GB chip (measured: wino on every VAE-decode conv
-# compiles to 31.7 GB of HBM). Big slabs either stay on the direct conv
-# — which XLA already runs near its int8 roofline at exactly those
-# shapes (161-224 TFLOP/s, docs/PERFORMANCE.md) — or, with
-# D3ROMA_WINO_CHUNK=1, run Winograd in a serialized `lax.map` over
+# Winograd inflates HBM liveness: the XLA formulation round-trips the
+# transformed tiles V (16 taps x (H/2)(W/2) x lane-padded Cin, bf16) and
+# the products M (same tile grid x lane-padded Cout, f32) through HBM —
+# ~(8*cp + 16*op) bytes per input pixel, i.e. ~12x the input slab when
+# cp == op. At the VAE's full-resolution slabs that blows past the 16 GB
+# chip (measured: wino on every VAE-decode conv compiles to 31.7 GB of
+# HBM). Convs whose estimated V+M liveness exceeds the cap either stay
+# on the direct conv — which XLA already runs near its int8 roofline at
+# exactly those shapes (161-224 TFLOP/s, docs/PERFORMANCE.md) — or,
+# with D3ROMA_WINO_CHUNK=1, run Winograd in a serialized `lax.map` over
 # batch chunks so only one chunk's inflated temporaries are live at a
 # time (per-image tile grids at full res are still huge GEMM M dims:
-# 180x320 = 57.6k rows per frame).
-_WINO_SLAB_CAP_MB = 256
+# 180x320 = 57.6k rows per frame). 3072 MB == the former 256 MB
+# input-slab cap at cp == op, so the admitted cp==op sites are
+# unchanged; Cout-expanding convs (whose M the old input-side proxy
+# ignored) are now measured correctly.
+_WINO_LIVENESS_CAP_MB = 3072
 
 
 def _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
@@ -131,9 +141,10 @@ def _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
                    batch_group_count):
     """Batch-chunk size to run Winograd with, or None if ineligible.
 
-    Returns B (no chunking) when the whole slab fits the HBM-inflation
-    cap; a smaller divisor of B when chunking is enabled and a chunk
-    fits; None otherwise (caller falls back to the direct conv)."""
+    Returns B (no chunking) when the estimated V+M liveness fits the
+    cap (D3ROMA_WINO_SLAB_MB, in MB of inflated liveness); a smaller
+    divisor of B when chunking is enabled and a chunk fits; None
+    otherwise (caller falls back to the direct conv)."""
     import os
 
     if not (
@@ -147,10 +158,14 @@ def _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
         return None
     B, H, W, C = lhs.shape
     cp = -(-C // 128) * 128
-    cap = float(os.environ.get("D3ROMA_WINO_SLAB_MB", _WINO_SLAB_CAP_MB))
+    op = -(-rhs.shape[3] // 128) * 128
+    cap = float(os.environ.get("D3ROMA_WINO_SLAB_MB",
+                               _WINO_LIVENESS_CAP_MB))
 
     def fits(bc):
-        return bc * H * W * cp * 2 / 2**20 <= cap
+        # V (16 taps, bf16) + M (16 taps, f32) over the (H/2)(W/2) tile
+        # grid: 16*(HW/4)*(2*cp + 4*op) = HW*(8*cp + 16*op) bytes/item
+        return bc * H * W * (8 * cp + 16 * op) / 2**20 <= cap
 
     if fits(B):
         return B
@@ -202,24 +217,34 @@ def _wino_dispatch(lhs, rhs, bc):
     return ys.reshape(B, *ys.shape[2:])
 
 
+def _wino_or_fallback(fallback, lhs, rhs, window_strides, padding,
+                      lhs_dilation, rhs_dilation, dimension_numbers,
+                      feature_group_count, batch_group_count, precision,
+                      preferred_element_type):
+    bc = _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
+                        rhs_dilation, dimension_numbers, feature_group_count,
+                        batch_group_count)
+    if bc is not None:
+        return _wino_dispatch(lhs, rhs, bc)
+    return fallback(
+        lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+        dimension_numbers, feature_group_count, batch_group_count,
+        precision=precision, preferred_element_type=preferred_element_type,
+    )
+
+
 def wino_conv_general_dilated(lhs, rhs, window_strides, padding,
                               lhs_dilation=None, rhs_dilation=None,
                               dimension_numbers=None, feature_group_count=1,
                               batch_group_count=1, precision=None,
                               preferred_element_type=None):
     """Drop-in `lax.conv_general_dilated` for flax Conv: stride-1 SAME 3x3
-    NHWC convs within the slab cap go through Winograd F(2x2,3x3);
+    NHWC convs within the liveness cap go through Winograd F(2x2,3x3);
     everything else falls back to the exact XLA conv (the 'wino' mode)."""
-    bc = _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
-                        rhs_dilation, dimension_numbers, feature_group_count,
-                        batch_group_count)
-    if bc is not None:
-        return _wino_dispatch(lhs, rhs, bc)
-    return lax.conv_general_dilated(
-        lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
-        dimension_numbers, feature_group_count, batch_group_count,
-        precision=precision, preferred_element_type=preferred_element_type,
-    )
+    return _wino_or_fallback(
+        lax.conv_general_dilated, lhs, rhs, window_strides, padding,
+        lhs_dilation, rhs_dilation, dimension_numbers, feature_group_count,
+        batch_group_count, precision, preferred_element_type)
 
 
 def wino_static_conv_general_dilated(lhs, rhs, window_strides, padding,
@@ -232,16 +257,12 @@ def wino_static_conv_general_dilated(lhs, rhs, window_strides, padding,
     XLA conv for everything else (big slabs, strides) — the measured-best
     direct path at those shapes. Routing is shape-deterministic, so the
     calibration capture and replay passes traverse the same static-int8
-    call sequence."""
-    bc = _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
-                        rhs_dilation, dimension_numbers, feature_group_count,
-                        batch_group_count)
-    if bc is not None:
-        return _wino_dispatch(lhs, rhs, bc)
+    call sequence — PROVIDED calibration runs at the deployment batch
+    size and D3ROMA_WINO_* env settings (eligibility depends on both;
+    a mismatch shifts which convs consume scales, and replay raises)."""
     from d3roma_tpu.ops.quant import int8_conv_general_dilated_static
 
-    return int8_conv_general_dilated_static(
-        lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
-        dimension_numbers, feature_group_count, batch_group_count,
-        precision=precision, preferred_element_type=preferred_element_type,
-    )
+    return _wino_or_fallback(
+        int8_conv_general_dilated_static, lhs, rhs, window_strides, padding,
+        lhs_dilation, rhs_dilation, dimension_numbers, feature_group_count,
+        batch_group_count, precision, preferred_element_type)

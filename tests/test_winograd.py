@@ -246,10 +246,12 @@ def test_wino_batch_chunking(monkeypatch):
                           jnp.float32)
     w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 6),
                           jnp.float32) * 0.2
-    # force every slab over the cap: 1 image = 10*12*128*2/2^20 = 0.03 MB
-    monkeypatch.setenv("D3ROMA_WINO_SLAB_MB", "0.05")
+    # force chunking: V+M liveness is 10*12*(8*128+16*128)/2^20 =
+    # 0.35 MB per image, so a 0.4 MB cap admits exactly bc=1
+    monkeypatch.setenv("D3ROMA_WINO_SLAB_MB", "0.4")
     monkeypatch.setenv("D3ROMA_WINO_CHUNK", "1")
-    bc = wg._wino_eligible(x, w, (1, 1), "SAME", None, None, None, 1, 1)
+    bc = wg._wino_eligible(x, w, (1, 1), "SAME", None, None,
+                             ("NHWC", "HWIO", "NHWC"), 1, 1)
     assert bc == 1  # largest divisor of 4 whose slab fits
 
     calls = {"n": 0}
@@ -272,8 +274,9 @@ def test_wino_batch_chunking(monkeypatch):
 
     # chunking off -> ineligible -> exact fallback, no winograd call
     monkeypatch.setenv("D3ROMA_WINO_CHUNK", "0")
-    assert wg._wino_eligible(x, w, (1, 1), "SAME",
-                             None, None, None, 1, 1) is None
+    assert wg._wino_eligible(
+        x, w, (1, 1), "SAME", None, None,
+        ("NHWC", "HWIO", "NHWC"), 1, 1) is None
     calls["n"] = 0
     got2 = wg.wino_conv_general_dilated(
         x, w, (1, 1), "SAME",
