@@ -102,7 +102,9 @@ def bench_ldm(batch, reps):
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
     if (quant in ("static", "mxu", "halo", "wino_static")
-            and os.environ.get("BENCH_CALIB", "1") == "1"):
+            # "1" = calibrate (cached); "force" = recapture ignoring the
+            # disk cache; anything else disables calibration
+            and os.environ.get("BENCH_CALIB", "1") in ("1", "force")):
         # release default: per-layer calibrated activation scales (one
         # capture pass on the bench conditions; replayed scales are
         # compile-time constants, so the timed path's cost is unchanged).

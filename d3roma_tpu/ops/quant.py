@@ -27,6 +27,8 @@ Design:
 
 from __future__ import annotations
 
+import threading
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -76,8 +78,12 @@ def quantize_int8(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 STATIC_ACT_SCALE = 8.0 / 127.0
 
 
-class _ActScaleCtx:
-    """Per-call static activation-scale context (single-threaded tracing).
+class _ActScaleCtx(threading.local):
+    """Per-call static activation-scale context (thread-local: the
+    serving layer traces pipelines from MicroBatcher worker threads
+    while the main thread may trace its own — each thread gets an
+    independent context, so concurrent traces can't interleave scale
+    consumption or trip the nesting assert).
 
     The static int8 ops consume activation scales in *call order* during
     tracing — the order is deterministic per model apply, so an index into
@@ -93,10 +99,11 @@ class _ActScaleCtx:
                   float, i.e. a compile-time constant: zero runtime cost).
     """
 
-    mode = None
-    taps = None
-    scales = None
-    idx = 0
+    def __init__(self):
+        self.mode = None
+        self.taps = None
+        self.scales = None
+        self.idx = 0
 
 
 _ACTX = _ActScaleCtx()

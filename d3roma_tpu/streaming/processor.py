@@ -107,11 +107,14 @@ class D3RoMaProcessor:
         len > 1 — and publish each frame's (raw_pc, pred_pc)."""
         t0 = time.time()
         n = len(frames)
-        if n == 1:
+        if self.max_batch == 1:
             preds = [self.droma.infer_with_rgb_raw(*frames[0])]
         else:
-            # pad the tail by repeating the last frame: exactly one batched
-            # program shape ever compiles (padded rows are dropped)
+            # pad the tail by repeating the last frame — INCLUDING the
+            # single-frame case, so exactly one batched program shape
+            # ever compiles (padded rows are dropped; a separate batch-1
+            # program would double compile cost and batch-1 programs are
+            # the known remote-compile failure case)
             batch = frames + [frames[-1]] * (self.max_batch - n)
             preds = self.droma.infer_with_rgb_raw_batch(batch)[:n]
 

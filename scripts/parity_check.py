@@ -71,7 +71,9 @@ def main(argv=None):
     from scripts.import_reference_pipeline import main as import_main
 
     os.makedirs(args.out_dir, exist_ok=True)
-    imported = os.path.join(args.out_dir, "imported_pipeline")
+    # absolute: from_pretrained runs after os.chdir(args.out_dir) below
+    imported = os.path.abspath(
+        os.path.join(args.out_dir, "imported_pipeline"))
     print(f"[1/3] importing {args.ref_dir} -> {imported}")
     import_main([args.ref_dir, imported, "--cond-channels", args.cond_channels])
 

@@ -206,6 +206,8 @@ def test_processor_batched_drain():
     assert calls == [4]          # one padded fixed-size batched call
     assert len(published) == 3   # padded row not published
     assert proc.frames_processed == 3
-    # single-frame path still uses the unbatched program
+    # a single frame ALSO rides the padded batch program — exactly one
+    # program shape ever compiles (batch-1 programs are the known
+    # remote-compile failure case and would double compile cost)
     proc.process_frame(*frames[0])
-    assert calls == [4, 1]
+    assert calls == [4, 4]
