@@ -115,12 +115,16 @@ def bench_ldm(batch, reps):
         # drops the (large) capture programs that day.
         import dataclasses as _dc
 
+        # keyed by quant mode AND the wino-eligibility env: wino_static
+        # consumes a different (dense-only) scale sequence than static,
+        # D3ROMA_WINO_CHUNK moves big-slab convs between the static and
+        # wino paths, and replay is call-order-strict
+        wc = os.environ.get("D3ROMA_WINO_CHUNK", "0")
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache",
-                             # keyed by quant mode too: wino_static consumes
-                             # a different (dense-only) scale sequence than
-                             # static, and replay is call-order-strict
-                             f"act_scales_{quant}_b{batch}_s{steps}.json")
+                             f"act_scales_{quant}_b{batch}_s{steps}"
+                             + (f"_wc{wc}" if quant == "wino_static" else "")
+                             + ".json")
         if os.path.exists(cache) and os.environ.get("BENCH_CALIB") != "force":
             with open(cache) as f:
                 pipe = _dc.replace(pipe, act_scales=json.load(f))
