@@ -116,3 +116,40 @@ if WHAT in ("b16vae", "all"):
 
     check("b16 wino VAE decode", dec_fn, vp,
           jax.ShapeDtypeStruct((1, 16, H // 8, W // 8, 4), jnp.float32))
+
+if WHAT in ("b32enc",):
+    # batch-32 wino VAE encode (2 conds x batch 16): full-res slabs are
+    # 1.9 GB -> requires D3ROMA_WINO_CHUNK=1 to compile within HBM
+    vae = AutoencoderKL(quant="wino", dtype=jnp.bfloat16)
+    vp = bf16_tree(param_structs(vae, jnp.zeros((1, 64, 64, 3))))
+
+    from d3roma_tpu.models.vae import encode_image_to_latent
+
+    def enc_fn(params, imgs):
+        def va(x, method):
+            return vae.apply({"params": params}, x, method=method)
+        return encode_image_to_latent(va, imgs)
+
+    check("b32 wino VAE encode", enc_fn, vp,
+          jax.ShapeDtypeStruct((32, H, W, 3), jnp.bfloat16))
+
+if WHAT in ("b1wino",):
+    # the watcher's b1 decomp wino cell: 5-step scan at batch 1 with
+    # wino convs — de-risk its compile before spending a TPU window
+    unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
+                           use_flash_attention="pallas-self", fused_ff=True,
+                           quant="wino", dtype=jnp.bfloat16)
+    p = bf16_tree(param_structs(
+        unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
+        jnp.zeros((1, 77, 1024))))
+
+    def scan1_fn(params, key, conds):
+        def unet_apply(mi, t, ctx):
+            return unet.apply({"params": params}, mi, t, ctx)
+        return latent_denoise(unet_apply, jnp.zeros((1, 77, 1024)), spec,
+                              tables, key, 5, 1, conds, {}, "rgb+raw",
+                              noise_dtype=jnp.float32)
+
+    check("b1 wino scan 5-step 360x640", scan1_fn, p,
+          jax.ShapeDtypeStruct((2,), jnp.uint32),
+          jax.ShapeDtypeStruct((1, H // 8, W // 8, 8), jnp.float32))

@@ -84,13 +84,28 @@ for (B, H, W, C, O) in sites:
             y[..., :C] if O > C else jnp.tile(y, (1, 1, 1, C // O)))
 
     def winof(c, wt):
-        tr = pick_block_tr(c.shape, wt.shape)
+        tr = pick_block_tr(c.shape)
+        if tr is None:
+            raise ValueError("picker: site not fused-eligible")
         y = conv3x3_wino_fused(c, wt, block_tr=tr)
         return y if O == C else (
             y[..., :C] if O > C else jnp.tile(y, (1, 1, 1, C // O)))
 
+    def winoc(c, wt):
+        # the D3ROMA_WINO_CHUNK=1 production path at big slabs:
+        # serialized lax.map over batch chunks, fused kernel per chunk
+        from d3roma_tpu.ops.winograd import _wino_dispatch, _wino_eligible
+
+        os.environ["D3ROMA_WINO_CHUNK"] = "1"
+        bc = _wino_eligible(c, wt, (1, 1), "SAME", None, None,
+                             ("NHWC", "HWIO", "NHWC"), 1, 1)
+        y = _wino_dispatch(c, wt, bc)
+        return y if O == C else (
+            y[..., :C] if O > C else jnp.tile(y, (1, 1, 1, C // O)))
+
     for name, fn in (("xla bf16 ", direct), ("xla int8 ", int8c),
-                     ("wino bf16", wino), ("wino FUSED", winof)):
+                     ("wino bf16", wino), ("wino FUSED", winof),
+                     ("wino CHUNK", winoc)):
         try:
             timed(name, fn, x, w, flops)
         except Exception as e:  # noqa: BLE001
