@@ -505,7 +505,13 @@ class Real(ActiveStereoDataset):
                  root="datasets/Real", scene="xiaomeng", reader=None, seed=None):
         super().__init__(camera, image_size, split, space, reader, seed)
         base = osp.join(root, scene)
-        self.rgb_list = _sorted_glob(base, "*_color.png") or _sorted_glob(base, "rgb", "*.png")
+        # The reference globs recursive substrings (`**/*rgb*`,
+        # stereo_datasets.py:834-840), so its bundled capture layout is
+        # `0000_rgb.png` etc. — cover that naming alongside the
+        # `*_color.png` / `rgb/` layouts.
+        self.rgb_list = (_sorted_glob(base, "*_color.png")
+                         or _sorted_glob(base, "rgb", "*.png")
+                         or _sorted_glob(base, "*rgb*.png"))
         self.raw_depth_list = _sorted_glob(base, "*_depth.png") or _sorted_glob(base, "depth", "*.png")
         self.depth_list = self.raw_depth_list  # no GT for real captures
         self.disparity_list = self.raw_depth_list

@@ -62,6 +62,38 @@ def test_real_dataset_train_crop(real_scene):
     assert item["disp"].shape == (180, 320, 1)
 
 
+def test_real_dataset_reference_naming(tmp_path):
+    """The reference's bundled capture uses `0000_rgb.png` naming
+    (datasets/Real/xiaomeng; globbed via `**/*rgb*` in
+    stereo_datasets.py:834-840) — Real must find that layout too."""
+    import cv2
+
+    scene = tmp_path / "Real" / "cap"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        cv2.imwrite(str(scene / f"{i:04d}_rgb.png"),
+                    rng.integers(0, 255, (360, 640, 3), np.uint8))
+        cv2.imwrite(str(scene / f"{i:04d}_depth.png"),
+                    rng.integers(400, 2000, (360, 640)).astype(np.uint16))
+        ir = rng.integers(0, 255, (360, 640), np.uint8)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_l.png"), ir)
+        cv2.imwrite(str(scene / f"{i:04d}_ir_r.png"), ir)
+    from functools import partial
+
+    from d3roma_tpu.utils import frame_utils
+
+    camera = Realsense.default_real("fxm")
+    camera.change_resolution("480x270")
+    ds = Real(camera, (180, 320), split="test",
+              root=str(tmp_path / "Real"), scene="cap",
+              reader=partial(frame_utils.readDispReal, camera), seed=0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["rgb"].shape == (270, 480, 3)
+    assert item["raw_depth"].shape == (270, 480, 1)
+
+
 def test_dataset_mul_and_concat(real_scene):
     ds = _real_dataset(real_scene)
     assert len(ds * 3) == 9
