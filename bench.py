@@ -29,6 +29,11 @@ Env knobs:
                           measured -2% end-to-end vs XLA's fusion — a
                           pallas_call is a fusion barrier; kept as an
                           opt-in building block)
+  BENCH_AUTOSELECT=0|1    default 1: with BENCH_QUANT unset, flip from
+                          "static" to the fastest quant mode MEASURED by
+                          prior runs at the same setting (recorded in
+                          .bench_cache/results.jsonl), requiring a >2%
+                          recorded win over the best static run
 """
 
 import json
@@ -208,7 +213,82 @@ def bench_pixel(batch, reps):
     return run, "pixel_rgb+raw_640x360_ddpm10", None
 
 
+def _bench_setting():
+    """The knobs that define comparability between bench runs."""
+    return {
+        "model": os.environ.get("BENCH_MODEL", "ldm"),
+        "batch": int(os.environ.get("BENCH_BATCH", "16")),
+        "steps": int(os.environ.get("BENCH_STEPS", "10")),
+        "flash": os.environ.get("BENCH_FLASH", "3"),
+        "ff": os.environ.get("BENCH_FF", "1"),
+        "fused_gn": os.environ.get("BENCH_FUSED_GN", "0"),
+    }
+
+
+def _records_path():
+    return os.environ.get("BENCH_RECORDS") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache", "results.jsonl")
+
+
+def _maybe_autoselect_quant():
+    """With BENCH_QUANT unset, pick the fastest MEASURED quant mode.
+
+    Every bench run appends its measured fps to .bench_cache/results.jsonl;
+    a default run scans records at the SAME bench setting and flips from
+    "static" only when another mode has a recorded >2% win over the best
+    recorded "static" run (noise guard; no static record -> no flip). This
+    lets an unattended measurement campaign (e.g. the tunnel-recovery
+    watcher benching wino_static variants) carry its winner into later
+    default runs without a code change. BENCH_AUTOSELECT=0 disables;
+    records are per-checkout measurements, not committed artifacts.
+    """
+    if (os.environ.get("BENCH_QUANT") is not None
+            or os.environ.get("BENCH_AUTOSELECT", "1") != "1"):
+        return
+    setting = _bench_setting()
+    best, static_best = None, None
+    try:
+        with open(_records_path()) as f:
+            lines = f.readlines()
+    except OSError:
+        return
+    for line in lines:
+        try:
+            r = json.loads(line)
+        except ValueError:
+            continue
+        if any(r.get(k) != v for k, v in setting.items()):
+            continue
+        if r.get("quant") == "static" and (
+                static_best is None or r["fps"] > static_best["fps"]):
+            static_best = r
+        if best is None or r["fps"] > best["fps"]:
+            best = r
+    if (best and static_best and best.get("quant") != "static"
+            and best["fps"] > 1.02 * static_best["fps"]):
+        os.environ["BENCH_QUANT"] = best["quant"]
+        os.environ["D3ROMA_WINO_CHUNK"] = best.get("wc", "0")
+        print(f"# auto-selected quant={best['quant']} wc={best.get('wc', '0')}"
+              f" from records ({best['fps']} vs static {static_best['fps']}"
+              " fps)", file=sys.stderr)
+
+
+def _record_result(fps):
+    rec = dict(_bench_setting(),
+               quant=os.environ.get("BENCH_QUANT", "static"),
+               wc=os.environ.get("D3ROMA_WINO_CHUNK", "0"),
+               fps=round(fps, 3), ts=int(time.time()))
+    try:
+        os.makedirs(os.path.dirname(_records_path()), exist_ok=True)
+        with open(_records_path(), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError as e:
+        print(f"# bench record write failed: {e}", file=sys.stderr)
+
+
 def main():
+    _maybe_autoselect_quant()
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     reps = int(os.environ.get("BENCH_REPS", "12"))
     model = os.environ.get("BENCH_MODEL", "ldm")
@@ -242,6 +322,7 @@ def main():
         np.asarray(outs[-1].images[0, 0, :8])
         dt = (time.time() - t0) / reps
         fps = batch / dt
+        _record_result(fps)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({
             "metric": "depth_fps_per_chip_640x360_10step",
@@ -258,6 +339,7 @@ def main():
         "config": tag,
         "batch": batch,
         "ms_per_frame": round(1000.0 * dt / batch, 2),
+        "quant": os.environ.get("BENCH_QUANT", "static"),
     }
     if flops_per_frame:
         # analytic model FLOPs (utils/flops.py, XLA-validated): the MFU
