@@ -186,3 +186,38 @@ def generate_example_assets(out_dir: str, seed: int = 7) -> str:
     cv2.imwrite(p + "_ir_l.png", frame["ir_l"])
     cv2.imwrite(p + "_ir_r.png", frame["ir_r"])
     return out_dir
+
+
+def generate_real_capture(out_root: str, scene: str = "xiaomeng",
+                          num_frames: int = 2, seed: int = 11) -> str:
+    """Write a one-scene RealSense-style capture in the reference's
+    bundled layout (reference: datasets/Real/xiaomeng/0000_{rgb,depth,
+    ir_l,ir_r}.png + intrinsics.txt, consumed by the Real dataset via
+    recursive substring globs, stereo_datasets.py:825-852). Keeps the
+    `Real_<split>_<device>` eval path hermetic in a bare checkout. The
+    reference's intrinsics.txt is an rs-enumerate-devices dump that no
+    code parses; we write the procedural camera's actual parameters
+    instead. Returns the scene directory."""
+    import cv2
+
+    cfg = SceneConfig()
+    renderer = ProceduralSceneRenderer(cfg, seed)
+    scene_dir = os.path.join(out_root, scene)
+    os.makedirs(scene_dir, exist_ok=True)
+    for i in range(num_frames):
+        frame = renderer.render()
+        p = os.path.join(scene_dir, f"{i:04d}")
+        cv2.imwrite(p + "_rgb.png",
+                    cv2.cvtColor(frame["rgb"], cv2.COLOR_RGB2BGR))
+        depth_mm = np.clip(frame["sim_depth"] * 1000.0, 0, 65535)
+        cv2.imwrite(p + "_depth.png", depth_mm.astype(np.uint16))
+        cv2.imwrite(p + "_ir_l.png", frame["ir_l"])
+        cv2.imwrite(p + "_ir_r.png", frame["ir_r"])
+    with open(os.path.join(scene_dir, "intrinsics.txt"), "w") as f:
+        f.write("Procedural capture (d3roma_tpu.synthetic); informational\n"
+                f"resolution: {cfg.width}x{cfg.height}\n"
+                f"fx = fy: {renderer.fx:.3f}\n"
+                f"cx, cy: {cfg.width / 2 - 0.5}, {cfg.height / 2 - 0.5}\n"
+                f"baseline_m: {cfg.baseline}\n"
+                f"fxb: {renderer.fxb:.4f}\n")
+    return scene_dir

@@ -94,6 +94,23 @@ def test_real_dataset_reference_naming(tmp_path):
     assert item["raw_depth"].shape == (270, 480, 1)
 
 
+def test_generate_real_capture_loads_via_loader(tmp_path, monkeypatch):
+    """generate_real_capture writes the reference's bundled-capture layout
+    (datasets/Real/xiaomeng) and the `Real_<split>_<device>` loader path
+    finds it from a bare tree."""
+    from d3roma_tpu.data import create_dataset
+    from d3roma_tpu.synthetic import generate_real_capture
+
+    generate_real_capture(str(tmp_path / "datasets" / "Real"), num_frames=2)
+    monkeypatch.chdir(tmp_path)
+    cfg = TrainingConfig(image_size=[180, 320], camera_resolution="480x270")
+    ds = create_dataset(cfg, "Real_test_fxm", split="test")
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["rgb"].shape == (270, 480, 3)
+    assert np.isfinite(item["raw_depth"]).all()
+
+
 def test_dataset_mul_and_concat(real_scene):
     ds = _real_dataset(real_scene)
     assert len(ds * 3) == 9
