@@ -287,7 +287,54 @@ def _record_result(fps):
         print(f"# bench record write failed: {e}", file=sys.stderr)
 
 
+def _device_liveness_probe():
+    """Fail fast when the axon TPU transport is down.
+
+    A dead tunnel makes axon client-creation HANG (uninterruptible from
+    inside the process) rather than error, which would hang the whole
+    bench. Probe in a child process killed on timeout; on failure emit
+    the bench-contract error JSON, attaching the most recent measured
+    record at this setting as context (clearly marked — NOT the value).
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # local backends (cpu/tpu) init synchronously
+    import subprocess
+
+    timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+        if r.returncode == 0:
+            return True
+        detail = (r.stderr or b"").decode(errors="replace")[-200:]
+    except subprocess.TimeoutExpired:
+        detail = f"device probe hung > {timeout}s (tunnel down?)"
+    setting = _bench_setting()
+    last = None
+    try:
+        with open(_records_path()) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if all(rec.get(k) == v for k, v in setting.items()):
+                    last = rec
+    except OSError:
+        pass
+    out = {"metric": "depth_fps_per_chip_640x360_10step",
+           "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+           "error": f"TPU unreachable: {detail}".strip()}
+    if last:
+        out["last_measured_not_this_run"] = last
+    print(json.dumps(out))
+    return False
+
+
 def main():
+    if not _device_liveness_probe():
+        return 1
     _maybe_autoselect_quant()
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     reps = int(os.environ.get("BENCH_REPS", "12"))
