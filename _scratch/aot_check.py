@@ -8,6 +8,8 @@ matter this round:
   PB_WHAT=b1scan     the batch-1 5-step denoise scan (relay-killer repro)
   PB_WHAT=b16wino    batch-16 wino_static UNet step
   PB_WHAT=b16vae     batch-16 wino VAE decode
+  PB_WHAT=b32enc     batch-32 wino VAE encode (needs D3ROMA_WINO_CHUNK=1)
+  PB_WHAT=b1wino     batch-1 5-step wino denoise scan
   PB_WHAT=all        everything
 
 usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu TPU_SKIP_MDS_QUERY=1 \
@@ -117,7 +119,7 @@ if WHAT in ("b16vae", "all"):
     check("b16 wino VAE decode", dec_fn, vp,
           jax.ShapeDtypeStruct((1, 16, H // 8, W // 8, 4), jnp.float32))
 
-if WHAT in ("b32enc",):
+if WHAT in ("b32enc", "all"):
     # batch-32 wino VAE encode (2 conds x batch 16): full-res slabs are
     # 1.9 GB -> requires D3ROMA_WINO_CHUNK=1 to compile within HBM
     vae = AutoencoderKL(quant="wino", dtype=jnp.bfloat16)
@@ -133,7 +135,7 @@ if WHAT in ("b32enc",):
     check("b32 wino VAE encode", enc_fn, vp,
           jax.ShapeDtypeStruct((32, H, W, 3), jnp.bfloat16))
 
-if WHAT in ("b1wino",):
+if WHAT in ("b1wino", "all"):
     # the watcher's b1 decomp wino cell: 5-step scan at batch 1 with
     # wino convs — de-risk its compile before spending a TPU window
     unet = UNet2DCondition(in_channels=in_ch, out_channels=4,

@@ -96,10 +96,19 @@ for (B, H, W, C, O) in sites:
         # serialized lax.map over batch chunks, fused kernel per chunk
         from d3roma_tpu.ops.winograd import _wino_dispatch, _wino_eligible
 
+        prev = os.environ.get("D3ROMA_WINO_CHUNK")
         os.environ["D3ROMA_WINO_CHUNK"] = "1"
-        bc = _wino_eligible(c, wt, (1, 1), "SAME", None, None,
-                             ("NHWC", "HWIO", "NHWC"), 1, 1)
-        y = _wino_dispatch(c, wt, bc)
+        try:
+            bc = _wino_eligible(c, wt, (1, 1), "SAME", None, None,
+                                ("NHWC", "HWIO", "NHWC"), 1, 1)
+            if bc is None:
+                raise ValueError("chunked: site not wino-eligible")
+            y = _wino_dispatch(c, wt, bc)
+        finally:
+            if prev is None:
+                os.environ.pop("D3ROMA_WINO_CHUNK", None)
+            else:
+                os.environ["D3ROMA_WINO_CHUNK"] = prev
         return y if O == C else (
             y[..., :C] if O > C else jnp.tile(y, (1, 1, 1, C // O)))
 

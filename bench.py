@@ -32,8 +32,9 @@ Env knobs:
   BENCH_AUTOSELECT=0|1    default 1: with BENCH_QUANT unset, flip from
                           "static" to the fastest quant mode MEASURED by
                           prior runs at the same setting (recorded in
-                          .bench_cache/results.jsonl), requiring a >2%
-                          recorded win over the best static run
+                          .bench_cache/results.jsonl, latest record per
+                          config), requiring a >2% recorded win over the
+                          latest static run
 """
 
 import json
@@ -222,6 +223,13 @@ def _bench_setting():
         "flash": os.environ.get("BENCH_FLASH", "3"),
         "ff": os.environ.get("BENCH_FF", "1"),
         "fused_gn": os.environ.get("BENCH_FUSED_GN", "0"),
+        # wino backend knobs: runs with a different kernel routing are
+        # not comparable to the default run they would steer
+        "wino_fused": os.environ.get("D3ROMA_WINO_FUSED", ""),
+        "wino_slab": os.environ.get("D3ROMA_WINO_SLAB_MB", ""),
+        # "1" and "force" both yield a calibrated run
+        "calib": ("1" if os.environ.get("BENCH_CALIB", "1") in ("1", "force")
+                  else "0"),
     }
 
 
@@ -235,19 +243,22 @@ def _maybe_autoselect_quant():
     """With BENCH_QUANT unset, pick the fastest MEASURED quant mode.
 
     Every bench run appends its measured fps to .bench_cache/results.jsonl;
-    a default run scans records at the SAME bench setting and flips from
-    "static" only when another mode has a recorded >2% win over the best
-    recorded "static" run (noise guard; no static record -> no flip). This
-    lets an unattended measurement campaign (e.g. the tunnel-recovery
-    watcher benching wino_static variants) carry its winner into later
-    default runs without a code change. BENCH_AUTOSELECT=0 disables;
-    records are per-checkout measurements, not committed artifacts.
+    a default run scans records at the SAME bench setting, takes the
+    LATEST record of each (quant, wc) config (so a perf regression in a
+    mode updates its standing instead of an old fast record pinning the
+    winner forever), and flips from "static" only when another config has
+    a >2% win over the latest "static" record (noise guard; no static
+    record -> no flip). This lets an unattended measurement campaign
+    (e.g. the tunnel-recovery watcher benching wino_static variants)
+    carry its winner into later default runs without a code change.
+    BENCH_AUTOSELECT=0 disables; an explicitly set D3ROMA_WINO_CHUNK is
+    never overridden; records are per-checkout, not committed artifacts.
     """
     if (os.environ.get("BENCH_QUANT") is not None
             or os.environ.get("BENCH_AUTOSELECT", "1") != "1"):
         return
     setting = _bench_setting()
-    best, static_best = None, None
+    latest = {}  # (quant, wc) -> last matching record in file order
     try:
         with open(_records_path()) as f:
             lines = f.readlines()
@@ -260,18 +271,26 @@ def _maybe_autoselect_quant():
             continue
         if any(r.get(k) != v for k, v in setting.items()):
             continue
-        if r.get("quant") == "static" and (
-                static_best is None or r["fps"] > static_best["fps"]):
-            static_best = r
-        if best is None or r["fps"] > best["fps"]:
-            best = r
+        if not isinstance(r.get("fps"), (int, float)):
+            continue
+        latest[(r.get("quant"), r.get("wc", "0"))] = r
+    user_wc = os.environ.get("D3ROMA_WINO_CHUNK")
+    if user_wc is not None:
+        # the user pinned the chunking env: configs measured under a
+        # different wc are not what this run would execute
+        latest = {k: v for k, v in latest.items() if k[1] == user_wc}
+    static_best = max((r for (q, _), r in latest.items() if q == "static"),
+                      key=lambda r: r["fps"], default=None)
+    best = max(latest.values(), key=lambda r: r["fps"], default=None)
     if (best and static_best and best.get("quant") != "static"
             and best["fps"] > 1.02 * static_best["fps"]):
         os.environ["BENCH_QUANT"] = best["quant"]
-        os.environ["D3ROMA_WINO_CHUNK"] = best.get("wc", "0")
-        print(f"# auto-selected quant={best['quant']} wc={best.get('wc', '0')}"
-              f" from records ({best['fps']} vs static {static_best['fps']}"
-              " fps)", file=sys.stderr)
+        if user_wc is None:
+            os.environ["D3ROMA_WINO_CHUNK"] = best.get("wc", "0")
+        print(f"# auto-selected quant={best['quant']} wc="
+              f"{os.environ.get('D3ROMA_WINO_CHUNK', '0')} from records "
+              f"({best['fps']} vs static {static_best['fps']} fps)",
+              file=sys.stderr)
 
 
 def _record_result(fps):

@@ -169,22 +169,28 @@ def generate_dataset(
     return split_dir
 
 
+def _write_capture_frame(prefix: str, frame: dict) -> None:
+    """The reference's bundled PNG frame format (assets/examples and
+    datasets/Real both use it): rgb uint8, raw sensor depth as uint16
+    millimeters, stereo IR pair."""
+    import cv2
+
+    cv2.imwrite(prefix + "_rgb.png",
+                cv2.cvtColor(frame["rgb"], cv2.COLOR_RGB2BGR))
+    depth_mm = np.clip(frame["sim_depth"] * 1000.0, 0, 65535)
+    cv2.imwrite(prefix + "_depth.png", depth_mm.astype(np.uint16))
+    cv2.imwrite(prefix + "_ir_l.png", frame["ir_l"])
+    cv2.imwrite(prefix + "_ir_r.png", frame["ir_r"])
+
+
 def generate_example_assets(out_dir: str, seed: int = 7) -> str:
     """Write a demo frame set in the reference's bundled-example format
     (reference: assets/examples/0000_{rgb,depth,ir_l,ir_r}.png, consumed
-    by inference.py:283-288): rgb uint8 PNG, raw sensor depth as uint16
-    millimeters, and the stereo IR pair. Lets the single-frame demo run in
-    a bare checkout with no external assets. Returns out_dir."""
-    import cv2
-
+    by inference.py:283-288). Lets the single-frame demo run in a bare
+    checkout with no external assets. Returns out_dir."""
     os.makedirs(out_dir, exist_ok=True)
     frame = ProceduralSceneRenderer(SceneConfig(), seed).render()
-    p = os.path.join(out_dir, "0000")
-    cv2.imwrite(p + "_rgb.png", cv2.cvtColor(frame["rgb"], cv2.COLOR_RGB2BGR))
-    depth_mm = np.clip(frame["sim_depth"] * 1000.0, 0, 65535).astype(np.uint16)
-    cv2.imwrite(p + "_depth.png", depth_mm)
-    cv2.imwrite(p + "_ir_l.png", frame["ir_l"])
-    cv2.imwrite(p + "_ir_r.png", frame["ir_r"])
+    _write_capture_frame(os.path.join(out_dir, "0000"), frame)
     return out_dir
 
 
@@ -198,21 +204,13 @@ def generate_real_capture(out_root: str, scene: str = "xiaomeng",
     reference's intrinsics.txt is an rs-enumerate-devices dump that no
     code parses; we write the procedural camera's actual parameters
     instead. Returns the scene directory."""
-    import cv2
-
     cfg = SceneConfig()
     renderer = ProceduralSceneRenderer(cfg, seed)
     scene_dir = os.path.join(out_root, scene)
     os.makedirs(scene_dir, exist_ok=True)
     for i in range(num_frames):
-        frame = renderer.render()
-        p = os.path.join(scene_dir, f"{i:04d}")
-        cv2.imwrite(p + "_rgb.png",
-                    cv2.cvtColor(frame["rgb"], cv2.COLOR_RGB2BGR))
-        depth_mm = np.clip(frame["sim_depth"] * 1000.0, 0, 65535)
-        cv2.imwrite(p + "_depth.png", depth_mm.astype(np.uint16))
-        cv2.imwrite(p + "_ir_l.png", frame["ir_l"])
-        cv2.imwrite(p + "_ir_r.png", frame["ir_r"])
+        _write_capture_frame(os.path.join(scene_dir, f"{i:04d}"),
+                             renderer.render())
     with open(os.path.join(scene_dir, "intrinsics.txt"), "w") as f:
         f.write("Procedural capture (d3roma_tpu.synthetic); informational\n"
                 f"resolution: {cfg.width}x{cfg.height}\n"

@@ -1,9 +1,10 @@
 """bench.py measured-mode auto-selection (no device work — pure logic).
 
 A default bench run (BENCH_QUANT unset) must pick the fastest quant mode
-previously MEASURED at the same bench setting, with a >2% noise guard
-against the best recorded "static" run, so an unattended measurement
-campaign carries its winner into later default runs.
+previously MEASURED at the same bench setting — latest record per config,
+with a >2% noise guard against the latest "static" record — so an
+unattended measurement campaign carries its winner into later default
+runs.
 """
 
 import importlib
@@ -11,46 +12,82 @@ import json
 import os
 import sys
 
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_ENV_KEYS = ("BENCH_QUANT", "BENCH_MODEL", "BENCH_BATCH", "BENCH_STEPS",
+             "BENCH_FLASH", "BENCH_FF", "BENCH_FUSED_GN", "BENCH_AUTOSELECT",
+             "BENCH_CALIB", "BENCH_RECORDS", "D3ROMA_WINO_CHUNK",
+             "D3ROMA_WINO_FUSED", "D3ROMA_WINO_SLAB_MB")
+
+
+@pytest.fixture(autouse=True)
+def _env_guard():
+    """The code under test mutates os.environ directly (that is its job);
+    snapshot/restore so nothing leaks into later tests — wino chunk
+    routing and scale replay are env-sensitive."""
+    saved = {k: os.environ.get(k) for k in _ENV_KEYS}
+    yield
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
 
 def _load_bench():
-    sys.path.insert(0, "/root/repo")
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
     import bench
 
     return importlib.reload(bench)
 
 
-def _with_env(monkeypatch, records, **env):
-    for k in ("BENCH_QUANT", "BENCH_MODEL", "BENCH_BATCH", "BENCH_STEPS",
-              "BENCH_FLASH", "BENCH_FF", "BENCH_FUSED_GN", "BENCH_AUTOSELECT",
-              "D3ROMA_WINO_CHUNK"):
-        monkeypatch.delenv(k, raising=False)
-    monkeypatch.setenv("BENCH_RECORDS", str(records))
-    for k, v in env.items():
-        monkeypatch.setenv(k, v)
+def _set_env(records, **env):
+    for k in _ENV_KEYS:
+        os.environ.pop(k, None)
+    os.environ["BENCH_RECORDS"] = str(records)
+    os.environ.update(env)
 
 
 def _write_records(path, rows):
     base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",
-                fused_gn="0", wc="0", ts=0)
+                fused_gn="0", wino_fused="", wino_slab="", calib="1",
+                wc="0", ts=0)
     with open(path, "w") as f:
         for row in rows:
             f.write(json.dumps(dict(base, **row)) + "\n")
 
 
-def test_autoselect_flips_to_measured_winner(tmp_path, monkeypatch):
+def test_autoselect_flips_to_measured_winner(tmp_path):
     bench = _load_bench()
     rec = tmp_path / "results.jsonl"
     _write_records(rec, [
         dict(quant="static", fps=15.3),
         dict(quant="wino_static", wc="1", fps=17.8),
     ])
-    _with_env(monkeypatch, rec)
+    _set_env(rec)
     bench._maybe_autoselect_quant()
     assert os.environ.get("BENCH_QUANT") == "wino_static"
     assert os.environ.get("D3ROMA_WINO_CHUNK") == "1"
 
 
-def test_autoselect_noise_guard_and_static_requirement(tmp_path, monkeypatch):
+def test_autoselect_latest_record_wins_not_max(tmp_path):
+    """A mode that regressed must not stay pinned by its old fast record."""
+    bench = _load_bench()
+    rec = tmp_path / "results.jsonl"
+    _write_records(rec, [
+        dict(quant="static", fps=15.3),
+        dict(quant="wino_static", fps=17.8, ts=1),   # old fast run
+        dict(quant="wino_static", fps=14.0, ts=2),   # latest: regressed
+    ])
+    _set_env(rec)
+    bench._maybe_autoselect_quant()
+    assert os.environ.get("BENCH_QUANT") is None
+
+
+def test_autoselect_noise_guard_and_static_requirement(tmp_path):
     bench = _load_bench()
     rec = tmp_path / "results.jsonl"
     # within 2% of static -> no flip
@@ -58,7 +95,7 @@ def test_autoselect_noise_guard_and_static_requirement(tmp_path, monkeypatch):
         dict(quant="static", fps=15.3),
         dict(quant="wino_static", fps=15.5),
     ])
-    _with_env(monkeypatch, rec)
+    _set_env(rec)
     bench._maybe_autoselect_quant()
     assert os.environ.get("BENCH_QUANT") is None
     # no static record at this setting -> no flip either
@@ -67,14 +104,15 @@ def test_autoselect_noise_guard_and_static_requirement(tmp_path, monkeypatch):
     assert os.environ.get("BENCH_QUANT") is None
 
 
-def test_autoselect_respects_setting_and_overrides(tmp_path, monkeypatch):
+def test_autoselect_respects_setting_and_overrides(tmp_path):
     bench = _load_bench()
     rec = tmp_path / "results.jsonl"
     _write_records(rec, [
         dict(quant="static", fps=15.3),
         dict(quant="wino_static", fps=20.0, batch=1),  # different setting
+        dict(quant="wino_static", fps=20.0, wino_fused="0"),  # diff backend
     ])
-    _with_env(monkeypatch, rec)
+    _set_env(rec)
     bench._maybe_autoselect_quant()
     assert os.environ.get("BENCH_QUANT") is None
 
@@ -83,26 +121,58 @@ def test_autoselect_respects_setting_and_overrides(tmp_path, monkeypatch):
         dict(quant="static", fps=15.3),
         dict(quant="wino_static", fps=20.0),
     ])
-    _with_env(monkeypatch, rec, BENCH_QUANT="0")
+    _set_env(rec, BENCH_QUANT="0")
     bench._maybe_autoselect_quant()
     assert os.environ.get("BENCH_QUANT") == "0"
 
     # BENCH_AUTOSELECT=0 disables
-    _with_env(monkeypatch, rec, BENCH_AUTOSELECT="0")
+    _set_env(rec, BENCH_AUTOSELECT="0")
     bench._maybe_autoselect_quant()
     assert os.environ.get("BENCH_QUANT") is None
 
 
-def test_record_result_roundtrip(tmp_path, monkeypatch):
+def test_autoselect_never_overrides_user_wino_chunk(tmp_path):
+    bench = _load_bench()
+    rec = tmp_path / "results.jsonl"
+    _write_records(rec, [
+        dict(quant="static", fps=15.3, wc="1"),
+        dict(quant="wino_static", fps=20.0, wc="0"),
+        dict(quant="wino_static", fps=16.0, wc="1"),
+    ])
+    _set_env(rec, D3ROMA_WINO_CHUNK="1")
+    bench._maybe_autoselect_quant()
+    # only wc=1 records are comparable; wino wc=1 beats static wc=1,
+    # and the pinned chunk env must survive
+    assert os.environ.get("BENCH_QUANT") == "wino_static"
+    assert os.environ.get("D3ROMA_WINO_CHUNK") == "1"
+
+
+def test_autoselect_skips_malformed_records(tmp_path):
+    bench = _load_bench()
+    rec = tmp_path / "results.jsonl"
+    base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",
+                fused_gn="0", wino_fused="", wino_slab="", calib="1")
+    with open(rec, "w") as f:
+        f.write("not json\n")
+        f.write(json.dumps(dict(base, quant="wino_static")) + "\n")  # no fps
+        f.write(json.dumps(dict(base, quant="wino_static",
+                                fps="fast")) + "\n")  # non-numeric
+        f.write(json.dumps(dict(base, quant="static", fps=15.3)) + "\n")
+    _set_env(rec)
+    bench._maybe_autoselect_quant()  # must not raise
+    assert os.environ.get("BENCH_QUANT") is None
+
+
+def test_record_result_roundtrip(tmp_path):
     bench = _load_bench()
     rec = tmp_path / "sub" / "results.jsonl"
-    _with_env(monkeypatch, rec, BENCH_QUANT="wino_static",
-              D3ROMA_WINO_CHUNK="1")
+    _set_env(rec, BENCH_QUANT="wino_static", D3ROMA_WINO_CHUNK="1")
     bench._record_result(18.123456)
-    _with_env(monkeypatch, rec)
-    bench._maybe_autoselect_quant()
-    # only a wino record exists (no static) -> no flip, but file is valid
     with open(rec) as f:
         row = json.loads(f.read())
     assert row["quant"] == "wino_static" and row["wc"] == "1"
     assert row["fps"] == 18.123
+    # a fresh default run sees the single wino record, no static -> no flip
+    _set_env(rec)
+    bench._maybe_autoselect_quant()
+    assert os.environ.get("BENCH_QUANT") is None
