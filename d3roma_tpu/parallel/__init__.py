@@ -5,3 +5,11 @@ from d3roma_tpu.parallel.mesh import (  # noqa: F401
     replicate_sharding,
     shard_batch,
 )
+from d3roma_tpu.parallel.tensor import (  # noqa: F401
+    MODEL_AXIS,
+    make_mesh_dp_tp,
+    shard_params_tp,
+    tp_param_shardings,
+    tp_param_specs,
+    tp_shard_count,
+)

@@ -1,0 +1,103 @@
+"""Tensor parallelism: shard the MODEL over a second mesh axis.
+
+The reference has no model parallelism at all (its 866M UNet fits one
+GPU; Accelerate gives it pure DP — train.py:722-727). On TPU the same
+declarative machinery that gives us DP extends to TP: we annotate
+PartitionSpecs on the *parameters* and let jit's SPMD partitioner insert
+every collective (all-gather of channel-sharded conv weights' outputs,
+reduce-scatter after row-parallel projections) over the ``model`` mesh
+axis, riding ICI. No collective appears in model code.
+
+Partitioning rules (Megatron-style column/row pairing where the layer
+names make the pairing explicit, plain output-channel sharding for
+convs):
+
+- attention ``to_q/to_k/to_v`` and feed-forward ``net_0`` kernels:
+  column-parallel — ``P(None, "model")``;
+- attention ``to_out``, feed-forward ``net_2``, spatial-transformer
+  ``proj_out``: row-parallel — ``P("model", None)`` (their input dim is
+  the column-sharded inner dim, so the matmul contracts locally and XLA
+  reduces partial sums across the axis);
+- conv HWIO kernels: output-channel sharded — ``P(None, None, None,
+  "model")``;
+- everything else (biases, norm scale/bias, time embeddings): replicated.
+
+A dimension that does not divide the axis size stays replicated (the
+gate keeps specs valid for any tp; XLA could pad, but an uneven shard of
+a 5-head attention buys nothing).
+
+Activations stay batch-sharded on ``data`` only; GSPMD chooses the
+intermediate layouts. Correctness does not depend on the rules — any
+spec assignment computes the same values (tests assert TP == replicated
+to fp tolerance); the rules only decide where memory and collectives
+land.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from d3roma_tpu.parallel.mesh import DATA_AXIS
+
+MODEL_AXIS = "model"
+
+_ROW_PARALLEL_NAMES = ("to_out", "net_2", "proj_out")
+
+
+def make_mesh_dp_tp(dp: int, tp: int, devices=None) -> Mesh:
+    """2-D ``(data, model)`` mesh. On a real slice, put ``model`` on the
+    fastest (innermost) ICI dimension — TP collectives are per-layer,
+    DP's gradient psum is once per step."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, (dp, tp, len(devices))
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _leaf_spec(path, x, tp: int) -> P:
+    names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    if names and names[-1] == "kernel":
+        if x.ndim == 4 and x.shape[-1] % tp == 0:
+            return P(None, None, None, MODEL_AXIS)
+        if x.ndim == 2:
+            if any(n in _ROW_PARALLEL_NAMES for n in names):
+                if x.shape[0] % tp == 0:
+                    return P(MODEL_AXIS, None)
+                return P()
+            if x.shape[-1] % tp == 0:
+                return P(None, MODEL_AXIS)
+    return P()
+
+
+def tp_param_specs(params, mesh: Mesh):
+    """PartitionSpec pytree for a Flax param tree under ``mesh``'s
+    ``model`` axis (identity — all P() — if the mesh has no model axis)."""
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    if tp == 1:
+        return jax.tree.map(lambda _: P(), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: _leaf_spec(p, x, tp), params)
+
+
+def tp_param_shardings(params, mesh: Mesh):
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        tp_param_specs(params, mesh),
+                        is_leaf=lambda s: isinstance(s, P))
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a (host or replicated) param tree onto the 2-D mesh with the
+    TP rules. Optimizer/EMA trees of the same structure can reuse
+    `tp_param_shardings` so the train state shards consistently."""
+    return jax.device_put(params, tp_param_shardings(params, mesh))
+
+
+def tp_shard_count(params, mesh: Mesh) -> int:
+    """Number of leaves actually sharded on the model axis (diagnostic:
+    a mesh/model mismatch that silently replicates everything shows up
+    as 0)."""
+    specs = jax.tree_util.tree_leaves(tp_param_specs(params, mesh),
+                                      is_leaf=lambda x: isinstance(x, P))
+    return sum(MODEL_AXIS in s for s in specs)
