@@ -5,6 +5,12 @@ from d3roma_tpu.parallel.mesh import (  # noqa: F401
     replicate_sharding,
     shard_batch,
 )
+from d3roma_tpu.parallel.spatial import (  # noqa: F401
+    SEQ_AXIS,
+    make_mesh_dp_sp,
+    spatial_batch_spec,
+    spatial_sharding,
+)
 from d3roma_tpu.parallel.tensor import (  # noqa: F401
     MODEL_AXIS,
     make_mesh_dp_tp,

@@ -34,12 +34,16 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+def shard_batch(batch: Dict, mesh: Mesh, spec: P = None) -> Dict:
     """Place a host-global numpy batch onto the mesh, sharded on axis 0.
 
     In multi-process mode each process holds only its slice and we build the
     global array from local shards (the `gather_for_metrics`-free
     equivalent of Accelerate's sharded loaders).
+
+    `spec` optionally shards extra dims (e.g. the spatial
+    `P("data", "seq")` from `parallel.spatial`); leaves with too few
+    dims for it fall back to leading-axis sharding.
     """
     sharding = batch_sharding(mesh)
 
@@ -47,9 +51,12 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, replicate_sharding(mesh))
+        sh = sharding
+        if spec is not None and x.ndim >= len(spec):
+            sh = NamedSharding(mesh, spec)
         if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(sharding, x)
-        return jax.device_put(x, sharding)
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
 
     return {k: put(v) for k, v in batch.items()
             if not isinstance(v, (list, str))}

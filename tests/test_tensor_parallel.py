@@ -106,6 +106,32 @@ def test_vae_tp_matches_replicated():
         out, ref)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_unet_spatial_parallel_matches_replicated():
+    """H-dim (sequence) sharding: GSPMD's conv halo exchanges and the
+    attention all-gather reproduce the replicated values exactly."""
+    from d3roma_tpu.parallel import make_mesh_dp_sp, spatial_sharding
+
+    unet, params, _ = _tiny_unet()
+    lat = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 12))
+    t = jnp.array([3, 5])
+    ctx = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 16))
+
+    def apply(p, x, tt, cc):
+        return unet.apply({"params": p}, x, tt, cc)
+
+    ref = jax.jit(apply)(params, lat, t, ctx)
+    mesh = make_mesh_dp_sp(2, 4)
+    sp = spatial_sharding(mesh)
+    out = jax.jit(apply, out_shardings=sp)(
+        jax.device_put(params, NamedSharding(mesh, P())),
+        jax.device_put(lat, sp),
+        jax.device_put(t, batch_sharding(mesh)),
+        jax.device_put(ctx, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_tp_specs_identity_without_model_axis():
     from d3roma_tpu.parallel import make_mesh
 
