@@ -82,6 +82,12 @@ class TrainingConfig:
     # batch 1). Latency/streaming deployments should prefer it.
     split_programs: bool = False
 
+    # Tensor-parallel degree for training: params sharded Megatron-style
+    # on the `model` axis of a (data, model) mesh (parallel/tensor.py),
+    # GSPMD collectives. 1 = pure DP (the reference's only mode). The
+    # device count must be divisible by it.
+    tensor_parallel: int = 1
+
     # With split_programs: additionally run the denoise scan as
     # ceil(S/scan_chunk) calls of ONE compiled scan_chunk-step program
     # (timestep slice is a traced argument; the carried x/PRNG key keeps

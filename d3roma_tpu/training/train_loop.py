@@ -154,12 +154,26 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
     if seed is None or seed < 0:
         seed = 0
 
-    # mesh over the largest device subset that divides the global batch
-    n_dev = jax.device_count()
-    while config.train_batch_size % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(jax.devices()[:n_dev])
-    logger.info("data mesh: %d device(s)", n_dev)
+    # mesh over the largest device subset that divides the global batch;
+    # with task.tensor_parallel=T the mesh is 2-D (data, model) and the
+    # batch divisibility constraint applies to the data axis only
+    tp = max(1, int(getattr(config, "tensor_parallel", 1) or 1))
+    if tp > 1:
+        from d3roma_tpu.parallel import make_mesh_dp_tp
+
+        assert jax.device_count() % tp == 0, (
+            f"tensor_parallel={tp} must divide {jax.device_count()} devices")
+        dp = jax.device_count() // tp
+        while config.train_batch_size % dp:
+            dp -= 1
+        mesh = make_mesh_dp_tp(dp, tp, jax.devices()[: dp * tp])
+        logger.info("mesh: DP%d x TP%d", dp, tp)
+    else:
+        n_dev = jax.device_count()
+        while config.train_batch_size % n_dev:
+            n_dev -= 1
+        mesh = make_mesh(jax.devices()[:n_dev])
+        logger.info("data mesh: %d device(s)", n_dev)
     key = jax.random.PRNGKey(seed)
     # per-step keys are a pure function of (seed, global_step) so a resumed
     # run replays exactly the noise stream of an uninterrupted one
@@ -187,10 +201,21 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
         state, counter = load_state(resume_dir, state)
 
     state = jax.device_put(state, replicate_sharding(mesh))
+    if tp > 1:
+        from d3roma_tpu.parallel import shard_params_tp, tp_shard_count
+
+        assert tp_shard_count(state.params, mesh) > 0, (
+            "tensor_parallel set but no param dim divides it — check "
+            "block_out_channels vs tensor_parallel")
+        state = state.replace(params=shard_params_tp(state.params, mesh))
 
     if config.ldm:
         vae = models["vae"]
-        vae_params = jax.device_put(models["vae_params"], replicate_sharding(mesh))
+        if tp > 1:
+            vae_params = shard_params_tp(models["vae_params"], mesh)
+        else:
+            vae_params = jax.device_put(models["vae_params"],
+                                        replicate_sharding(mesh))
 
         def vae_apply(x, method):
             return vae.apply({"params": vae_params}, x, method=method)

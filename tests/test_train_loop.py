@@ -93,6 +93,27 @@ def test_train_smoke_and_resume(synth_real, monkeypatch, tmp_path):
     assert counter2.global_step >= 2
 
 
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+def test_train_tensor_parallel_matches_dp(synth_real, monkeypatch):
+    """task.tensor_parallel=2: the 2-D (data, model) mesh run produces
+    the same first-step loss as the pure-DP run (same seed/noise stream —
+    sharding must not change values)."""
+    import dataclasses
+
+    _patch_real_root(monkeypatch)
+    from d3roma_tpu.training import train
+
+    cfg = _config()
+    _, counter_dp, _ = train(cfg, output_dir=str(synth_real / "dp"),
+                             max_steps=1)
+    cfg_tp = dataclasses.replace(cfg, tensor_parallel=2)
+    _, counter_tp, _ = train(cfg_tp, output_dir=str(synth_real / "tp"),
+                             max_steps=1)
+    assert counter_dp.global_step == counter_tp.global_step == 1
+    np.testing.assert_allclose(counter_tp.avg_loss, counter_dp.avg_loss,
+                               rtol=1e-4)
+
+
 def test_resume_replays_same_noise_stream(synth_real, monkeypatch):
     """Per-step keys are a pure function of (seed, global_step): a run
     resumed after step 1 must see the exact step-2 loss of an uninterrupted
