@@ -51,7 +51,24 @@ def main(argv):
         pipeline = pipeline.fast_inference(config.fast_inference)
     pipeline = pipeline.replace_sampler(create_sampler_spec(config, train=False))
 
-    mesh = make_mesh()
+    tp = max(1, int(getattr(config, "tensor_parallel", 1) or 1))
+    if tp > 1:
+        # 2-D (data, model) mesh: batches shard on data, the UNet/VAE
+        # params shard Megatron-style on model (parallel/tensor.py)
+        import dataclasses
+
+        from d3roma_tpu.parallel import make_mesh_dp_tp, shard_params_tp
+
+        assert jax.device_count() % tp == 0, (
+            f"tensor_parallel={tp} must divide {jax.device_count()} devices")
+        mesh = make_mesh_dp_tp(jax.device_count() // tp, tp)
+        repl = {"unet_params": shard_params_tp(pipeline.unet_params, mesh)}
+        if config.ldm:
+            repl["vae_params"] = shard_params_tp(pipeline.vae_params, mesh)
+        pipeline = dataclasses.replace(pipeline, **repl)
+        logger.info("mesh: DP%d x TP%d", jax.device_count() // tp, tp)
+    else:
+        mesh = make_mesh()
     n_dev = jax.device_count()
     norm = Normalizer.from_config(config)
 

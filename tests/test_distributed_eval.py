@@ -101,3 +101,35 @@ def test_padded_duplicates_do_not_bias_metrics():
     assert metrics["disp"]["epe"] == pytest.approx(expected_epe, rel=1e-4)
     # the duplicated tail row (distinct content) would have moved the mean
     assert abs(biased_epe - expected_epe) > 1e-3
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
+def test_tp_sharded_eval_matches_replicated():
+    """task.tensor_parallel on the eval side: a pipeline with TP-sharded
+    params on a (data, model) mesh reproduces the replicated metrics."""
+    import dataclasses
+
+    from d3roma_tpu.parallel import make_mesh_dp_tp, shard_params_tp
+    from d3roma_tpu.training import build_models, create_pipeline
+
+    cfg = _config()
+    models = build_models(cfg, jax.random.PRNGKey(0))
+    pipeline = create_pipeline(cfg, models)
+    raw = _batch_np(4)
+    key = jax.random.PRNGKey(7)
+
+    mesh1 = make_mesh()
+    prep1 = lambda b: shard_batch(pad_batch_to_devices(b, 8), mesh1)  # noqa: E731
+    ref, _ = evaluate_dataset(cfg, pipeline, [raw], key,
+                              preprocess=prep1, max_batches=1)
+
+    mesh2 = make_mesh_dp_tp(2, 4)
+    pipe_tp = dataclasses.replace(
+        pipeline, unet_params=shard_params_tp(pipeline.unet_params, mesh2))
+    prep2 = lambda b: shard_batch(pad_batch_to_devices(b, 8), mesh2)  # noqa: E731
+    got, _ = evaluate_dataset(cfg, pipe_tp, [raw], key,
+                              preprocess=prep2, max_batches=1)
+    for space in ref:
+        for k, v in ref[space].items():
+            assert got[space][k] == pytest.approx(v, rel=1e-4, abs=1e-6), (
+                space, k)
