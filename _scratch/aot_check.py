@@ -10,6 +10,7 @@ matter this round:
   PB_WHAT=b16vae     batch-16 wino VAE decode
   PB_WHAT=b32enc     batch-32 wino VAE encode (needs D3ROMA_WINO_CHUNK=1)
   PB_WHAT=b1wino     batch-1 5-step wino denoise scan
+  PB_WHAT=tp4        flagship bf16 UNet step, TP4 over the 2x2 topology
   PB_WHAT=all        everything
 
 usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu TPU_SKIP_MDS_QUERY=1 \
@@ -155,3 +156,38 @@ if WHAT in ("b1wino", "all"):
     check("b1 wino scan 5-step 360x640", scan1_fn, p,
           jax.ShapeDtypeStruct((2,), jnp.uint32),
           jax.ShapeDtypeStruct((1, H // 8, W // 8, 8), jnp.float32))
+
+
+if WHAT in ("tp4", "all"):
+    # real-scale flagship UNet step tensor-parallel over all 4 topology
+    # chips: validates the parallel/tensor.py specs lower + compile at
+    # the 320/640/1280 channel dims on actual TPU codegen (GSPMD
+    # collectives included) without a chip
+    from d3roma_tpu.parallel.tensor import tp_param_shardings
+    from jax.sharding import PartitionSpec as P4
+
+    mesh4 = Mesh(np.array(topo.devices).reshape(-1)[:4].reshape(1, 4),
+                 ("data", "model"))
+    unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
+                           use_flash_attention=False, dtype=jnp.bfloat16)
+    p = bf16_tree(param_structs(
+        unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
+        jnp.zeros((1, 77, 1024))))
+
+    def unet_fn(params, x, t, ctx):
+        return unet.apply({"params": params}, x, t, ctx)
+
+    psh = tp_param_shardings(p, mesh4)
+    bs = NamedSharding(mesh4, P4("data"))
+    t0 = time.time()
+    try:
+        jf = jax.jit(unet_fn, in_shardings=(psh, bs, bs, bs),
+                     out_shardings=bs)
+        jf.lower(p,
+                 jax.ShapeDtypeStruct((8, H // 8, W // 8, in_ch), jnp.bfloat16),
+                 jax.ShapeDtypeStruct((8,), jnp.int32),
+                 jax.ShapeDtypeStruct((8, 77, 1024), jnp.bfloat16)).compile()
+        print(f"PASS flagship TP4 UNet step in {time.time()-t0:.0f}s", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL flagship TP4 UNet step after {time.time()-t0:.0f}s: "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
