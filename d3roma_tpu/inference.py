@@ -100,6 +100,23 @@ class D3RoMa:
         if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
             pipeline = pipeline.fast_inference(config.fast_inference)
             logger.info("fast_inference=%s kernels enabled", config.fast_inference)
+        tp = max(1, int(getattr(config, "tensor_parallel", 1) or 1))
+        if tp > 1:
+            # serve tensor-parallel over a (data, model) mesh — the
+            # multi-chip batch-1 latency lever (docs/PERFORMANCE.md)
+            import jax
+
+            from d3roma_tpu.parallel import make_mesh_dp_tp, shard_params_tp
+
+            assert jax.device_count() % tp == 0, (
+                f"tensor_parallel={tp} must divide {jax.device_count()}")
+            mesh = make_mesh_dp_tp(jax.device_count() // tp, tp)
+            repl = {"unet_params": shard_params_tp(pipeline.unet_params, mesh)}
+            if config.ldm:
+                repl["vae_params"] = shard_params_tp(pipeline.vae_params, mesh)
+            pipeline = dataclasses.replace(pipeline, **repl)
+            logger.info("serving mesh: DP%d x TP%d",
+                        jax.device_count() // tp, tp)
         return pipeline
 
     # ------------------------------------------------------------------ #

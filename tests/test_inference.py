@@ -127,6 +127,40 @@ def test_d3roma_infer_with_rgb_raw(tmp_path):
     assert depth.min() >= 0
 
 
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+def test_d3roma_tensor_parallel_matches(tmp_path):
+    """task.tensor_parallel=2 on the serving API: TP-sharded pipeline
+    reproduces the single-sharding depth output exactly."""
+    from d3roma_tpu.inference import D3RoMa
+    from d3roma_tpu.utils.camera import Realsense
+
+    pretrained = _tiny_pixel_pretrained(tmp_path)
+
+    def build(tp):
+        return D3RoMa(
+            overrides=[
+                "task=train_dreds_reprod",
+                f"task.resume_pretrained={pretrained}",
+                "task.ldm=false", "task.depth_channels=1",
+                "task.cond_channels=rgb+raw",
+                "task.image_size=[48,64]",
+                "task.num_inference_timesteps=4",
+                "task.num_intermediate_images=2",
+                "task.ssi=true", "task.safe_ssi=false",
+                "task.num_train_timesteps=8",
+                f"task.tensor_parallel={tp}",
+            ],
+            camera=Realsense.default_real("fxm"), variant="rgb+raw",
+        )
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    raw_depth = rng.uniform(0.5, 1.5, (48, 64)).astype(np.float32)
+    ref = build(1).infer_with_rgb_raw(rgb, raw_depth)
+    got = build(2).infer_with_rgb_raw(rgb, raw_depth)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_d3roma_rejects_unreleased_variant(tmp_path):
     from d3roma_tpu.inference import D3RoMa
     from d3roma_tpu.utils.camera import Realsense
