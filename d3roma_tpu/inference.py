@@ -60,6 +60,25 @@ class D3RoMa:
             f"{config.image_size[1]}x{config.image_size[0]}"
         )
         self.pipeline = pipeline if pipeline is not None else self._load_pipeline(config)
+        tp = max(1, int(getattr(config, "tensor_parallel", 1) or 1))
+        if tp > 1:
+            # serve tensor-parallel over a (data, model) mesh — the
+            # multi-chip batch-1 latency lever (docs/PERFORMANCE.md).
+            # Applied here (not in _load_pipeline) so an explicitly
+            # passed pipeline honors the override too.
+            from d3roma_tpu.parallel import shard_pipeline_tp
+
+            if config.fast_inference != "off":
+                # Pallas-kernel modes are unvalidated under a
+                # model-sharded mesh (pallas_call needs shard_map, not
+                # GSPMD); keep the XLA path, which GSPMD partitions fully
+                logger.warning(
+                    "tensor_parallel=%d: fast_inference=%s kernels are "
+                    "not TP-validated; using the XLA path", tp,
+                    config.fast_inference)
+                if hasattr(self.pipeline, "fast_inference"):
+                    self.pipeline = self.pipeline.fast_inference("off")
+            self.pipeline, _ = shard_pipeline_tp(self.pipeline, tp, logger)
 
         self.eval_output_dir = f"_outputs.{variant}"
         os.makedirs(self.eval_output_dir, exist_ok=True)
@@ -100,23 +119,6 @@ class D3RoMa:
         if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
             pipeline = pipeline.fast_inference(config.fast_inference)
             logger.info("fast_inference=%s kernels enabled", config.fast_inference)
-        tp = max(1, int(getattr(config, "tensor_parallel", 1) or 1))
-        if tp > 1:
-            # serve tensor-parallel over a (data, model) mesh — the
-            # multi-chip batch-1 latency lever (docs/PERFORMANCE.md)
-            import jax
-
-            from d3roma_tpu.parallel import make_mesh_dp_tp, shard_params_tp
-
-            assert jax.device_count() % tp == 0, (
-                f"tensor_parallel={tp} must divide {jax.device_count()}")
-            mesh = make_mesh_dp_tp(jax.device_count() // tp, tp)
-            repl = {"unet_params": shard_params_tp(pipeline.unet_params, mesh)}
-            if config.ldm:
-                repl["vae_params"] = shard_params_tp(pipeline.vae_params, mesh)
-            pipeline = dataclasses.replace(pipeline, **repl)
-            logger.info("serving mesh: DP%d x TP%d",
-                        jax.device_count() // tp, tp)
         return pipeline
 
     # ------------------------------------------------------------------ #

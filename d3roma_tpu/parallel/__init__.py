@@ -15,6 +15,8 @@ from d3roma_tpu.parallel.tensor import (  # noqa: F401
     MODEL_AXIS,
     make_mesh_dp_tp,
     shard_params_tp,
+    shard_pipeline_tp,
+    shard_state_tp,
     tp_param_shardings,
     tp_param_specs,
     tp_shard_count,

@@ -52,7 +52,9 @@ def shard_batch(batch: Dict, mesh: Mesh, spec: P = None) -> Dict:
         if x.ndim == 0:
             return jax.device_put(x, replicate_sharding(mesh))
         sh = sharding
-        if spec is not None and x.ndim >= len(spec):
+        # the extra-dim spec targets image leaves (NHWC); a 2-D leaf like
+        # per-sample intrinsics must NOT get a feature dim sharded on "seq"
+        if spec is not None and x.ndim == 4:
             sh = NamedSharding(mesh, spec)
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sh, x)

@@ -94,6 +94,45 @@ def shard_params_tp(params, mesh: Mesh):
     return jax.device_put(params, tp_param_shardings(params, mesh))
 
 
+def shard_state_tp(state, mesh: Mesh):
+    """TP-shard a whole TrainState consistently.
+
+    The optax moment trees mirror the param dict (same ``kernel`` leaf
+    names), so the same path+shape rules apply to them; sharding params
+    and moments identically keeps the jitted step's input and output
+    shardings equal — otherwise step 2 recompiles the entire program and
+    the donated step-1 buffers are wasted."""
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    sh = jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(
+            mesh, _leaf_spec(p, x, tp) if tp > 1 else P()), state)
+    return jax.device_put(state, sh)
+
+
+def shard_pipeline_tp(pipeline, tp: int, log=None):
+    """TP-shard a sampling pipeline's params for serving/eval.
+
+    Builds the (data, model) mesh, checks the rules actually engage
+    (`tp_shard_count` — silently-replicated "TP" is the failure mode the
+    diagnostic exists for), and returns (pipeline, mesh). Pallas-kernel
+    fast_inference modes are not validated under a model-sharded mesh
+    (GSPMD cannot partition a pallas_call; that needs shard_map) — gate
+    them off before calling this."""
+    import dataclasses
+
+    assert jax.device_count() % tp == 0, (
+        f"tensor_parallel={tp} must divide {jax.device_count()} devices")
+    mesh = make_mesh_dp_tp(jax.device_count() // tp, tp)
+    assert tp_shard_count(pipeline.unet_params, mesh) > 0, (
+        "tensor_parallel set but no UNet param dim divides it")
+    repl = {"unet_params": shard_params_tp(pipeline.unet_params, mesh)}
+    if getattr(pipeline, "vae_params", None) is not None:
+        repl["vae_params"] = shard_params_tp(pipeline.vae_params, mesh)
+    if log is not None:
+        log.info("mesh: DP%d x TP%d", jax.device_count() // tp, tp)
+    return dataclasses.replace(pipeline, **repl), mesh
+
+
 def tp_shard_count(params, mesh: Mesh) -> int:
     """Number of leaves actually sharded on the model axis (diagnostic:
     a mesh/model mismatch that silently replicates everything shows up

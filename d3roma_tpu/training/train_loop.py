@@ -200,14 +200,22 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
         logger.info("resuming from %s", resume_dir)
         state, counter = load_state(resume_dir, state)
 
-    state = jax.device_put(state, replicate_sharding(mesh))
     if tp > 1:
-        from d3roma_tpu.parallel import shard_params_tp, tp_shard_count
+        from d3roma_tpu.parallel import (
+            shard_params_tp,
+            shard_state_tp,
+            tp_shard_count,
+        )
 
         assert tp_shard_count(state.params, mesh) > 0, (
             "tensor_parallel set but no param dim divides it — check "
             "block_out_channels vs tensor_parallel")
-        state = state.replace(params=shard_params_tp(state.params, mesh))
+        # whole state (params AND optax moments — same kernel leaf paths)
+        # so the step's in/out shardings match: no step-2 recompile, the
+        # donated buffers are reused, and optimizer memory shards too
+        state = shard_state_tp(state, mesh)
+    else:
+        state = jax.device_put(state, replicate_sharding(mesh))
 
     if config.ldm:
         vae = models["vae"]

@@ -47,35 +47,35 @@ def main(argv):
     assert config.resume_pretrained and os.path.exists(config.resume_pretrained)
     cls = GuidedLatentDiffusionPipeline if config.ldm else GuidedDiffusionPipeline
     pipeline = cls.from_pretrained(config.resume_pretrained)
+    tp = max(1, int(getattr(config, "tensor_parallel", 1) or 1))
     if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
-        pipeline = pipeline.fast_inference(config.fast_inference)
+        if tp > 1:
+            # Pallas-kernel modes are unvalidated under a model-sharded
+            # mesh (pallas_call needs shard_map, not GSPMD)
+            logger.warning("tensor_parallel=%d: fast_inference=%s kernels "
+                           "are not TP-validated; using the XLA path",
+                           tp, config.fast_inference)
+        else:
+            pipeline = pipeline.fast_inference(config.fast_inference)
     pipeline = pipeline.replace_sampler(create_sampler_spec(config, train=False))
 
-    tp = max(1, int(getattr(config, "tensor_parallel", 1) or 1))
     if tp > 1:
         # 2-D (data, model) mesh: batches shard on data, the UNet/VAE
         # params shard Megatron-style on model (parallel/tensor.py)
-        import dataclasses
+        from d3roma_tpu.parallel import shard_pipeline_tp
 
-        from d3roma_tpu.parallel import make_mesh_dp_tp, shard_params_tp
-
-        assert jax.device_count() % tp == 0, (
-            f"tensor_parallel={tp} must divide {jax.device_count()} devices")
-        mesh = make_mesh_dp_tp(jax.device_count() // tp, tp)
-        repl = {"unet_params": shard_params_tp(pipeline.unet_params, mesh)}
-        if config.ldm:
-            repl["vae_params"] = shard_params_tp(pipeline.vae_params, mesh)
-        pipeline = dataclasses.replace(pipeline, **repl)
-        logger.info("mesh: DP%d x TP%d", jax.device_count() // tp, tp)
+        pipeline, mesh = shard_pipeline_tp(pipeline, tp, logger)
     else:
         mesh = make_mesh()
-    n_dev = jax.device_count()
+    # tails only need the DATA axis size; padding to the device count
+    # would run the sampling scan on tp-fold extra duplicated rows
+    n_pad = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
     norm = Normalizer.from_config(config)
 
     def preprocess(raw_batch):
         arrays = {k: v for k, v in raw_batch.items()
                   if not isinstance(v, (list, str))}
-        arrays = pad_batch_to_devices(arrays, n_dev)
+        arrays = pad_batch_to_devices(arrays, n_pad)
         sharded = shard_batch(arrays, mesh)
         return device_preprocess(sharded, norm, config.prediction_space)
 
@@ -86,7 +86,8 @@ def main(argv):
             config, pipeline, loader, key, preprocess=preprocess,
         )
         if jax.process_index() == 0:
-            logger.info("[%s] metrics over %d devices: %s", name, n_dev, metrics)
+            logger.info("[%s] metrics over %d devices: %s", name,
+                        mesh.devices.size, metrics)
 
 
 if __name__ == "__main__":
