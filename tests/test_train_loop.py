@@ -107,11 +107,21 @@ def test_train_tensor_parallel_matches_dp(synth_real, monkeypatch):
     _, counter_dp, _ = train(cfg, output_dir=str(synth_real / "dp"),
                              max_steps=1)
     cfg_tp = dataclasses.replace(cfg, tensor_parallel=2)
-    _, counter_tp, _ = train(cfg_tp, output_dir=str(synth_real / "tp"),
-                             max_steps=1)
+    state_tp, counter_tp, _ = train(cfg_tp, output_dir=str(synth_real / "tp"),
+                                    max_steps=1)
     assert counter_dp.global_step == counter_tp.global_step == 1
     np.testing.assert_allclose(counter_tp.avg_loss, counter_dp.avg_loss,
                                rtol=1e-4)
+    # TP sharding must survive the jitted step on params AND the optax
+    # moments (shard_state_tp's whole-state invariant: matching in/out
+    # shardings are what prevent a step-2 recompile)
+    def _model_sharded_leaves(tree):
+        return [x for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "sharding")
+                and any("model" in str(s) for s in [x.sharding.spec])]
+
+    assert len(_model_sharded_leaves(state_tp.params)) > 0
+    assert len(_model_sharded_leaves(state_tp.opt_state)) > 0
 
 
 def test_resume_replays_same_noise_stream(synth_real, monkeypatch):
