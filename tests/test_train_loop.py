@@ -93,6 +93,45 @@ def test_train_smoke_and_resume(synth_real, monkeypatch, tmp_path):
     assert counter2.global_step >= 2
 
 
+def test_lifecycle_train_export_serve(synth_real, monkeypatch):
+    """Full product loop in one test: train -> per-epoch pipeline export
+    -> load the export through the serving API (D3RoMa) -> infer a frame.
+    Catches drift between the training-side save_pretrained contract and
+    the serving-side loader (the reference's deployment path:
+    train.py save_pretrained -> inference.py from_pretrained)."""
+    _patch_real_root(monkeypatch)
+    from d3roma_tpu.inference import D3RoMa
+    from d3roma_tpu.training import train
+    from d3roma_tpu.utils.camera import Realsense
+
+    cfg = _config()
+    out = str(synth_real / "exp_lifecycle")
+    train(cfg, output_dir=out, max_steps=2)
+    exported = os.path.join(out, "epoch_0000")
+    assert os.path.exists(exported)
+
+    droma = D3RoMa(
+        overrides=[
+            "task=train_dreds_reprod",
+            f"task.resume_pretrained={exported}",
+            "task.ldm=false", "task.depth_channels=1",
+            "task.cond_channels=rgb+raw",
+            "task.image_size=[32,64]",
+            "task.num_inference_timesteps=4",
+            "task.num_intermediate_images=2",
+            "task.ssi=true", "task.safe_ssi=false",
+            "task.num_train_timesteps=8",
+        ],
+        camera=Realsense.default_real("fxm"), variant="rgb+raw",
+    )
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 255, (32, 64, 3), np.uint8)
+    raw_depth = rng.uniform(0.5, 1.5, (32, 64)).astype(np.float32)
+    depth = droma.infer_with_rgb_raw(rgb, raw_depth)
+    assert depth.shape == (32, 64)
+    assert np.all(np.isfinite(depth)) and depth.min() >= 0
+
+
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
 def test_train_tensor_parallel_matches_dp(synth_real, monkeypatch):
     """task.tensor_parallel=2: the 2-D (data, model) mesh run produces
