@@ -238,3 +238,26 @@ def test_evaluate_cli_guidance_sweep_and_artifacts(tmp_path, monkeypatch):
 
     assert _glob.glob(str(tmp_path / "evalout2" / "Real" / "*_denoised.png"))
     assert _glob.glob(str(tmp_path / "evalout2" / "Real" / "*_pred_disp.png"))
+
+
+def test_sharding_report_cli(capsys):
+    """sharding_report prints the TP partition summary for a small
+    pixel config without touching any device."""
+    import importlib
+
+    sr = importlib.import_module("sharding_report")
+    from d3roma_tpu.config import compose
+
+    base = compose([
+        "task=train_dreds_reprod",
+        "task.tensor_parallel=2",
+        "task.block_out_channels=[8,16]",
+    ])
+    sr.report(base.task, 2, show_leaves=False)
+    out = capsys.readouterr().out
+    assert "[unet]" in out and "tensor_parallel=2" in out
+    assert "per-device params memory" in out
+    # tp=1 path: everything replicated
+    sr.report(base.task, 1)
+    out = capsys.readouterr().out
+    assert "0/" in out
