@@ -29,13 +29,20 @@ class FrameSource:
 
 
 class FileReplaySource(FrameSource):
-    """Replays `*_color.png` / `*_depth.png` (mm) pairs from a directory,
-    optionally looping at a fixed rate."""
+    """Replays color / `*_depth.png` (mm) pairs from a directory,
+    optionally looping at a fixed rate. Accepts both capture namings:
+    `*_color.png` and the bundled-capture `*_rgb.png`
+    (datasets/Real/xiaomeng; reference naming, stereo_datasets.py:834)."""
 
     def __init__(self, root: str, fps: Optional[float] = None, loop: bool = False):
+        self._color_tag = "_color.png"
         self.color_files = sorted(glob.glob(os.path.join(root, "*_color.png")))
         if not self.color_files:
-            raise FileNotFoundError(f"no *_color.png frames under {root}")
+            self._color_tag = "_rgb.png"
+            self.color_files = sorted(glob.glob(os.path.join(root, "*_rgb.png")))
+        if not self.color_files:
+            raise FileNotFoundError(
+                f"no *_color.png or *_rgb.png frames under {root}")
         self.fps = fps
         self.loop = loop
 
@@ -45,7 +52,7 @@ class FileReplaySource(FrameSource):
         while True:
             for cf in self.color_files:
                 rgb = cv2.cvtColor(cv2.imread(cf), cv2.COLOR_BGR2RGB)
-                df = cf.replace("_color.png", "_depth.png")
+                df = cf.replace(self._color_tag, "_depth.png")
                 depth = cv2.imread(df, cv2.IMREAD_ANYDEPTH).astype(np.float32) / 1000.0
                 yield rgb, depth
                 if self.fps:

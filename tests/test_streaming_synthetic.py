@@ -170,3 +170,23 @@ def test_isaac_replicator_math_without_isaac():
     assert set(mats) <= {"diffuse", "specular", "transparent"}
     with pytest.raises(ImportError, match="Isaac Sim is not installed"):
         IsaacReplicator(cfg)  # default backend = OmniBackend
+
+
+def test_file_replay_accepts_bundled_rgb_naming(tmp_path):
+    """The bundled capture (datasets/Real/xiaomeng) names frames
+    0000_rgb.png; FileReplaySource must replay that layout too, which is
+    what `camera_test.py --replay datasets/Real/xiaomeng` drives."""
+    import cv2
+
+    from d3roma_tpu.streaming import FileReplaySource
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / f"{i:04d}_rgb.png"),
+                    rng.integers(0, 255, (24, 32, 3), np.uint8))
+        cv2.imwrite(str(tmp_path / f"{i:04d}_depth.png"),
+                    rng.integers(400, 2000, (24, 32)).astype(np.uint16))
+    src = FileReplaySource(str(tmp_path))
+    rgb, depth = next(src.frames())
+    assert rgb.shape == (24, 32, 3) and depth.shape == (24, 32)
+    assert 0.3 < float(depth.mean()) < 2.1  # mm -> meters conversion
