@@ -11,6 +11,7 @@ matter this round:
   PB_WHAT=b32enc     batch-32 wino VAE encode (needs D3ROMA_WINO_CHUNK=1)
   PB_WHAT=b1wino     batch-1 5-step wino denoise scan
   PB_WHAT=tp4        flagship bf16 UNet step, TP4 over the 2x2 topology
+  PB_WHAT=serving_export  flagship TPU serving artifact (jax.export) builds
   PB_WHAT=all        everything
 
 usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu TPU_SKIP_MDS_QUERY=1 \
@@ -157,6 +158,43 @@ if WHAT in ("b1wino", "all"):
           jax.ShapeDtypeStruct((2,), jnp.uint32),
           jax.ShapeDtypeStruct((1, H // 8, W // 8, 8), jnp.float32))
 
+
+if WHAT in ("serving_export", "all"):
+    # the deployment artifact at production scale: flagship release
+    # serving program (batch 16, 10-step, throughput kernels) exported
+    # for the TPU platform from this CPU host (serving/aot.py)
+    from d3roma_tpu.guidance import FlowGuidance
+    from d3roma_tpu.ops.normalizer import Normalizer
+    from d3roma_tpu.pipelines import GuidedLatentDiffusionPipeline
+    from d3roma_tpu.serving import ServingSignature, export_serving
+
+    unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
+                           use_flash_attention="pallas-self", fused_ff=True,
+                           quant="static", dtype=jnp.bfloat16)
+    vae = AutoencoderKL(quant="static", dtype=jnp.bfloat16)
+    p = bf16_tree(param_structs(
+        unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
+        jnp.zeros((1, 77, 1024))))
+    vp = bf16_tree(param_structs(vae, jnp.zeros((1, 64, 64, 3))))
+    pipe = GuidedLatentDiffusionPipeline(
+        unet=unet, unet_params=p, vae=vae, vae_params=vp,
+        text_embed=jax.ShapeDtypeStruct((1, 77, 1024), jnp.bfloat16),
+        spec=spec, guidance=FlowGuidance(flow_guidance_weight=0.0),
+        normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
+                              ch_bounds=(128.0,), ch_gammas=(1.0,)))
+    sig = ServingSignature(batch=16, height=H, width=W,
+                           num_inference_steps=10,
+                           num_intermediate_images=1,
+                           cond_channels="rgb+raw")
+    t0 = time.time()
+    try:
+        exp = export_serving(pipe, sig, platforms=("tpu",))
+        blob = exp.serialize()
+        print(f"PASS flagship serving export in {time.time()-t0:.0f}s "
+              f"({len(blob)/1e6:.1f} MB artifact)", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL flagship serving export after {time.time()-t0:.0f}s: "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 if WHAT in ("tp4", "all"):
     # real-scale flagship UNet step tensor-parallel over all 4 topology

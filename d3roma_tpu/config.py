@@ -88,6 +88,13 @@ class TrainingConfig:
     # device count must be divisible by it.
     tensor_parallel: int = 1
 
+    # Compiled-executable cache directory for serving (serving/aot.py):
+    # restarts on the same device kind skip tracing AND XLA compilation
+    # (a cold flagship compile through this environment's remote-compile
+    # relay is 15-30 min). "" = off. Safe to enable always: any cache
+    # failure falls back to the ordinary jit path.
+    aot_cache: str = ""
+
     # With split_programs: additionally run the denoise scan as
     # ceil(S/scan_chunk) calls of ONE compiled scan_chunk-step program
     # (timestep slice is a traced argument; the carried x/PRNG key keeps

@@ -79,6 +79,23 @@ class D3RoMa:
                 if hasattr(self.pipeline, "fast_inference"):
                     self.pipeline = self.pipeline.fast_inference("off")
             self.pipeline, _ = shard_pipeline_tp(self.pipeline, tp, logger)
+        if getattr(config, "aot_cache", "") and hasattr(self.pipeline,
+                                                        "with_aot_cache"):
+            # serving restarts skip trace+compile (serving/aot.py). The
+            # token keys the guidance denormalizer closure, which is
+            # built from the config (run_pipeline::_denorm_builder) —
+            # hash the whole config so any change misses instead of
+            # loading a stale program.
+            import dataclasses as _dc
+            import hashlib as _hl
+            import json as _json
+
+            tok = _hl.sha256(_json.dumps(
+                _dc.asdict(config), sort_keys=True, default=str,
+            ).encode()).hexdigest()[:16]
+            self.pipeline = self.pipeline.with_aot_cache(
+                config.aot_cache, token=tok)
+            logger.info("AOT executable cache at %s", config.aot_cache)
 
         self.eval_output_dir = f"_outputs.{variant}"
         os.makedirs(self.eval_output_dir, exist_ok=True)

@@ -88,10 +88,30 @@ class GuidedDiffusionPipeline:
     spec: SamplerSpec
     guidance: FlowGuidance
     normalizer: Normalizer
+    # compiled-executable cache (serving/aot.py); None = plain jit
+    aot_cache_dir: Optional[str] = None
+    aot_cache_token: str = ""
 
     def __post_init__(self):
         self._tables = self.spec.schedule.tables()
         self._jitted = {}
+
+    def with_aot_cache(self, cache_dir: str, token: str = "") -> "GuidedDiffusionPipeline":
+        """Persist/reuse compiled serving executables under `cache_dir`
+        (serving/aot.py::ExecutableCache): a serving restart on the same
+        device kind skips tracing AND XLA compilation. `token` must change
+        whenever program-affecting state not visible in the config reprs
+        changes."""
+        return dataclasses.replace(
+            self, aot_cache_dir=cache_dir, aot_cache_token=token)
+
+    def _aot_fingerprint(self, sig) -> str:
+        import hashlib
+
+        parts = [repr(self.unet), repr(self.spec), repr(self.guidance),
+                 repr(self.normalizer), self.aot_cache_token, repr(sig)]
+        return "pixel_" + hashlib.sha256(
+            "|".join(parts).encode()).hexdigest()[:24]
 
     def replace_sampler(self, spec: SamplerSpec) -> "GuidedDiffusionPipeline":
         return GuidedDiffusionPipeline(
@@ -132,6 +152,26 @@ class GuidedDiffusionPipeline:
             self.spec, self.guidance, self.normalizer,
         )
 
+    def serving_fn(self, num_inference_steps: int,
+                   num_intermediate_images: int, depth_channels: int,
+                   cond_channels: str, add_noise_rgb: bool = False):
+        """The EXACT (unjitted) program `__call__` runs, as a pure function
+        `fn(params, key, rgb, left, right, raw, mask) -> PipelineOutput`.
+        Exposed so the AOT serving exporter (serving/aot.py) serializes the
+        same program deployment executes."""
+        def fn(params, key, rgb, left, right, raw, mask):
+            def unet_apply(model_input, t):
+                return self.unet.apply({"params": params}, model_input, t)
+            return pixel_pipeline(
+                unet_apply, self.spec, self._tables, key,
+                num_inference_steps, num_intermediate_images,
+                depth_channels, cond_channels,
+                rgb=rgb, left=left, right=right, sim_disp=raw,
+                guidance=self.guidance, raw_mask=mask,
+                add_noise_rgb=add_noise_rgb,
+            )
+        return fn
+
     def __call__(
         self,
         key: jax.Array,
@@ -150,23 +190,19 @@ class GuidedDiffusionPipeline:
                cond_channels, add_noise_rgb,
                tuple(x.shape for x in (rgb_images, left_images, right_images, sim_disp)
                      if x is not None))
+        args = (self.unet_params, key, rgb_images, left_images,
+                right_images, sim_disp, raw_mask)
         if sig not in self._jitted:
-            def fn(params, key, rgb, left, right, raw, mask):
-                def unet_apply(model_input, t):
-                    return self.unet.apply({"params": params}, model_input, t)
-                return pixel_pipeline(
-                    unet_apply, self.spec, self._tables, key,
-                    num_inference_steps, num_intermediate_images,
-                    depth_channels, cond_channels,
-                    rgb=rgb, left=left, right=right, sim_disp=raw,
-                    guidance=self.guidance, raw_mask=mask,
-                    add_noise_rgb=add_noise_rgb,
-                )
-            self._jitted[sig] = jax.jit(fn)
-        return self._jitted[sig](
-            self.unet_params, key, rgb_images, left_images, right_images,
-            sim_disp, raw_mask,
-        )
+            jit_fn = jax.jit(self.serving_fn(
+                num_inference_steps, num_intermediate_images,
+                depth_channels, cond_channels, add_noise_rgb))
+            if self.aot_cache_dir:
+                from d3roma_tpu.serving.aot import ExecutableCache
+
+                jit_fn = ExecutableCache(self.aot_cache_dir).get_or_compile(
+                    self._aot_fingerprint(sig), jit_fn, args)
+            self._jitted[sig] = jit_fn
+        return self._jitted[sig](*args)
 
     # ------------------------------------------------------------------ #
     def save_pretrained(self, out_dir: str) -> None:
@@ -233,10 +269,34 @@ class GuidedLatentDiffusionPipeline:
     # call order — see ops/quant.py + calibrate()). None = the global
     # STATIC_ACT_SCALE fallback.
     act_scales: Optional[dict] = None
+    # compiled-executable cache (serving/aot.py); None = plain jit
+    aot_cache_dir: Optional[str] = None
+    aot_cache_token: str = ""
 
     def __post_init__(self):
         self._tables = self.spec.schedule.tables()
         self._jitted = {}
+
+    def with_aot_cache(self, cache_dir: str, token: str = "") -> "GuidedLatentDiffusionPipeline":
+        """Persist/reuse compiled serving executables under `cache_dir`
+        (serving/aot.py::ExecutableCache). On this environment's
+        remote-compile relay a cold flagship compile is 15-30 min; a warm
+        restart with the cache is a file load. Programs that capture a
+        `denormer`/`denorm_builder` closure are cached only when `token`
+        is non-empty (the caller asserts the closure is determined by the
+        token — e.g. D3RoMa's config-built denormalizer)."""
+        return dataclasses.replace(
+            self, aot_cache_dir=cache_dir, aot_cache_token=token)
+
+    def _aot_fingerprint(self, sig_stable) -> str:
+        import hashlib
+
+        parts = [repr(self.unet), repr(self.vae), repr(self.spec),
+                 repr(self.guidance), repr(self.normalizer),
+                 json.dumps(self.act_scales or {}, sort_keys=True),
+                 self.aot_cache_token, repr(sig_stable)]
+        return "ldm_" + hashlib.sha256(
+            "|".join(parts).encode()).hexdigest()[:24]
 
     def replace_sampler(self, spec: SamplerSpec) -> "GuidedLatentDiffusionPipeline":
         return dataclasses.replace(self, spec=spec)
@@ -444,6 +504,50 @@ class GuidedLatentDiffusionPipeline:
                 return fn(*args)
         return wrapped
 
+    def serving_fn(self, num_inference_steps: int,
+                   num_intermediate_images: int, cond_channels: str,
+                   add_noise_rgb: bool = False, denormer=None,
+                   denorm_builder=None):
+        """The EXACT (unjitted) monolithic program `__call__` runs, as a
+        pure function
+        `fn(unet_params, vae_params, text_embed, key, rgb, left, right,
+            raw, raw_depth, mask) -> PipelineOutput`.
+        Exposed so the AOT serving exporter (serving/aot.py) serializes the
+        same program deployment executes (incl. calibrated int8 scale
+        replay and guidance when a denormer/builder is supplied)."""
+        def fn(unet_params, vae_params, text_embed, key,
+               rgb, left, right, raw, raw_depth, mask):
+            vapply = self._vae_apply(vae_params)
+
+            def unet_apply(model_input, t, ctx):
+                return self.unet.apply({"params": unet_params},
+                                       model_input, t, ctx)
+
+            dn = denormer
+            if denorm_builder is not None:
+                dn = lambda x: denorm_builder(x, raw_depth, mask)
+            return latent_pipeline(
+                self._replayed(unet_apply, "unet"),
+                vae_encode=self._replayed(
+                    lambda x: encode_image_to_latent(vapply, x),
+                    "vae_encode"),
+                vae_encode_disp=self._replayed(
+                    lambda x: encode_disp_to_latent(vapply, x),
+                    "vae_encode"),
+                vae_decode=self._replayed(
+                    lambda z: decode_latent(vapply, z), "vae_decode"),
+                text_embed=text_embed,
+                spec=self.spec, tables=self._tables, key=key,
+                num_inference_steps=num_inference_steps,
+                num_intermediate_images=num_intermediate_images,
+                cond_channels=cond_channels,
+                rgb=rgb, left=left, right=right, sim_disp=raw,
+                raw_depth=raw_depth,
+                guidance=self.guidance if raw_depth is not None else None,
+                denormer=dn, add_noise_rgb=add_noise_rgb,
+            )
+        return fn
+
     def __call__(
         self,
         key: jax.Array,
@@ -487,44 +591,26 @@ class GuidedLatentDiffusionPipeline:
                 cond_channels, rgb_images, left_images, right_images,
                 sim_disp, raw_depth, denormer, denorm_builder, denorm_mask,
                 add_noise_rgb, scan_chunk)
+        args = (self.unet_params, self.vae_params, self.text_embed, key,
+                rgb_images, left_images, right_images, sim_disp, raw_depth,
+                denorm_mask)
         if sig not in self._jitted:
-            def fn(unet_params, vae_params, text_embed, key,
-                   rgb, left, right, raw, raw_depth, mask):
-                vapply = self._vae_apply(vae_params)
+            jit_fn = jax.jit(self.serving_fn(
+                num_inference_steps, num_intermediate_images,
+                cond_channels, add_noise_rgb,
+                denormer=denormer, denorm_builder=denorm_builder))
+            has_closure = denormer is not None or denorm_builder is not None
+            if self.aot_cache_dir and (not has_closure
+                                       or self.aot_cache_token):
+                # sig contains closure ids (process-local); the cache key
+                # uses the stable part + the caller's token instead
+                sig_stable = sig[:6] + sig[8:] + (has_closure,)
+                from d3roma_tpu.serving.aot import ExecutableCache
 
-                def unet_apply(model_input, t, ctx):
-                    return self.unet.apply({"params": unet_params},
-                                           model_input, t, ctx)
-
-                dn = denormer
-                if denorm_builder is not None:
-                    dn = lambda x: denorm_builder(x, raw_depth, mask)
-                return latent_pipeline(
-                    self._replayed(unet_apply, "unet"),
-                    vae_encode=self._replayed(
-                        lambda x: encode_image_to_latent(vapply, x),
-                        "vae_encode"),
-                    vae_encode_disp=self._replayed(
-                        lambda x: encode_disp_to_latent(vapply, x),
-                        "vae_encode"),
-                    vae_decode=self._replayed(
-                        lambda z: decode_latent(vapply, z), "vae_decode"),
-                    text_embed=text_embed,
-                    spec=self.spec, tables=self._tables, key=key,
-                    num_inference_steps=num_inference_steps,
-                    num_intermediate_images=num_intermediate_images,
-                    cond_channels=cond_channels,
-                    rgb=rgb, left=left, right=right, sim_disp=raw,
-                    raw_depth=raw_depth,
-                    guidance=self.guidance if raw_depth is not None else None,
-                    denormer=dn, add_noise_rgb=add_noise_rgb,
-                )
-            self._jitted[sig] = (jax.jit(fn), (denormer, denorm_builder))
-        return self._jitted[sig][0](
-            self.unet_params, self.vae_params, self.text_embed, key,
-            rgb_images, left_images, right_images, sim_disp, raw_depth,
-            denorm_mask,
-        )
+                jit_fn = ExecutableCache(self.aot_cache_dir).get_or_compile(
+                    self._aot_fingerprint(sig_stable), jit_fn, args)
+            self._jitted[sig] = (jit_fn, (denormer, denorm_builder))
+        return self._jitted[sig][0](*args)
 
     def _call_split(self, sig, key, num_inference_steps,
                     num_intermediate_images, cond_channels, rgb_images,
