@@ -504,6 +504,27 @@ class GuidedLatentDiffusionPipeline:
                 return fn(*args)
         return wrapped
 
+    def _cached_jit(self, jit_fn, token, enabled: bool = True):
+        """Route a jitted program through the executable cache
+        (serving/aot.py) lazily — the concrete args (whose shapes key the
+        cache entry) only exist at first call. One loaded/compiled
+        executable is memoized per argument-shape fingerprint (the
+        scan_chunk tail chunk can be shorter than the body chunks)."""
+        if not (self.aot_cache_dir and enabled):
+            return jit_fn
+        from d3roma_tpu.serving.aot import ExecutableCache, _tree_fingerprint
+
+        cache = ExecutableCache(self.aot_cache_dir)
+        fingerprint = self._aot_fingerprint(token)
+        box = {}
+
+        def wrapper(*args):
+            k = _tree_fingerprint(args)
+            if k not in box:
+                box[k] = cache.get_or_compile(fingerprint, jit_fn, args)
+            return box[k](*args)
+        return wrapper
+
     def serving_fn(self, num_inference_steps: int,
                    num_intermediate_images: int, cond_channels: str,
                    add_noise_rgb: bool = False, denormer=None,
@@ -710,9 +731,23 @@ class GuidedLatentDiffusionPipeline:
                     ts, prev_ts, _guidance_fn(vae_params, raw_depth, mask),
                     noise_rgb_cfg)
 
+            # executable-cache the split programs too: the split path IS
+            # the latency/streaming deployment (the monolithic batch-1
+            # program is the one the remote compile helper rejects), so
+            # restart caching matters most here. Same closure policy as
+            # the monolithic path: programs that bake a denormer/builder
+            # need an explicit aot_cache_token.
+            has_closure = denormer is not None or denorm_builder is not None
+            cacheable = not has_closure or bool(self.aot_cache_token)
+            tok = sig[:6] + sig[8:] + (has_closure,)
             self._jitted[sig] = (
-                (jax.jit(enc_fn), jax.jit(scan_fn), jax.jit(dec_fn),
-                 jax.jit(init_fn), jax.jit(chunk_fn)),
+                (self._cached_jit(jax.jit(enc_fn), tok + ("enc",)),
+                 self._cached_jit(jax.jit(scan_fn), tok + ("scan",),
+                                  enabled=cacheable),
+                 self._cached_jit(jax.jit(dec_fn), tok + ("dec",)),
+                 jax.jit(init_fn),  # trivial program — not worth caching
+                 self._cached_jit(jax.jit(chunk_fn), tok + ("chunk",),
+                                  enabled=cacheable)),
                 (denormer, denorm_builder))
         enc_j, scan_j, dec_j, init_j, chunk_j = self._jitted[sig][0]
         conds, lat = enc_j(self.vae_params, rgb_images, left_images,

@@ -1,4 +1,5 @@
 from d3roma_tpu.streaming.batcher import MicroBatcher  # noqa: F401
+from d3roma_tpu.streaming.http_server import InferenceHTTPServer  # noqa: F401
 from d3roma_tpu.streaming.processor import D3RoMaProcessor  # noqa: F401
 from d3roma_tpu.streaming.realsense import (  # noqa: F401
     RealSenseRGBDCamera,

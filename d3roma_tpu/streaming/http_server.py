@@ -1,0 +1,198 @@
+"""HTTP serving front end for depth restoration.
+
+The reference's only network-facing deployment is its ROS node
+(reference: d3roma_processor.py:24-286). Robots speak ROS; everything
+else speaks HTTP — this module is the non-ROS dual of the processor: a
+threaded stdlib HTTP server whose concurrent requests aggregate through
+`MicroBatcher` into batched pipeline calls (one batch-16 call costs ~4x
+less per frame than sixteen batch-1 calls on a v5e —
+docs/PERFORMANCE.md).
+
+Endpoints:
+  POST /v1/infer_rgb_raw   body: .npz with `rgb` (uint8 [H,W,3] or
+                           [H,W]) and `raw_depth` (float32 [H,W],
+                           meters). Response: .npz with `depth`
+                           (float32 [H,W], meters).
+  GET  /healthz            {"status": "ok", ...} once serving.
+  GET  /metrics            JSON counters: requests/errors/frames,
+                           batcher stats, latency p50/p90/p99 ms.
+
+No third-party dependencies (zero-egress deployments); payloads are
+numpy `.npz` — every client language with a numpy reader speaks it, and
+it round-trips float depth exactly (JSON would not).
+
+`scripts/serve_http.py` wires this to a `D3RoMa` instance.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from d3roma_tpu.streaming.batcher import MicroBatcher
+
+__all__ = ["InferenceHTTPServer"]
+
+logger = logging.getLogger(__name__)
+
+MAX_BODY_BYTES = 64 * 1024 * 1024  # reject absurd uploads before reading
+
+
+class _Metrics:
+    """Coarse serving counters; one lock, bounded latency window."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.frames = 0
+        self._lat_ms = deque(maxlen=window)
+
+    def observe(self, ok: bool, latency_s: float):
+        with self._lock:
+            self.requests += 1
+            if ok:
+                self.frames += 1
+                self._lat_ms.append(latency_s * 1000.0)
+            else:
+                self.errors += 1
+
+    def snapshot(self, batcher: MicroBatcher) -> dict:
+        with self._lock:
+            lats = sorted(self._lat_ms)
+            out = {
+                "requests": self.requests,
+                "errors": self.errors,
+                "frames_served": self.frames,
+                "batches": batcher.batches,
+                "batched_items": batcher.items,
+                "padded_rows": batcher.padded_rows,
+            }
+            if lats:
+                q = lambda p: lats[min(len(lats) - 1,
+                                       int(p * (len(lats) - 1)))]
+                out["latency_ms"] = {
+                    "p50": round(q(0.50), 1),
+                    "p90": round(q(0.90), 1),
+                    "p99": round(q(0.99), 1),
+                }
+            return out
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+class InferenceHTTPServer:
+    """`infer_batch` takes a list of (rgb, raw_depth) tuples and returns
+    per-frame depth arrays in order — exactly the contract of
+    `D3RoMa.infer_with_rgb_raw_batch`; any callable with that shape
+    serves (tests use a stub)."""
+
+    def __init__(
+        self,
+        infer_batch: Callable[[List], Sequence],
+        max_batch: int = 16,
+        max_wait_ms: float = 25.0,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self._batcher = MicroBatcher(
+            infer_batch, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self._metrics = _Metrics()
+        self._host = host
+        self._port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------ #
+    def start(self) -> int:
+        """Bind + serve in a daemon thread; returns the bound port."""
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # stdlib logs every request to stderr by default
+            def log_message(self, fmt, *args):  # noqa: N802
+                logger.debug("http: " + fmt, *args)
+
+            def _reply(self, code: int, body: bytes,
+                       ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _reply_json(self, code: int, obj: dict):
+                self._reply(code, json.dumps(obj).encode())
+
+            def do_GET(self):  # noqa: N802
+                if self.path == "/healthz":
+                    self._reply_json(200, {
+                        "status": "ok",
+                        "frames_served": server._metrics.frames})
+                elif self.path == "/metrics":
+                    self._reply_json(
+                        200, server._metrics.snapshot(server._batcher))
+                else:
+                    self._reply_json(404, {"error": "unknown path"})
+
+            def do_POST(self):  # noqa: N802
+                if self.path != "/v1/infer_rgb_raw":
+                    self._reply_json(404, {"error": "unknown path"})
+                    return
+                t0 = time.monotonic()
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    if not 0 < n <= MAX_BODY_BYTES:
+                        raise ValueError(f"bad Content-Length {n}")
+                    with np.load(io.BytesIO(self.rfile.read(n))) as z:
+                        rgb = np.asarray(z["rgb"], np.uint8)
+                        raw = np.asarray(z["raw_depth"], np.float32)
+                except Exception as e:  # noqa: BLE001 — client error
+                    server._metrics.observe(False, 0.0)
+                    self._reply_json(400, {
+                        "error": f"{type(e).__name__}: {e}"[:300]})
+                    return
+                try:
+                    depth = server._batcher.submit((rgb, raw)).result()
+                    body = _npz_bytes(depth=np.asarray(depth, np.float32))
+                    server._metrics.observe(True, time.monotonic() - t0)
+                    self._reply(200, body, "application/x-npz")
+                except Exception as e:  # noqa: BLE001 — model/server error
+                    server._metrics.observe(False, 0.0)
+                    logger.exception("inference failed")
+                    self._reply_json(500, {
+                        "error": f"{type(e).__name__}: {e}"[:300]})
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="d3roma-http",
+            daemon=True)
+        self._thread.start()
+        port = self._httpd.server_address[1]
+        logger.info("serving on http://%s:%d", self._host, port)
+        return port
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._batcher.stop()
+
+    @property
+    def metrics(self) -> dict:
+        return self._metrics.snapshot(self._batcher)

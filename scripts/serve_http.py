@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Serve the D3RoMa rgb+raw depth-restoration model over HTTP.
+
+The non-ROS deployment front end (streaming/http_server.py): concurrent
+client requests micro-batch into one batched pipeline call. Pair with
+`task.aot_cache=...` so restarts skip the trace+compile cold start.
+
+  python scripts/serve_http.py --port 8080 -- \\
+      task=eval_ldm_mixed_rgb+raw task.resume_pretrained=... \\
+      task.fast_inference=throughput
+
+Client:
+  import numpy as np, io, urllib.request
+  buf = io.BytesIO(); np.savez_compressed(buf, rgb=rgb, raw_depth=raw)
+  r = urllib.request.urlopen(urllib.request.Request(
+      "http://host:8080/v1/infer_rgb_raw", buf.getvalue(), method="POST"))
+  depth = np.load(io.BytesIO(r.read()))["depth"]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("overrides", nargs="*",
+                    help="config overrides (task=..., task.*=...)")
+    args = ap.parse_args()
+
+    from d3roma_tpu.inference import D3RoMa
+    from d3roma_tpu.streaming import InferenceHTTPServer
+    from d3roma_tpu.utils.camera import Realsense
+
+    droma = D3RoMa(args.overrides, Realsense.default_real("fxm"),
+                   variant="rgb+raw")
+    server = InferenceHTTPServer(
+        droma.infer_with_rgb_raw_batch, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms, host=args.host, port=args.port)
+    port = server.start()
+    print(f"serving on http://{args.host}:{port} "
+          f"(POST /v1/infer_rgb_raw, GET /healthz /metrics)", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

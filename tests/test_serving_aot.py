@@ -259,6 +259,28 @@ def test_export_serving_cli(tmp_path, monkeypatch):
     assert np.all(np.isfinite(np.asarray(outp.images)))
 
 
+def test_split_programs_aot_cache_end_to_end(tmp_path, fresh_cc_cache):
+    """The split (latency/streaming) path caches its enc/scan/dec
+    programs; a fresh pipeline reuses them and matches bit-for-bit."""
+    cache_dir = str(tmp_path / "aot")
+    rgb, raw = _latent_inputs()
+    kw = dict(LATENT_KW, split_programs=True)
+
+    p1 = _tiny_latent_pipe().with_aot_cache(cache_dir)
+    out1 = np.asarray(p1(jax.random.PRNGKey(9), rgb_images=rgb,
+                         sim_disp=raw, **kw).images)
+    entries = sorted(n for n in os.listdir(cache_dir)
+                     if n.startswith("exec_"))
+    assert len(entries) == 3  # enc / scan / dec (init is not cached)
+
+    p2 = _tiny_latent_pipe().with_aot_cache(cache_dir)
+    out2 = np.asarray(p2(jax.random.PRNGKey(9), rgb_images=rgb,
+                         sim_disp=raw, **kw).images)
+    np.testing.assert_array_equal(out2, out1)
+    assert sorted(n for n in os.listdir(cache_dir)
+                  if n.startswith("exec_")) == entries
+
+
 def test_pipeline_aot_cache_skips_closure_programs_without_token(tmp_path):
     """denormer/denorm_builder closures are process-local: without an
     explicit token the pipeline must NOT cache those programs."""
