@@ -114,9 +114,7 @@ class GuidedDiffusionPipeline:
             "|".join(parts).encode()).hexdigest()[:24]
 
     def replace_sampler(self, spec: SamplerSpec) -> "GuidedDiffusionPipeline":
-        return GuidedDiffusionPipeline(
-            self.unet, self.unet_params, spec, self.guidance, self.normalizer
-        )
+        return dataclasses.replace(self, spec=spec)
 
     def half_precision(self) -> "GuidedDiffusionPipeline":
         """Inference-only: hold params in bf16 (halves weight-streaming HBM
@@ -125,10 +123,8 @@ class GuidedDiffusionPipeline:
         import dataclasses as _dc
 
         unet = _dc.replace(self.unet, dtype=jnp.bfloat16) if self.unet.dtype != jnp.bfloat16 else self.unet
-        return GuidedDiffusionPipeline(
-            unet, _cast_tree_bf16(self.unet_params), self.spec,
-            self.guidance, self.normalizer,
-        )
+        return dataclasses.replace(
+            self, unet=unet, unet_params=_cast_tree_bf16(self.unet_params))
 
     def quantize_int8(self) -> "GuidedDiffusionPipeline":
         """Inference-only: run matmuls/convs on the int8 MXU path (2x the
@@ -137,20 +133,16 @@ class GuidedDiffusionPipeline:
         quantization out of the sampling scan (see ops/quant.py)."""
         import dataclasses as _dc
 
-        return GuidedDiffusionPipeline(
-            _dc.replace(self.unet, quant=True), self.unet_params, self.spec,
-            self.guidance, self.normalizer,
-        )
+        return dataclasses.replace(
+            self, unet=_dc.replace(self.unet, quant=True))
 
     def fuse_norms(self) -> "GuidedDiffusionPipeline":
         """Single-pass Pallas GroupNorm+SiLU on TPU (ops/pallas/groupnorm.py;
         numerics-preserving: fp32 statistics either way)."""
         import dataclasses as _dc
 
-        return GuidedDiffusionPipeline(
-            _dc.replace(self.unet, fused_norm=True), self.unet_params,
-            self.spec, self.guidance, self.normalizer,
-        )
+        return dataclasses.replace(
+            self, unet=_dc.replace(self.unet, fused_norm=True))
 
     def serving_fn(self, num_inference_steps: int,
                    num_intermediate_images: int, depth_channels: int,
@@ -186,10 +178,16 @@ class GuidedDiffusionPipeline:
         raw_mask=None,
         add_noise_rgb: bool = False,
     ) -> PipelineOutput:
+        # The sig must capture EVERY input degree of freedom: when an
+        # ExecutableCache entry backs self._jitted[sig], the stored object
+        # is a non-retracing jax.stages.Compiled, so a sig collision across
+        # differing arg structures/dtypes would crash mid-serving.
+        def _sd(x):
+            return None if x is None else (tuple(x.shape), str(jnp.asarray(x).dtype))
         sig = (num_inference_steps, num_intermediate_images, depth_channels,
                cond_channels, add_noise_rgb,
-               tuple(x.shape for x in (rgb_images, left_images, right_images, sim_disp)
-                     if x is not None))
+               tuple(_sd(x) for x in (rgb_images, left_images, right_images,
+                                      sim_disp, raw_mask)))
         args = (self.unet_params, key, rgb_images, left_images,
                 right_images, sim_disp, raw_mask)
         if sig not in self._jitted:
@@ -276,6 +274,30 @@ class GuidedLatentDiffusionPipeline:
     def __post_init__(self):
         self._tables = self.spec.schedule.tables()
         self._jitted = {}
+        # in-process guard for the aot_cache_token closure contract
+        # (_check_closure_token); maps token -> pinned (denormer, builder)
+        self._aot_token_pin = {}
+
+    def _check_closure_token(self, denormer, denorm_builder) -> None:
+        """Enforce the with_aot_cache contract in-process: a non-empty
+        `aot_cache_token` asserts the denormer/denorm_builder closure is
+        DETERMINED by the token. Two different closures under one token
+        would map to the same on-disk executable — the second would
+        silently run the first's baked numerics. Cross-process reuse of a
+        token with a different closure is undetectable (closures don't
+        hash); in-process we pin the first closure seen per token and
+        refuse a different one."""
+        pin = self._aot_token_pin.get(self.aot_cache_token)
+        cur = (denormer, denorm_builder)
+        if pin is None:
+            self._aot_token_pin[self.aot_cache_token] = cur
+        elif pin[0] is not cur[0] or pin[1] is not cur[1]:
+            raise ValueError(
+                "aot_cache_token %r was already used with a different "
+                "denormer/denorm_builder closure in this process; the "
+                "executable cache would silently serve the first "
+                "closure's baked program. Use a distinct token per "
+                "closure (see with_aot_cache)." % (self.aot_cache_token,))
 
     def with_aot_cache(self, cache_dir: str, token: str = "") -> "GuidedLatentDiffusionPipeline":
         """Persist/reuse compiled serving executables under `cache_dir`
@@ -517,9 +539,28 @@ class GuidedLatentDiffusionPipeline:
         cache = ExecutableCache(self.aot_cache_dir)
         fingerprint = self._aot_fingerprint(token)
         box = {}
+        # Per-arg key memo: hashing the full 866M-param tree on EVERY
+        # dispatch (20+ calls/frame on the split/chunked streaming path)
+        # is pure host overhead — param trees are stable objects on the
+        # pipeline, so fingerprint them once per identity. The memo keeps
+        # a strong ref to the keyed object, so a recycled id() can never
+        # alias a live entry.
+        fp_memo = {}
+
+        def _arg_key(a):
+            if a is None or isinstance(a, (bool, int, float, str)):
+                return a
+            if hasattr(a, "shape"):  # array leaf: O(1)
+                return (tuple(a.shape), str(jnp.result_type(a)))
+            hit = fp_memo.get(id(a))
+            if hit is not None and hit[0] is a:
+                return hit[1]
+            fp = _tree_fingerprint(a)
+            fp_memo[id(a)] = (a, fp)
+            return fp
 
         def wrapper(*args):
-            k = _tree_fingerprint(args)
+            k = tuple(_arg_key(a) for a in args)
             if k not in box:
                 box[k] = cache.get_or_compile(fingerprint, jit_fn, args)
             return box[k](*args)
@@ -623,6 +664,8 @@ class GuidedLatentDiffusionPipeline:
             has_closure = denormer is not None or denorm_builder is not None
             if self.aot_cache_dir and (not has_closure
                                        or self.aot_cache_token):
+                if has_closure:
+                    self._check_closure_token(denormer, denorm_builder)
                 # sig contains closure ids (process-local); the cache key
                 # uses the stable part + the caller's token instead
                 sig_stable = sig[:6] + sig[8:] + (has_closure,)
@@ -739,6 +782,8 @@ class GuidedLatentDiffusionPipeline:
             # need an explicit aot_cache_token.
             has_closure = denormer is not None or denorm_builder is not None
             cacheable = not has_closure or bool(self.aot_cache_token)
+            if has_closure and cacheable and self.aot_cache_dir:
+                self._check_closure_token(denormer, denorm_builder)
             tok = sig[:6] + sig[8:] + (has_closure,)
             self._jitted[sig] = (
                 (self._cached_jit(jax.jit(enc_fn), tok + ("enc",)),

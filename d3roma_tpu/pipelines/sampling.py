@@ -219,7 +219,11 @@ def run_sampler_steps(
             )
         else:  # unreachable: SamplerSpec.__post_init__ validates the kind
             raise ValueError(f"unknown sampler kind {spec.kind!r}")
-        return (out.prev_sample, k), out.perturbed_original_sample
+        # scheduler-table math runs in f32; cast back so the scan carry
+        # keeps the caller's noise dtype (bf16 inputs otherwise fail the
+        # scan's carry-type invariance on step 1)
+        return ((out.prev_sample.astype(x_init.dtype), k),
+                out.perturbed_original_sample)
 
     (x_final, key_final), x0_stack = jax.lax.scan(
         body, (x_init, key), (ts, prev_ts))

@@ -48,6 +48,15 @@ logger = logging.getLogger(__name__)
 _FORMAT_VERSION = 1
 
 
+def _act_scales_sha(scales) -> str:
+    """Stable hash of a pipeline's calibrated int8 activation-scale table
+    (empty string when uncalibrated)."""
+    if not scales:
+        return ""
+    return hashlib.sha256(
+        json.dumps(scales, sort_keys=True).encode()).hexdigest()[:24]
+
+
 def _register_output_serialization():
     """jax.export needs custom-pytree (NamedTuple) nodes registered to
     serialize the program's out_tree; idempotent for re-imports."""
@@ -194,6 +203,10 @@ def save_serving(pipe, out_dir: str, sig: ServingSignature,
         "platforms": list(exp.platforms),
         "jax_version": jax.__version__,
         "calibrated_int8": bool(getattr(pipe, "act_scales", None)),
+        # exact scale-table hash: the scales are baked into the exported
+        # program as constants, so bind() must refuse a pipeline whose
+        # calibration differs (the program would silently ignore it)
+        "act_scales_sha": _act_scales_sha(getattr(pipe, "act_scales", None)),
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -223,11 +236,31 @@ class ServingProgram:
         return self.exported.call(*args)
 
     def bind(self, pipe) -> "BoundServing":
-        """Attach a pipeline's weights -> callable(key, **conds)."""
+        """Attach a pipeline's weights -> callable(key, **conds).
+
+        Refuses a pipeline whose int8 calibration state differs from the
+        one baked into the exported program: the scales entered the export
+        as trace-time constants, so binding a recalibrated (or
+        uncalibrated) pipeline would silently run the export-time scales.
+        """
         if type(pipe).__name__ != self.pipeline_class:
             raise ValueError(
                 f"artifact was exported from {self.pipeline_class}, "
                 f"got {type(pipe).__name__}")
+        scales = getattr(pipe, "act_scales", None)
+        if "act_scales_sha" in self.manifest:
+            if self.manifest["act_scales_sha"] != _act_scales_sha(scales):
+                raise ValueError(
+                    "pipeline's int8 activation scales differ from the "
+                    "ones baked into this exported program (manifest "
+                    "act_scales_sha mismatch) — re-export the serving "
+                    "artifact from the calibrated pipeline")
+        elif self.manifest.get("calibrated_int8", False) != bool(scales):
+            # older artifact without the exact hash: bool-level check
+            raise ValueError(
+                "exported program calibration state (calibrated_int8="
+                f"{self.manifest.get('calibrated_int8')}) does not match "
+                "the bound pipeline — re-export the serving artifact")
         return BoundServing(self, pipe)
 
 

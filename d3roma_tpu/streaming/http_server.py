@@ -10,10 +10,19 @@ docs/PERFORMANCE.md).
 
 Endpoints:
   POST /v1/infer_rgb_raw   body: .npz with `rgb` (uint8 [H,W,3] or
-                           [H,W]) and `raw_depth` (float32 [H,W],
+                           [H,W]) and `raw_depth` (float [H,W],
                            meters). Response: .npz with `depth`
-                           (float32 [H,W], meters).
-  GET  /healthz            {"status": "ok", ...} once serving.
+                           (float32 [H,W], meters). Malformed arrays
+                           get a 400 BEFORE entering the micro-batch
+                           (one bad frame must not 500 its co-batched
+                           neighbours); a device stall gets a 504
+                           after `request_timeout_s`.
+  GET  /healthz            {"status": "ok"} once READY — after the
+                           warm-up inference when `warmup_input` is
+                           given (the cold trace+compile can take
+                           minutes; a load balancer must not route
+                           traffic before it), 503 {"status":
+                           "warming"} meanwhile.
   GET  /metrics            JSON counters: requests/errors/frames,
                            batcher stats, latency p50/p90/p99 ms.
 
@@ -32,6 +41,7 @@ import logging
 import threading
 import time
 from collections import deque
+from concurrent.futures import TimeoutError as FutureTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence
 
@@ -93,6 +103,37 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
+def _validate_frame(z) -> tuple:
+    """Decode + validate one request's arrays. Raises ValueError with a
+    client-actionable message — validation MUST happen per request,
+    before the frame enters the shared micro-batch, so one malformed
+    frame cannot fail the whole batch (innocent co-batched clients
+    would all get 500s)."""
+    for k in ("rgb", "raw_depth"):
+        if k not in z:
+            raise ValueError(f"missing array {k!r}")
+    rgb, raw = z["rgb"], z["raw_depth"]
+    # uint8 is required, not coerced: np.asarray(float_rgb, np.uint8)
+    # would C-truncate normalized [0,1] floats to all-zeros and serve a
+    # plausible-looking depth map for a black image with a 200
+    if rgb.dtype != np.uint8:
+        raise ValueError(
+            f"rgb must be uint8 (got {rgb.dtype}); scale [0,1] floats "
+            "by 255 and cast on the client")
+    if not (rgb.ndim == 2 or (rgb.ndim == 3 and rgb.shape[-1] == 3)):
+        raise ValueError(
+            f"rgb must be [H,W,3] or [H,W] (got shape {rgb.shape})")
+    if not np.issubdtype(raw.dtype, np.floating):
+        raise ValueError(
+            f"raw_depth must be float meters (got {raw.dtype})")
+    if raw.ndim != 2:
+        raise ValueError(f"raw_depth must be [H,W] (got shape {raw.shape})")
+    if raw.shape != rgb.shape[:2]:
+        raise ValueError(
+            f"raw_depth {raw.shape} does not match rgb {rgb.shape[:2]}")
+    return rgb, np.asarray(raw, np.float32)
+
+
 class InferenceHTTPServer:
     """`infer_batch` takes a list of (rgb, raw_depth) tuples and returns
     per-frame depth arrays in order — exactly the contract of
@@ -106,12 +147,25 @@ class InferenceHTTPServer:
         max_wait_ms: float = 25.0,
         host: str = "127.0.0.1",
         port: int = 0,
+        request_timeout_s: Optional[float] = 300.0,
+        warmup_input: Optional[tuple] = None,
     ):
+        """`request_timeout_s` bounds how long a request waits on the
+        model (a stalled device otherwise blocks every handler thread
+        forever — clients would hang with no error while /metrics still
+        looks healthy); expiry returns 504. `warmup_input` is one
+        (rgb, raw_depth) frame pushed through the batcher at start();
+        /healthz reports 503 "warming" until it completes, so a load
+        balancer doesn't route traffic into the cold trace+compile."""
         self._batcher = MicroBatcher(
             infer_batch, max_batch=max_batch, max_wait_ms=max_wait_ms)
         self._metrics = _Metrics()
         self._host = host
         self._port = port
+        self._timeout_s = request_timeout_s
+        self._warmup_input = warmup_input
+        self._ready = threading.Event()
+        self._warmup_error: Optional[str] = None
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
@@ -138,9 +192,14 @@ class InferenceHTTPServer:
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/healthz":
-                    self._reply_json(200, {
-                        "status": "ok",
-                        "frames_served": server._metrics.frames})
+                    if not server._ready.is_set():
+                        self._reply_json(503, {"status": "warming"})
+                        return
+                    body = {"status": "ok",
+                            "frames_served": server._metrics.frames}
+                    if server._warmup_error:
+                        body["warmup_error"] = server._warmup_error
+                    self._reply_json(200, body)
                 elif self.path == "/metrics":
                     self._reply_json(
                         200, server._metrics.snapshot(server._batcher))
@@ -157,18 +216,25 @@ class InferenceHTTPServer:
                     if not 0 < n <= MAX_BODY_BYTES:
                         raise ValueError(f"bad Content-Length {n}")
                     with np.load(io.BytesIO(self.rfile.read(n))) as z:
-                        rgb = np.asarray(z["rgb"], np.uint8)
-                        raw = np.asarray(z["raw_depth"], np.float32)
+                        rgb, raw = _validate_frame(z)
                 except Exception as e:  # noqa: BLE001 — client error
                     server._metrics.observe(False, 0.0)
                     self._reply_json(400, {
                         "error": f"{type(e).__name__}: {e}"[:300]})
                     return
                 try:
-                    depth = server._batcher.submit((rgb, raw)).result()
+                    depth = server._batcher.submit((rgb, raw)).result(
+                        timeout=server._timeout_s)
                     body = _npz_bytes(depth=np.asarray(depth, np.float32))
                     server._metrics.observe(True, time.monotonic() - t0)
                     self._reply(200, body, "application/x-npz")
+                except FutureTimeout:
+                    server._metrics.observe(False, 0.0)
+                    logger.error("inference timed out after %.0fs",
+                                 server._timeout_s or 0)
+                    self._reply_json(504, {
+                        "error": "inference timed out "
+                                 f"({server._timeout_s}s)"})
                 except Exception as e:  # noqa: BLE001 — model/server error
                     server._metrics.observe(False, 0.0)
                     logger.exception("inference failed")
@@ -181,6 +247,22 @@ class InferenceHTTPServer:
             target=self._httpd.serve_forever, name="d3roma-http",
             daemon=True)
         self._thread.start()
+        if self._warmup_input is None:
+            self._ready.set()
+        else:
+            def _warm():
+                try:
+                    self._batcher.submit(self._warmup_input).result()
+                    logger.info("warm-up inference done; serving ready")
+                except Exception as e:  # noqa: BLE001
+                    # serving may still work (e.g. transient device
+                    # hiccup); surface the failure on /healthz rather
+                    # than wedging readiness forever
+                    self._warmup_error = f"{type(e).__name__}: {e}"[:300]
+                    logger.exception("warm-up inference failed")
+                self._ready.set()
+            threading.Thread(target=_warm, name="d3roma-http-warmup",
+                             daemon=True).start()
         port = self._httpd.server_address[1]
         logger.info("serving on http://%s:%d", self._host, port)
         return port

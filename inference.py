@@ -54,12 +54,12 @@ def main(argv=None):
     from d3roma_tpu.utils.viz import save_colorized
 
     camera = Realsense.default_real("fxm")
-    overrides = list(args.overrides)
-    if args.variant == "rgb+raw":
-        overrides = ["task=eval_ldm_mixed_rgb+raw"] + overrides
-    else:
-        overrides = ["task=eval_ldm_mixed"] + overrides
-    overrides += ["task.image_size=[360,640]", "task.num_inference_timesteps=10"]
+    preset = ("task=eval_ldm_mixed_rgb+raw" if args.variant == "rgb+raw"
+              else "task=eval_ldm_mixed")
+    # demo defaults go BEFORE the user's overrides so an explicit
+    # task.image_size / task.num_inference_timesteps on the CLI wins
+    overrides = [preset, "task.image_size=[360,640]",
+                 "task.num_inference_timesteps=10"] + list(args.overrides)
     if args.pretrained:
         overrides.append(f"task.resume_pretrained={args.pretrained}")
 

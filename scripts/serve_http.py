@@ -39,11 +39,18 @@ def main():
     from d3roma_tpu.streaming import InferenceHTTPServer
     from d3roma_tpu.utils.camera import Realsense
 
+    import numpy as np
+
     droma = D3RoMa(args.overrides, Realsense.default_real("fxm"),
                    variant="rgb+raw")
+    # one synthetic frame drives the cold trace+compile before /healthz
+    # reports ready (any HxW works — the server resizes on ingest)
+    warm = (np.zeros((360, 640, 3), np.uint8),
+            np.ones((360, 640), np.float32))
     server = InferenceHTTPServer(
         droma.infer_with_rgb_raw_batch, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms, host=args.host, port=args.port)
+        max_wait_ms=args.max_wait_ms, host=args.host, port=args.port,
+        warmup_input=warm)
     port = server.start()
     print(f"serving on http://{args.host}:{port} "
           f"(POST /v1/infer_rgb_raw, GET /healthz /metrics)", flush=True)

@@ -4,6 +4,7 @@ contract, micro-batch aggregation, error paths, metrics."""
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -127,3 +128,109 @@ def test_unknown_path_404(server):
         urllib.request.urlopen(
             f"http://127.0.0.1:{port}/nope", timeout=10)
     assert ei.value.code == 404
+
+
+def test_malformed_arrays_are_400_not_batched(server):
+    """Shape/dtype validation happens per request BEFORE the micro-batch:
+    a malformed frame must get 400 and never poison co-batched clients."""
+    s, port = server
+    good_raw = np.ones((4, 4), np.float32)
+    cases = [
+        (np.zeros((3, 4, 4), np.uint8), good_raw),          # channel-first
+        (np.zeros((4, 4, 3), np.float32), good_raw),        # float rgb
+        (np.zeros((4, 4, 3), np.uint8), good_raw.ravel()),  # 1-D depth
+        (np.zeros((4, 4, 3), np.uint8),
+         np.ones((8, 8), np.float32)),                      # H,W mismatch
+        (np.zeros((4, 4, 3), np.uint8),
+         np.ones((4, 4), np.int32)),                        # int depth
+    ]
+    for rgb, raw in cases:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npz(port, rgb, raw)
+        assert ei.value.code == 400, (rgb.shape, rgb.dtype, raw.shape)
+    # none of them reached the model
+    assert s.metrics["batched_items"] == 0
+    # and a well-formed frame still works afterwards
+    status, _ = _post_npz(port, np.zeros((4, 4, 3), np.uint8), good_raw)
+    assert status == 200
+
+
+def test_float_rgb_rejected_not_truncated():
+    """float [0,1] rgb must 400, not be C-truncated to a black image and
+    served as a plausible 200."""
+    seen = []
+
+    def record(frames):
+        seen.extend(frames)
+        return [raw for _, raw in frames]
+
+    s = InferenceHTTPServer(record, max_batch=2, max_wait_ms=5)
+    port = s.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npz(port, np.random.rand(4, 4, 3).astype(np.float32),
+                      np.ones((4, 4), np.float32))
+        assert ei.value.code == 400
+        assert "uint8" in json.loads(ei.value.read())["error"]
+        assert seen == []
+    finally:
+        s.stop()
+
+
+def test_stalled_model_times_out_504():
+    hang = threading.Event()
+
+    def stall(frames):
+        hang.wait(30)
+        return [raw for _, raw in frames]
+
+    s = InferenceHTTPServer(stall, max_batch=2, max_wait_ms=5,
+                            request_timeout_s=0.3)
+    port = s.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npz(port, np.zeros((2, 2, 3), np.uint8),
+                      np.ones((2, 2), np.float32))
+        assert ei.value.code == 504
+        assert s.metrics["errors"] == 1
+    finally:
+        hang.set()
+        s.stop()
+
+
+def test_healthz_warming_until_warmup_done():
+    release = threading.Event()
+    done = threading.Event()
+
+    def slow_first(frames):
+        release.wait(30)
+        done.set()
+        return [raw for _, raw in frames]
+
+    warm = (np.zeros((2, 2, 3), np.uint8), np.ones((2, 2), np.float32))
+    s = InferenceHTTPServer(slow_first, max_batch=2, max_wait_ms=5,
+                            warmup_input=warm)
+    port = s.start()
+    try:
+        # warm-up inference is still inside the model: not ready
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10)
+        assert ei.value.code == 503
+        assert json.loads(ei.value.read())["status"] == "warming"
+        release.set()
+        assert done.wait(10)
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+                    assert json.loads(r.read())["status"] == "ok"
+                    break
+            except urllib.error.HTTPError:
+                time.sleep(0.02)
+        else:
+            raise AssertionError("healthz never became ready")
+    finally:
+        release.set()
+        s.stop()

@@ -300,3 +300,78 @@ def test_pipeline_aot_cache_skips_closure_programs_without_token(tmp_path):
          denorm_mask=mask, **LATENT_KW)
     assert not os.path.exists(cache_dir) or not [
         n for n in os.listdir(cache_dir) if n.startswith("exec_")]
+
+
+def test_bind_rejects_calibration_mismatch(tmp_path):
+    """The exported program bakes the int8 activation scales in as
+    constants; bind() must refuse a pipeline whose calibration differs
+    (it would silently run the export-time scales)."""
+    import dataclasses
+
+    pipe = _tiny_latent_pipe()
+    d = str(tmp_path / "serving")
+    save_serving(pipe, d, LATENT_SIG)
+    prog = load_serving(d)
+    prog.bind(pipe)  # matching (both uncalibrated): fine
+    calibrated = dataclasses.replace(pipe, act_scales={"unet": [0.1, 0.2]})
+    with pytest.raises(ValueError, match="activation scales"):
+        prog.bind(calibrated)
+    # and the other direction: exported-calibrated vs bound-uncalibrated
+    d2 = str(tmp_path / "serving2")
+    save_serving(calibrated, d2, LATENT_SIG)
+    prog2 = load_serving(d2)
+    prog2.bind(calibrated)
+    with pytest.raises(ValueError, match="activation scales"):
+        prog2.bind(pipe)
+    # a DIFFERENT calibration is also a mismatch, not just presence
+    other = dataclasses.replace(pipe, act_scales={"unet": [0.3, 0.4]})
+    with pytest.raises(ValueError, match="activation scales"):
+        prog2.bind(other)
+
+
+def test_closure_token_collision_raises(tmp_path):
+    """One aot_cache_token, two different denorm_builder closures: the
+    second would silently be served the first's baked executable — the
+    pipeline must refuse instead."""
+    import dataclasses
+
+    pipe = _tiny_latent_pipe().with_aot_cache(
+        str(tmp_path / "aot"), token="cfg-v1")
+    pipe = dataclasses.replace(
+        pipe, guidance=FlowGuidance(flow_guidance_weight=0.5,
+                                    flow_guidance_mode="gradient",
+                                    num_opt_steps=1, opt_lr=0.05))
+    rgb, raw = _latent_inputs()
+    raw_depth = jnp.abs(raw) * 4.0
+    mask = jnp.ones_like(raw_depth)
+    kw = dict(LATENT_KW, rgb_images=rgb, sim_disp=raw,
+              raw_depth=raw_depth, denorm_mask=mask)
+    pipe(jax.random.PRNGKey(5), denorm_builder=lambda x, rd, m: x * m, **kw)
+    with pytest.raises(ValueError, match="cfg-v1"):
+        pipe(jax.random.PRNGKey(5),
+             denorm_builder=lambda x, rd, m: x * m + 1.0, **kw)
+
+
+def test_pixel_copy_methods_preserve_aot_cache(tmp_path):
+    pipe = _tiny_pixel_pipe().with_aot_cache(str(tmp_path / "aot"), "tok")
+    for derived in (pipe.replace_sampler(pipe.spec), pipe.half_precision(),
+                    pipe.quantize_int8(), pipe.fuse_norms()):
+        assert derived.aot_cache_dir == pipe.aot_cache_dir
+        assert derived.aot_cache_token == "tok"
+
+
+def test_pixel_sig_distinguishes_mask_and_dtype():
+    """The pixel memo sig must key on raw_mask presence and input dtypes:
+    when an ExecutableCache entry backs the memo, the stored object
+    cannot retrace, so a collision would crash mid-serving."""
+    pipe = _tiny_pixel_pipe()
+    rgb = jnp.ones((1, 16, 16, 3)) * 0.2
+    raw = jnp.ones((1, 16, 16, 1)) * 0.1
+    kw = dict(num_inference_steps=2, num_intermediate_images=1,
+              depth_channels=1, cond_channels="rgb+raw")
+    pipe(jax.random.PRNGKey(0), rgb_images=rgb, sim_disp=raw, **kw)
+    pipe(jax.random.PRNGKey(0), rgb_images=rgb, sim_disp=raw,
+         raw_mask=jnp.ones_like(raw), **kw)
+    pipe(jax.random.PRNGKey(0), rgb_images=rgb.astype(jnp.bfloat16),
+         sim_disp=raw, **kw)
+    assert len(pipe._jitted) == 3
