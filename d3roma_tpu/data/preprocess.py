@@ -46,7 +46,10 @@ def device_preprocess(
         gt_data = depth
         normalized, _, _ = normalizer.normalize(depth, valid > 0)
         sim_valid = raw_depth > 0
-        sim_disp_unnorm = jnp.zeros_like(disp)
+        # the guidance/SSI alignment target in depth space IS the raw
+        # depth (all-zeros here would make the guidance denormer mask
+        # empty and silently pull predictions toward zero)
+        sim_disp_unnorm = jnp.where(sim_valid, raw_depth, 0.0)
         normalized_sim, _, _ = normalizer.normalize(raw_depth, sim_valid)
     else:
         raise NotImplementedError(space)

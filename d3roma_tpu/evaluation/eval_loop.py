@@ -32,11 +32,37 @@ def denormalize(config, pred_disps, raw_disp=None, mask=None, key=None):
     return norm.denormalize(pred_disps, raw_disp, mask, key=key)
 
 
+def _to_host(x) -> np.ndarray:
+    """np.asarray that also works for globally-sharded arrays on
+    multi-host pods: a jax.Array spanning non-addressable devices cannot
+    be fetched directly; gather the global value first (every host then
+    computes identical metrics — the reference's gather_for_metrics
+    semantics, distributed_evaluate.py:162-167)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def _protocol_dataset(config, dataset_name: Optional[str]) -> str:
+    """The dataset whose eval protocol (clamp windows, artifact dumps)
+    applies. The reference keys every dataset-specific branch on
+    config.eval_dataset[0] even while iterating several datasets
+    (reference: evaluate.py:126,246) — a bug when eval_dataset lists
+    more than one. Callers that know the current dataset pass it;
+    the [0] fallback preserves reference behavior otherwise."""
+    if dataset_name is not None:
+        return dataset_name
+    return config.eval_dataset[0] if config.eval_dataset else ""
+
+
 def eval_batch(
     config,
     pipeline,
     batch: Dict,
     key: jax.Array,
+    dataset_name: Optional[str] = None,
 ) -> Tuple[np.ndarray, Tuple[np.ndarray, np.ndarray], Optional[np.ndarray], np.ndarray, object]:
     """batch: device_preprocess output (channel-last).
 
@@ -118,6 +144,15 @@ def eval_batch(
             out = pipeline(jax.random.fold_in(key, r), **kwargs)
         rounds.append(padder.unpad(out.images))
 
+    if out is not None and getattr(out, "intermediates", None) is not None:
+        # intermediates [S,B,Hp,Wp,C] leave eval_batch unpadded like
+        # images do (consumers denormalize them against the UNPADDED gt)
+        inter = out.intermediates
+        S = inter.shape[0]
+        inter = padder.unpad(inter.reshape((S * inter.shape[1],) + inter.shape[2:]))
+        out = out._replace(
+            intermediates=inter.reshape((S, -1) + inter.shape[1:]))
+
     pred = jnp.concatenate(rounds, axis=-1)  # [B,H,W,R]
 
     if config.ensemble:
@@ -128,27 +163,29 @@ def eval_batch(
         pred = jnp.stack(aligned)[..., None]
 
     pred_unnorm = denormalize(config, pred, raw_disp, mask, key=jax.random.fold_in(key, 999))
-    gt = np.asarray(raw_disp[..., 0])
-    pred_mean = np.asarray(jnp.mean(pred_unnorm, axis=-1))
+    gt = _to_host(raw_disp[..., 0])
+    pred_mean = _to_host(jnp.mean(pred_unnorm, axis=-1))
 
-    if config.eval_dataset and config.eval_dataset[0] == "SceneFlow":
+    if _protocol_dataset(config, dataset_name) == "SceneFlow":
         # SceneFlow disparity clamp window (reference: evaluate.py:126-131)
         scale = 960.0 / float(config.camera_resolution.split("x")[0])
         lo, hi = 0.5 / scale, 192.0 / scale
         m = (gt >= lo) & (gt < hi)
         pred_mean = np.clip(pred_mean, lo, hi)
     else:
-        m = np.asarray(mask[..., 0]).astype(bool)
+        m = _to_host(mask[..., 0]).astype(bool)
 
     metrics = compute_errors(
         jnp.asarray(gt), jnp.asarray(pred_mean), config.prediction_space,
-        jnp.asarray(m), fxb,
+        jnp.asarray(m), jnp.asarray(_to_host(fxb)) if fxb is not None else None,
     )
     metrics = (np.asarray(metrics[0]), np.asarray(metrics[1]))
 
     if pred.shape[-1] > 1:
+        # std of the NORMALIZED rounds, matching the reference
+        # (evaluate.py:141-142 takes std before denormalization)
         unc = np.zeros_like(gt)
-        unc[m] = np.asarray(jnp.std(pred, axis=-1))[m]
+        unc[m] = _to_host(jnp.std(pred, axis=-1))[m]
     else:
         unc = None
 
@@ -157,14 +194,24 @@ def eval_batch(
     return pred_mean, metrics, unc, err, out
 
 
-QUADRANTS = [
-    (slice(0, 270), slice(0, 480)),
-    (slice(270, None), slice(0, 480)),
-    (slice(0, 270), slice(480, None)),
-    (slice(270, None), slice(480, None)),
-]
-_SLICED_KEYS = ("raw_disp", "normalized_disp", "sim_disp", "left_image",
-                "right_image", "normalized_rgb", "mask", "raw_depth", "depth")
+def quadrants(H: int, W: int):
+    """The 4 half-resolution tile slices for coarse_to_fine. At the
+    reference's 540x960 protocol resolution these are exactly its
+    hard-coded 270x480 tiles (evaluate.py:362-410); deriving them from
+    the shape keeps any other eval resolution working instead of
+    producing empty slices."""
+    h2, w2 = H // 2, W // 2
+    return [
+        (slice(0, h2), slice(0, w2)),
+        (slice(h2, None), slice(0, w2)),
+        (slice(0, h2), slice(w2, None)),
+        (slice(h2, None), slice(w2, None)),
+    ]
+
+
+_SLICED_KEYS = ("raw_disp", "normalized_disp", "sim_disp", "sim_mask",
+                "sim_disp_unnorm", "left_image", "right_image",
+                "normalized_rgb", "mask", "raw_depth", "depth")
 
 
 def _pipelines_per_weight(config, pipeline, guidance_weights=None):
@@ -202,6 +249,7 @@ def evaluate_dataset(
     preprocess=None,
     max_batches: Optional[int] = None,
     write_artifacts: bool = False,
+    dataset_name: Optional[str] = None,
 ):
     """Loop a val loader; returns (metrics dict, RunningAverager).
 
@@ -229,21 +277,24 @@ def evaluate_dataset(
         if config.coarse_to_fine:
             B, H, W = batch["raw_disp"].shape[:3]
             pred = np.zeros((B, H, W), np.float32)
-            for (ys, xs) in QUADRANTS:
+            for (ys, xs) in quadrants(H, W):
                 mini = {
                     k: (v[:, ys, xs] if k in _SLICED_KEYS and hasattr(v, "ndim") and v.ndim == 4 else v)
                     for k, v in batch.items()
                 }
-                p_mini, _, _, _, _ = eval_batch(config, pipe, mini, bkey)
+                p_mini, _, _, _, _ = eval_batch(config, pipe, mini, bkey,
+                                                dataset_name=dataset_name)
                 pred[:, ys, xs] = p_mini
-            gt = np.asarray(batch["raw_disp"][..., 0])
-            m = np.asarray(batch["mask"][..., 0]).astype(bool)
+            gt = _to_host(batch["raw_disp"][..., 0])
+            m = _to_host(batch["mask"][..., 0]).astype(bool)
+            fxb = batch.get("fxb")
             md, me = compute_errors(
                 jnp.asarray(gt), jnp.asarray(pred), config.prediction_space,
-                jnp.asarray(m), batch.get("fxb"),
+                jnp.asarray(m),
+                jnp.asarray(_to_host(fxb)) if fxb is not None else None,
             )
             return pred, (np.asarray(md), np.asarray(me)), None, None, None
-        return eval_batch(config, pipe, batch, bkey)
+        return eval_batch(config, pipe, batch, bkey, dataset_name=dataset_name)
 
     for i, raw_batch in enumerate(loader):
         if limit and limit > 0 and i >= limit:
@@ -256,7 +307,7 @@ def evaluate_dataset(
         # de-duplicates via gather_for_metrics even-batches logic
         # (distributed_evaluate.py:162-167).
         sv = batch.get("sample_valid")
-        sv = np.asarray(sv) if sv is not None else None
+        sv = _to_host(sv) if sv is not None else None
 
         for w in weights:
             pred, metrics, unc, err, out = run_one(pipes[w], batch, bkey)
@@ -303,7 +354,7 @@ def evaluate_dataset(
                      for s in range(out.intermediates.shape[0])],
                     os.path.join(eval_output_dir, f"idx{i}_denoised.png"),
                 )
-            if (config.eval_dataset and config.eval_dataset[0] == "HISS"
+            if (_protocol_dataset(config, dataset_name) == "HISS"
                     and "fxb" in batch):
                 # per-item predicted sim-depth EXR dump for the HISS protocol
                 # (reference: evaluate.py:246-261)
@@ -326,7 +377,8 @@ def evaluate_dataset(
                 )  # [B,H,W,S]
                 inter = jnp.moveaxis(inter, -1, 0)[..., None]
                 imd, ime = evaluate_intermediate_metrics(
-                    config, batch.get("fxb"), inter, batch["raw_disp"], batch["mask"]
+                    config, batch.get("fxb"), inter, batch["raw_disp"],
+                    batch["mask"], dataset_name=dataset_name,
                 )
                 from d3roma_tpu.utils.viz import plot_intermediate_metrics
 
@@ -365,7 +417,7 @@ def evaluate_dataset(
 
 def evaluate_intermediate_metrics(
     config, fxb, intermediates: jnp.ndarray, gt_disp: jnp.ndarray,
-    gt_mask: jnp.ndarray,
+    gt_mask: jnp.ndarray, dataset_name: Optional[str] = None,
 ):
     """Metric curves over denoising steps (reference: evaluate.py:28-57).
 
@@ -378,7 +430,7 @@ def evaluate_intermediate_metrics(
     gts = jnp.repeat(gt_disp[..., 0], S, axis=0)  # [B*S,H,W], b-major
     masks = jnp.repeat(gt_mask[..., 0] > 0, S, axis=0)
 
-    if config.eval_dataset and config.eval_dataset[0] == "SceneFlow":
+    if _protocol_dataset(config, dataset_name) == "SceneFlow":
         scale = 960.0 / float(config.camera_resolution.split("x")[0])
         lo, hi = 0.5 / scale, 192.0 / scale
         masks = masks & (preds >= lo) & (preds < hi)

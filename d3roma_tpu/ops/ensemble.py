@@ -54,6 +54,12 @@ def ensemble_depths(
     _max = jnp.max(flat, axis=1)
     s0 = 1.0 / jnp.maximum(_max - _min, 1e-8)
     t0 = -s0 * _min
+    if n == 1:
+        # nothing to align: the pairwise objective is a mean over an
+        # empty index set (NaN). Return the [0,1]-rescaled input with
+        # zero uncertainty.
+        aligned = input_images[0] * s0[0] + t0[0]
+        return aligned, jnp.zeros_like(aligned)
     params = (s0, t0)
 
     opt = optax.adam(lr)

@@ -33,9 +33,16 @@ def compute_scale_and_shift(
     b_1 = jnp.sum(mask * tgt, axis=1)
 
     det = a_00 * a_11 - a_01 * a_01
-    det = jnp.where(det > 0.0, det, det + 1e-4)
-    x_0 = (a_11 * b_0 - a_01 * b_1) / det
-    x_1 = (-a_01 * b_0 + a_00 * b_1) / det
+    # Degenerate systems (empty/near-constant mask) fall back to the
+    # identity transform (s=1, t=0) instead of dividing by a tiny or
+    # negative determinant. Divergence from the reference (which adds
+    # 1e-4 to every det when any is non-positive, utils.py:520-523):
+    # identity degrades one sample gracefully; the reference's nudge can
+    # still blow up or corrupt the whole batch's solutions.
+    valid = det > 1e-6
+    safe_det = jnp.where(valid, det, 1.0)
+    x_0 = jnp.where(valid, (a_11 * b_0 - a_01 * b_1) / safe_det, 1.0)
+    x_1 = jnp.where(valid, (-a_01 * b_0 + a_00 * b_1) / safe_det, 0.0)
     return jnp.stack([x_0, x_1], axis=1)
 
 

@@ -294,6 +294,9 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
                         preprocess=partial(_preprocess_eval, config=config,
                                            normalizer=normalizer),
                         max_batches=config.eval_num_batch,
+                        dataset_name=(config.eval_dataset[vi]
+                                      if vi < len(config.eval_dataset or [])
+                                      else None),
                     )
                     if m:
                         logger.info("eval[%d] @%d: %s", vi, counter.global_step, m)

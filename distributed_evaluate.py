@@ -84,6 +84,7 @@ def main(argv):
     for name, loader in zip(config.eval_dataset, val_loaders):
         metrics, stat = evaluate_dataset(
             config, pipeline, loader, key, preprocess=preprocess,
+            dataset_name=name,
         )
         if jax.process_index() == 0:
             logger.info("[%s] metrics over %d devices: %s", name,

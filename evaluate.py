@@ -63,7 +63,14 @@ def main(argv):
             config, pipeline, loader, key,
             eval_output_dir=os.path.join(out_dir, name),
             preprocess=partial(_preprocess_eval, config=config, normalizer=norm),
-            write_artifacts=config.plot_error_map or config.write_pcd,
+            # every artifact-producing flag opens the artifact block —
+            # plot_denoised_images / plot_intermediate_metrics / the HISS
+            # EXR protocol must not silently require an unrelated flag
+            write_artifacts=(config.plot_error_map or config.write_pcd
+                             or config.plot_denoised_images
+                             or config.plot_intermediate_metrics
+                             or name == "HISS"),
+            dataset_name=name,
         )
         logger.info("[%s] metrics: %s", name, metrics)
         logger.info("[%s] rejected %d abnormal samples: %s", name,

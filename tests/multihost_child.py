@@ -70,6 +70,21 @@ def main():
         jax.device_put(w1, replicate_sharding(mesh))))
     print(f"CHECK loss={float(loss):.6f}", flush=True)
     print(f"CHECK w1={w1_host.reshape(-1).round(6).tolist()}", flush=True)
+
+    # eval-side host transfer: batch["x"] spans non-addressable devices, so
+    # plain np.asarray raises; eval_loop._to_host must gather the global
+    # value (the metric path distributed_evaluate drives)
+    from d3roma_tpu.evaluation.eval_loop import _to_host
+
+    try:
+        np.asarray(batch["x"])
+        print("CHECK asarray_raises=False", flush=True)
+    except Exception:
+        print("CHECK asarray_raises=True", flush=True)
+    xg = _to_host(batch["x"])
+    assert xg.shape == (4 * num_procs, 2, 2)
+    print(f"CHECK to_host_sum={float(xg.sum())}", flush=True)
+
     print("CHECK done", flush=True)
     jax.distributed.shutdown()
 

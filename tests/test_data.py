@@ -155,6 +155,13 @@ def test_device_preprocess_depth_space(real_scene):
     out = device_preprocess(raw, norm, "depth")
     assert np.asarray(out["raw_disp"]).shape == (1, 270, 480, 1)
     np.testing.assert_allclose(np.asarray(out["raw_disp"]), np.asarray(raw["depth"]))
+    # the guidance/SSI target in depth space is the raw depth itself —
+    # all-zeros here silently degenerated guidance (empty denormer mask)
+    sim = np.asarray(out["sim_disp_unnorm"])
+    sm = np.asarray(out["sim_mask"]) > 0
+    assert sm.any()
+    np.testing.assert_allclose(sim[sm], np.asarray(raw["raw_depth"])[sm])
+    assert (sim[~sm] == 0).all()
 
 
 def test_flow_augmentor_shapes():

@@ -68,3 +68,8 @@ def test_two_process_shard_batch_and_dp_step():
     # and the loss must reflect BOTH shards (mean over the global batch of
     # x@w with x=1s and 2s, w=1s: rows of proc0 give (2)^2, proc1 (4)^2)
     assert float(grab(outs[0], "loss")) == pytest.approx((4.0 + 16.0) / 2)
+    # eval host transfer: the sharded array is NOT fully addressable
+    # (np.asarray raises) but _to_host gathers the full global value
+    for out in outs:
+        assert grab(out, "asarray_raises") == "True"
+        assert float(grab(out, "to_host_sum")) == pytest.approx(48.0)

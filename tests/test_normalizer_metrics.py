@@ -198,3 +198,38 @@ def test_normalizer_piecewise_residual_decomposition():
     y, _, _ = norm.normalize(x)
     raw = np.asarray(y / norm.s + norm.t)[0, 0]
     np.testing.assert_allclose(raw, [1.0, 1.0, 0.125], atol=1e-6)
+
+
+def test_scale_shift_degenerate_mask_falls_back_to_identity():
+    """Empty or near-constant masks yield a singular system; the solver
+    must return (s=1, t=0) instead of dividing by a tiny/negative det
+    (divergence from the reference's det+=1e-4 nudge, documented in
+    ops/scale_shift.py)."""
+    from d3roma_tpu.ops.scale_shift import compute_scale_and_shift
+
+    pred = jnp.ones((2, 16)) * 3.0
+    tgt = jnp.ones((2, 16)) * 7.0
+    # row 0: empty mask (det = 0); row 1: valid
+    mask = jnp.stack([jnp.zeros(16), jnp.ones(16)])
+    st = np.asarray(compute_scale_and_shift(pred, tgt, mask))
+    assert np.allclose(st[0], [1.0, 0.0])  # identity fallback
+    assert np.all(np.isfinite(st))
+    # single-pixel mask: det = a00*a11 - a01^2 = p^2 - p^2 = 0 exactly
+    mask1 = jnp.zeros((1, 16)).at[0, 3].set(1.0)
+    st1 = np.asarray(compute_scale_and_shift(pred[:1], tgt[:1], mask1))
+    assert np.allclose(st1[0], [1.0, 0.0])
+
+
+def test_ensemble_depths_single_round_is_finite():
+    """R=1 has no pairwise term (empty triu -> NaN objective); must
+    return the rescaled input with zero uncertainty, not NaNs."""
+    from d3roma_tpu.ops import ensemble_depths
+
+    img = jnp.asarray(np.random.default_rng(0).uniform(2, 9, (1, 8, 12)),
+                      jnp.float32)
+    aligned, unc = ensemble_depths(img)
+    assert np.all(np.isfinite(np.asarray(aligned)))
+    np.testing.assert_allclose(np.asarray(unc), 0.0)
+    # rescaled to [0,1] like the aligned multi-round output
+    assert -1e-6 <= float(jnp.min(aligned)) < 0.1
+    assert 0.9 < float(jnp.max(aligned)) <= 1.0 + 1e-5

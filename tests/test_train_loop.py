@@ -328,17 +328,12 @@ def test_eval_batch_multiround_uncertainty_and_ensemble():
     assert unc2 is None  # ensembling collapses rounds before uncertainty
 
 
-def test_coarse_to_fine_quadrants(monkeypatch):
-    import d3roma_tpu.evaluation.eval_loop as EL
+def test_coarse_to_fine_quadrants():
     from d3roma_tpu.evaluation import evaluate_dataset
 
     cfg = _config()
     cfg.coarse_to_fine = True
-    # shrink the quadrant grid to the test image size (32x64 -> 16x32 tiles)
-    monkeypatch.setattr(EL, "QUADRANTS", [
-        (slice(0, 16), slice(0, 32)), (slice(16, None), slice(0, 32)),
-        (slice(0, 16), slice(32, None)), (slice(16, None), slice(32, None)),
-    ])
+    # quadrants derive from the batch shape (32x64 -> 16x32 tiles)
     pipeline, batch = _mini_pipeline_and_batch(cfg, jax.random.PRNGKey(0))
     metrics, stat = evaluate_dataset(
         cfg, pipeline, [batch], jax.random.PRNGKey(1), max_batches=1,
@@ -354,3 +349,62 @@ def test_eval_sliced_batch_guidance_sweep():
     results = eval_sliced_batch(cfg, pipeline, batch, jax.random.PRNGKey(1),
                                 guidance_weights=[0.0, 1.0])
     assert set(results.keys()) == {0.0, 1.0}
+
+
+def test_eval_protocol_keys_on_current_dataset():
+    """eval_batch applies the SceneFlow clamp window to the dataset being
+    evaluated, not blanket config.eval_dataset[0] (a reference bug —
+    evaluate.py:126 — documented in eval_loop._protocol_dataset)."""
+    from d3roma_tpu.evaluation import eval_batch
+
+    cfg = _config()
+    cfg.eval_dataset = ["SceneFlow", "Real_test_fxm"]
+    pipeline, batch = _mini_pipeline_and_batch(cfg, jax.random.PRNGKey(0))
+    _, m_sf, _, _, _ = eval_batch(cfg, pipeline, batch, jax.random.PRNGKey(1),
+                                  dataset_name="SceneFlow")
+    _, m_real, _, _, _ = eval_batch(cfg, pipeline, batch,
+                                    jax.random.PRNGKey(1),
+                                    dataset_name="Real_test_fxm")
+    # default (no name) preserves reference behavior: eval_dataset[0]
+    _, m_def, _, _, _ = eval_batch(cfg, pipeline, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(m_def[0], m_sf[0])
+    # the clamp window changes the valid mask -> different metrics
+    assert not np.allclose(m_sf[0], m_real[0])
+
+
+def test_eval_intermediates_unpadded(tmp_path):
+    """Intermediates leave eval_batch at the UNPADDED resolution so the
+    plot_intermediate_metrics path can denormalize them against the
+    original gt (40 pads to 64 at divis_by=32)."""
+    from d3roma_tpu.evaluation import eval_batch, evaluate_dataset
+
+    cfg = _config()
+    cfg.image_size = (40, 64)
+    cfg.plot_intermediate_metrics = True
+    import jax.numpy as jnp
+
+    pipeline, _ = _mini_pipeline_and_batch(cfg, jax.random.PRNGKey(0))
+    h, w = 40, 64
+    rng = np.random.default_rng(0)
+    disp = rng.uniform(5, 50, (1, h, w, 1)).astype(np.float32)
+    batch = {
+        "raw_disp": jnp.asarray(disp),
+        "normalized_disp": jnp.asarray((disp / 64 - 0.5) * 2),
+        "sim_disp": jnp.asarray((disp / 64 - 0.5) * 2),
+        "normalized_rgb": jnp.zeros((1, h, w, 3)),
+        "left_image": jnp.zeros((1, h, w, 3)),
+        "right_image": jnp.zeros((1, h, w, 3)),
+        "mask": jnp.ones((1, h, w, 1)),
+        "raw_depth": jnp.asarray(400.0 / np.maximum(disp, 1e-3)),
+        "fxb": jnp.asarray([400.0]),
+    }
+    _, _, _, _, out = eval_batch(cfg, pipeline, batch, jax.random.PRNGKey(1))
+    assert out.intermediates.shape[2:4] == (h, w)
+    # and the artifact path consumes them without a shape mismatch
+    metrics, _ = evaluate_dataset(
+        cfg, pipeline, [batch], jax.random.PRNGKey(1), max_batches=1,
+        eval_output_dir=str(tmp_path), write_artifacts=True,
+    )
+    assert np.isfinite(metrics["disp"]["epe"])
+    assert any(f.endswith("intermediate_metrics.png")
+               for f in os.listdir(tmp_path))
