@@ -124,6 +124,11 @@ class TrainingConfig:
     num_inference_timesteps: int = 128
     num_inference_rounds: int = 1
     noise_strategy: str = "randn"  # "randn" | "pyramid"
+    # training timestep sampler. "uniform" is the reference's behavior
+    # (train.py:572,594 — its loss-second-moment sampler is updated but
+    # only ever plotted); "loss-second-moment" importance-samples by the
+    # tracked loss (ops/resample.py), kept as an opt-in
+    timestep_sampler: str = "uniform"  # "uniform" | "loss-second-moment"
     loss_type: str = "l1"  # "l1" | "mse"
     learning_rate: float = 1e-4
     clip_gradient: bool = False

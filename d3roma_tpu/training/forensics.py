@@ -27,11 +27,17 @@ class AbnormalLossDetector:
         ratio: float = 100.0,
         min_history: int = 10,
         on_abnormal: str = "dump",  # "dump" | "raise" | "ignore"
+        max_dumps: int = 5,
     ):
         self.out_dir = out_dir
         self.ratio = ratio
         self.min_history = min_history
         self.on_abnormal = on_abnormal
+        # a persistent failure (e.g. every step NaN) must not fill the
+        # disk with one multi-GB batch dump per step; after max_dumps
+        # the detector still reports abnormal but only logs
+        self.max_dumps = max_dumps
+        self.num_dumps = 0
 
     def check(
         self,
@@ -63,6 +69,11 @@ class AbnormalLossDetector:
         if self.on_abnormal == "raise":
             raise FloatingPointError(f"abnormal loss {loss} at step {global_step}")
         if self.on_abnormal == "dump":
+            if self.num_dumps >= self.max_dumps:
+                logger.error("forensic dump suppressed (%d already written)",
+                             self.num_dumps)
+                return True
+            self.num_dumps += 1
             dump_dir = os.path.join(self.out_dir, "checkpoints", f"{global_step}_dump")
             os.makedirs(dump_dir, exist_ok=True)
             arrays = {}

@@ -34,10 +34,19 @@ class TrainState(struct.PyTreeNode):
 
 
 def build_lr_schedule(config, steps_per_epoch: int):
-    """Reference: train.py:862-890."""
+    """Reference: train.py:862-890.
+
+    The horizon counts OPTIMIZER updates, not micro-batches: under
+    optax.MultiSteps the inner schedule's count only advances once per
+    accumulated update (the reference likewise divides by
+    gradient_accumulation_steps and calls lr_scheduler.step() per
+    optimizer step, train.py:868,527-528). lr_warmup_steps is already in
+    optimizer steps.
+    """
     base = config.learning_rate
     warmup = config.lr_warmup_steps
-    total = max(1, config.num_epochs * steps_per_epoch)
+    accum = max(1, config.gradient_accumulation_steps)
+    total = max(1, config.num_epochs * steps_per_epoch // accum)
     kind = config.lr_scheduler or "constant"
     if kind == "constant":
         return optax.join_schedules(
@@ -75,13 +84,22 @@ def build_optimizer(config, steps_per_epoch: int) -> optax.GradientTransformatio
     tx = optax.chain(*chain)
     if config.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
-    return tx
+    # A non-finite micro-gradient (one bad batch) must never corrupt the
+    # params or the MultiSteps accumulator: apply_if_finite rejects the
+    # whole update before it reaches the accumulator and only errors out
+    # after `max_consecutive` rejections in a row. The abnormal-loss
+    # forensics (training/forensics.py) still dump the offending batch.
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)
 
 
 def create_train_state(
-    config, params: dict, steps_per_epoch: int, seed: int = 0
+    config, params: dict, steps_per_epoch: int, seed: int = 0, tx=None
 ) -> TrainState:
-    tx = build_optimizer(config, steps_per_epoch)
+    """`tx` lets the caller reuse the optimizer it will step with —
+    building a second one here only stays compatible while both call
+    sites pass identical (config, steps_per_epoch)."""
+    if tx is None:
+        tx = build_optimizer(config, steps_per_epoch)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -109,9 +127,15 @@ class StepCounter:
         self.local_step += 1
         self.global_step += 1
         if loss is not None:
-            self._losses.append(float(loss))
-            if len(self._losses) > self.horizon:
-                self._losses.pop(0)
+            self.record(loss)
+
+    def record(self, loss: float):
+        """Record a step loss; split from tick() so the train loop can
+        advance counters at dispatch time and fetch the loss one step
+        late (overlapping the device step with host-side bookkeeping)."""
+        self._losses.append(float(loss))
+        if len(self._losses) > self.horizon:
+            self._losses.pop(0)
 
     def new_epoch(self):
         self.epoch += 1

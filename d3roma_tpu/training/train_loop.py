@@ -65,6 +65,13 @@ def build_models(config, key: jax.Array, dtype=None):
 
     if config.ldm:
         assert config.depth_channels == 4, "ldm only support 4 channels"
+        if config.resume_pretrained:
+            # don't pay a full flagship init (jitted compile + 866M-param
+            # materialization) just to overwrite it with the checkpoint
+            pipe = GuidedLatentDiffusionPipeline.from_pretrained(config.resume_pretrained)
+            return dict(unet=pipe.unet, unet_params=pipe.unet_params,
+                        vae=pipe.vae, vae_params=pipe.vae_params,
+                        text_embed=pipe.text_embed)
         in_ch = widened_in_channels(config.cond_channels)
         unet = UNet2DCondition(in_channels=in_ch, out_channels=4, dtype=dtype,
                                remat=True)
@@ -79,12 +86,6 @@ def build_models(config, key: jax.Array, dtype=None):
 
         # frozen empty-prompt embedding; imported checkpoints replace this
         text_embed = jnp.zeros((1, 77, unet.cross_attention_dim))
-
-        if config.resume_pretrained:
-            pipe = GuidedLatentDiffusionPipeline.from_pretrained(config.resume_pretrained)
-            unet, unet_params = pipe.unet, pipe.unet_params
-            vae, vae_params = pipe.vae, pipe.vae_params
-            text_embed = pipe.text_embed
         return dict(unet=unet, unet_params=unet_params, vae=vae,
                     vae_params=vae_params, text_embed=text_embed)
     else:
@@ -104,7 +105,11 @@ def build_models(config, key: jax.Array, dtype=None):
             "AttnUpBlock2D" if i == (n_blocks - 1 - attn_idx) else "UpBlock2D"
             for i in range(n_blocks)
         )
-        groups = min(32, min(config.block_out_channels))
+        # largest group count <= 32 that divides EVERY block width (a bare
+        # min(32, min_ch) crashes GroupNorm for widths like 48 that are
+        # neither <32 nor a multiple of 32)
+        groups = next(g for g in range(min(32, min(config.block_out_channels)), 0, -1)
+                      if all(c % g == 0 for c in config.block_out_channels))
         unet = UNet2D(
             in_channels=in_ch,
             out_channels=config.depth_channels,
@@ -114,11 +119,11 @@ def build_models(config, key: jax.Array, dtype=None):
             norm_groups=groups,
             dtype=dtype,
         )
-        sample = jnp.zeros((1, ph, pw, in_ch))
-        unet_params = jax.jit(unet.init)(key, sample, jnp.array([0]))["params"]
         if config.resume_pretrained:
             pipe = GuidedDiffusionPipeline.from_pretrained(config.resume_pretrained)
-            unet, unet_params = pipe.unet, pipe.unet_params
+            return dict(unet=pipe.unet, unet_params=pipe.unet_params)
+        sample = jnp.zeros((1, ph, pw, in_ch))
+        unet_params = jax.jit(unet.init)(key, sample, jnp.array([0]))["params"]
         return dict(unet=unet, unet_params=unet_params)
 
 
@@ -191,7 +196,8 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
     tables = config.schedule_config(train=True).tables()
     normalizer = Normalizer.from_config(config)
     tx = build_optimizer(config, steps_per_epoch)
-    state = create_train_state(config, models["unet_params"], steps_per_epoch, seed)
+    state = create_train_state(config, models["unet_params"], steps_per_epoch,
+                               seed, tx=tx)
     counter = StepCounter()
 
     # resume (reference: train.py:556-562)
@@ -248,40 +254,61 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
 
     detector = AbnormalLossDetector(output_dir)
     done = False
+    storm_saves = 0
 
     skip_batches = counter.local_step  # mid-epoch fast-forward
     start_epoch = counter.epoch
 
+    # metrics of the most recently dispatched step, fetched one step LATE:
+    # float(metrics["loss"]) blocks until the device step finishes (plus a
+    # transport round trip on a remote-attached device); draining the
+    # previous step's metrics after dispatching the current one overlaps
+    # that wait with device compute.
+    pending = None  # (metrics, raw_batch, dispatch_step)
+
+    def drain():
+        nonlocal pending, storm_saves
+        if pending is None:
+            return
+        metrics, raw_batch, gstep = pending
+        pending = None
+        loss = float(metrics["loss"])
+        abnormal = detector.check(
+            loss, counter.avg_loss, gstep, gstep, raw_batch, metrics,
+            paths=raw_batch.get("path"),
+        )
+        if abnormal and storm_saves < 2:
+            # forensic snapshot; capped — with apply_if_finite the params
+            # cannot be NaN-corrupted, so repeats add no information
+            storm_saves += 1
+            save_state(os.path.join(output_dir, "checkpoints", f"{gstep}_storm"),
+                       jax.device_get(state), counter)
+        counter.record(loss)
+        if writer is not None and (gstep + 1) % 10 == 0:
+            writer.add_scalar("train/loss", loss, gstep + 1)
+            writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), gstep + 1)
+            if "recon_mae" in metrics:
+                writer.add_scalar("train/recon_mae", float(metrics["recon_mae"]), gstep + 1)
+
     for epoch in range(start_epoch, config.num_epochs):
         train_loader.set_epoch(epoch)
+        # resume fast-forward happens BEFORE device_prefetch so skipped
+        # batches are never preprocessed/transferred to the device
+        items = ((bi, rb) for bi, rb in enumerate(train_loader)
+                 if not (epoch == start_epoch and bi < skip_batches))
         prefetched = device_prefetch(
-            ((bi, rb) for bi, rb in enumerate(train_loader)),
+            items,
             prepare=lambda item: (item[0], item[1], preprocess(item[1])),
         )
-        last_bi = -1
+        last_bi = steps_per_epoch - 1 if epoch == start_epoch and skip_batches else -1
         for bi, raw_batch, batch in prefetched:
             last_bi = bi
-            if epoch == start_epoch and bi < skip_batches:
-                continue
             step_key = jax.random.fold_in(base_key, counter.global_step)
+            dispatch_step = counter.global_step
             state, metrics = step_fn(state, batch, step_key)
-
-            loss = float(metrics["loss"])
-            abnormal = detector.check(
-                loss, counter.avg_loss, counter.global_step,
-                counter.global_step, raw_batch, metrics,
-                paths=raw_batch.get("path"),
-            )
-            if abnormal:
-                save_state(os.path.join(output_dir, "checkpoints", f"{counter.global_step}_storm"),
-                           jax.device_get(state), counter)
-            counter.tick(loss)
-
-            if writer is not None and counter.global_step % 10 == 0:
-                writer.add_scalar("train/loss", loss, counter.global_step)
-                writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), counter.global_step)
-                if "recon_mae" in metrics:
-                    writer.add_scalar("train/recon_mae", float(metrics["recon_mae"]), counter.global_step)
+            counter.tick()  # advance at dispatch; loss recorded on drain
+            drain()
+            pending = (metrics, raw_batch, dispatch_step)
 
             # periodic in-training eval (reference: train.py:616-682)
             if (counter.global_step % config.val_every_global_steps == 0
@@ -311,6 +338,8 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
             if max_steps is not None and counter.global_step >= max_steps:
                 done = True
                 break
+
+        drain()  # the final step's loss must land before checkpointing
 
         # a max_steps stop mid-epoch must NOT advance the epoch counter —
         # the saved local_step drives the resume fast-forward

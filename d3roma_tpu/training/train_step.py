@@ -42,7 +42,7 @@ def make_train_step(
     tables: ScheduleTables,
     vae_apply: Optional[Callable] = None,  # (x, method) -> ... (frozen)
     text_embed: Optional[jnp.ndarray] = None,
-    t_sampler: str = "loss-second-moment",
+    t_sampler: Optional[str] = None,  # None -> config.timestep_sampler
 ):
     """Returns step_fn(state, batch, key) -> (state, metrics).
 
@@ -53,6 +53,10 @@ def make_train_step(
     loss_kind = config.loss_type
     pred_type = config.prediction_type
     cond_channels = config.cond_channels
+    if t_sampler is None:
+        t_sampler = getattr(config, "timestep_sampler", "uniform")
+    if t_sampler not in ("uniform", "loss-second-moment"):
+        raise ValueError(f"unknown timestep_sampler {t_sampler!r}")
 
     def elementwise_loss(a, b):
         if loss_kind == "l1":

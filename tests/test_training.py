@@ -259,3 +259,73 @@ def test_ldm_train_step():
     assert np.isfinite(float(metrics["loss"]))
     assert "recon_mae" in metrics and np.isfinite(float(metrics["recon_mae"]))
     assert int(state.step) == 1
+
+
+def test_nan_batch_does_not_corrupt_params():
+    """optax.apply_if_finite: a batch producing non-finite grads is
+    rejected before it reaches the params or the MultiSteps accumulator
+    (without it, one bad batch NaN'd the model forever)."""
+    cfg = _tiny_config()
+    state, step_fn, _ = _setup(cfg)
+    batch = _batch(cfg, jax.random.PRNGKey(0))
+    bad = dict(batch)
+    bad["normalized_disp"] = batch["normalized_disp"].at[0, 0, 0, 0].set(jnp.nan)
+    state1, metrics = step_fn(state, bad, jax.random.PRNGKey(1))
+    assert not np.isfinite(float(metrics["loss"]))  # detector still fires
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and a following good batch updates normally
+    state2, m2 = step_fn(state1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss"]))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params))
+    )
+    assert changed
+
+
+def test_lr_horizon_counts_optimizer_updates():
+    """Under gradient accumulation the schedule count advances once per
+    OPTIMIZER update (reference divides by gradient_accumulation_steps,
+    train.py:868): a linear decay must reach ~0 by the end of training,
+    not get cut off a third of the way."""
+    from d3roma_tpu.training.state import build_lr_schedule
+
+    cfg = _tiny_config(lr_scheduler="linear", gradient_accumulation_steps=3,
+                  num_epochs=1, lr_warmup_steps=0)
+    sched = build_lr_schedule(cfg, steps_per_epoch=30)
+    # 30 micro-steps / 3 = 10 optimizer updates
+    assert float(sched(10)) < 0.1 * cfg.learning_rate
+    assert float(sched(5)) == pytest.approx(cfg.learning_rate / 2, rel=0.2)
+
+
+def test_timestep_sampler_default_is_uniform_reference_parity():
+    """The reference trains with uniform timestep sampling (train.py:572,
+    594); loss-second-moment stays an opt-in. Config default must match."""
+    cfg = _tiny_config()
+    assert cfg.timestep_sampler == "uniform"
+    import d3roma_tpu.training.train_step as TS
+
+    with pytest.raises(ValueError, match="timestep_sampler"):
+        TS.make_train_step(cfg, lambda *a: None, None, cfg.schedule_config(train=True).tables(),
+                           t_sampler="bogus")
+
+
+def test_norm_groups_divides_all_widths(tmp_path, monkeypatch):
+    """block_out_channels=(48, 96): min(32, 48)=32 does not divide 48;
+    build_models must pick the largest common divisor <= 32 (24)."""
+    from d3roma_tpu.training.train_loop import build_models
+
+    cfg = _tiny_config(block_out_channels=(48, 96))
+    models = build_models(cfg, jax.random.PRNGKey(0))
+    assert models["unet"].norm_groups == 24  # largest common divisor <= 32
+
+
+def test_forensic_dump_cap(tmp_path):
+    from d3roma_tpu.training.forensics import AbnormalLossDetector
+
+    det = AbnormalLossDetector(str(tmp_path), min_history=0, max_dumps=2)
+    for step in range(5):
+        assert det.check(float("nan"), 1.0, 100, step, batch={"x": np.ones(2)})
+    dumps = [d for d in os.listdir(tmp_path / "checkpoints") if d.endswith("_dump")]
+    assert len(dumps) == 2
