@@ -214,7 +214,12 @@ class SparseFlowAugmentor(FlowAugmentor):
         valid_img[yy, xx] = 1
         return flow_img, valid_img
 
-    def spatial_transform(self, img1, img2, flow, valid, rng=None):
+    def spatial_transform(self, img1, img2, flow, valid, rng=None,
+                          sim_flow=None):
+        """`sim_flow` (dense, optional) rides the SAME scale/flip/crop as
+        the sparse gt flow — leaving it untransformed mixed crop-sized gt
+        with full-resolution sim in one item. Extra ops consume no rng
+        draws, so the (img1, img2, flow, valid) stream is unchanged."""
         cv2 = _cv2()
         rng = self.rng if rng is None else rng
         ht, wd = img1.shape[:2]
@@ -228,12 +233,18 @@ class SparseFlowAugmentor(FlowAugmentor):
             img1 = cv2.resize(img1, None, fx=scale_x, fy=scale_y, interpolation=cv2.INTER_LINEAR)
             img2 = cv2.resize(img2, None, fx=scale_x, fy=scale_y, interpolation=cv2.INTER_LINEAR)
             flow, valid = self.resize_sparse_flow_map(flow, valid, fx=scale_x, fy=scale_y)
+            if sim_flow is not None:
+                sim_flow = cv2.resize(sim_flow, None, fx=scale_x, fy=scale_y,
+                                      interpolation=cv2.INTER_LINEAR)
+                sim_flow = sim_flow * [scale_x, scale_y]
 
         if self.do_flip and rng.random() < 0.5:
             img1 = img1[:, ::-1]
             img2 = img2[:, ::-1]
             flow = flow[:, ::-1] * [-1.0, 1.0]
             valid = valid[:, ::-1]
+            if sim_flow is not None:
+                sim_flow = sim_flow[:, ::-1] * [-1.0, 1.0]
 
         margin_y, margin_x = 20, 50
         y0 = rng.integers(0, max(1, img1.shape[0] - ch + margin_y))
@@ -245,10 +256,15 @@ class SparseFlowAugmentor(FlowAugmentor):
         img2 = img2[y0 : y0 + ch, x0 : x0 + cw]
         flow = flow[y0 : y0 + ch, x0 : x0 + cw]
         valid = valid[y0 : y0 + ch, x0 : x0 + cw]
-        return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
-                np.ascontiguousarray(flow), np.ascontiguousarray(valid))
+        out = (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
+               np.ascontiguousarray(flow), np.ascontiguousarray(valid))
+        if sim_flow is None:
+            return out
+        sim_flow = sim_flow[y0 : y0 + ch, x0 : x0 + cw]
+        return out + (np.ascontiguousarray(sim_flow),)
 
-    def __call__(self, img1, img2, flow, valid, rng=None):
+    def __call__(self, img1, img2, flow, valid, rng=None, sim_flow=None):
         img1, img2 = self.color_transform(img1, img2, rng=rng)
         img1, img2 = self.eraser_transform(img1, img2, rng=rng)
-        return self.spatial_transform(img1, img2, flow, valid, rng=rng)
+        return self.spatial_transform(img1, img2, flow, valid, rng=rng,
+                                      sim_flow=sim_flow)

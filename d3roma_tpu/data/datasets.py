@@ -79,7 +79,11 @@ class RepeatedDataset(BaseDataset):
         self.base.set_epoch(epoch)
 
     def __getitem__(self, index):
-        return self.base[index % len(self.base)]
+        # pass the RAW repeated index through: the base modulos it for
+        # list access but seeds the augmentation RNG with it, so the w
+        # oversampled copies of a sample get w DIFFERENT augmentations
+        # (keying on the modulo'd index made every copy byte-identical)
+        return self.base[index]
 
 
 class ConcatDataset(BaseDataset):
@@ -132,6 +136,7 @@ class StereoDataset(BaseDataset):
         return len(self.image_list)
 
     def __getitem__(self, index):
+        raw_index = index  # distinct per oversampled copy (RepeatedDataset)
         index = index % len(self.image_list)
         disp = self.disparity_reader(self.disparity_list[index])
         if isinstance(disp, tuple):
@@ -143,8 +148,9 @@ class StereoDataset(BaseDataset):
         img2 = _to_rgb3(np.array(frame_utils.read_gen(self.image_list[index][1])).astype(np.uint8))
         disp = np.array(disp).astype(np.float32)
 
-        # precomputed sim (SGM) disparity, if present
-        if self.sim_list:
+        # precomputed sim (SGM) disparity, if present ("" = missing for
+        # this frame; zeros keep the channel layout)
+        if self.sim_list and self.sim_list[index]:
             sim = self.disparity_reader(self.sim_list[index])
             sim = sim[0] if isinstance(sim, tuple) else sim
             sim = np.array(sim).astype(np.float32)
@@ -155,9 +161,10 @@ class StereoDataset(BaseDataset):
         sim_flow = np.stack([-sim, np.zeros_like(sim)], axis=-1)
 
         if self.augmentor is not None:
-            rng = self._sample_rng(index)
+            rng = self._sample_rng(raw_index)
             if self.sparse:
-                img1, img2, flow, valid = self.augmentor(img1, img2, flow, valid, rng=rng)
+                img1, img2, flow, valid, sim_flow = self.augmentor(
+                    img1, img2, flow, valid, rng=rng, sim_flow=sim_flow)
             else:
                 img1, img2, flow, sim_flow = self.augmentor(img1, img2, flow, sim_flow, rng=rng)
                 valid = (np.abs(flow[..., 0]) < 512) & (np.abs(flow[..., 1]) < 512)
@@ -224,8 +231,10 @@ class SceneFlow(StereoDataset):
             self.image_list.append((lf, rf))
             self.disparity_list.append(df)
             sim = lf.replace(self.dstype, "raw_cleanpass").replace(".png", ".pfm")
-            if osp.exists(sim):
-                self.sim_list.append(sim)
+            # "" placeholder keeps sim_list index-aligned with
+            # image_list — conditional appends silently paired most
+            # frames with another scene's sim disparity
+            self.sim_list.append(sim if osp.exists(sim) else "")
 
     def _add_things(self, split, bad):
         sub = "TRAIN" if split == "train" else "TEST"
@@ -261,11 +270,15 @@ class ETH3D(StereoDataset):
     def __init__(self, camera=None, aug_params=None, root="datasets/ETH3D", split="training"):
         super().__init__(aug_params, sparse=True, camera=camera)
         img1s = sorted(glob.glob(osp.join(root, f"two_view_{split}/*/im0.png")))
+        # non-training splits have no GT; the reference substitutes one
+        # fixed training disparity as a dummy (stereo_datasets.py:259) —
+        # an im0 PNG here would crash the PFM reader
+        dummy = osp.join(root, "two_view_training_gt/playground_1l/disp0GT.pfm")
         for im0 in img1s:
             self.image_list.append((im0, im0.replace("im0", "im1")))
             self.disparity_list.append(
                 osp.join(osp.dirname(im0), "disp0GT.pfm")
-                if split == "training" else im0
+                if split == "training" else dummy
             )
 
 
@@ -314,6 +327,7 @@ class ActiveStereoDataset(BaseDataset):
 
     def __getitem__(self, index):
         cv2 = _cv2()
+        raw_index = index  # distinct per oversampled copy (RepeatedDataset)
         index = index % len(self.disparity_list)
         disp = self.disparity_reader(self.disparity_list[index])
         if isinstance(disp, tuple):
@@ -347,7 +361,7 @@ class ActiveStereoDataset(BaseDataset):
         # (reference: stereo_datasets.py:457-496)
         fields = np.concatenate([disp, rgb, img1, img2, valid, depth, raw_depth], axis=-1)
         if self.split == "train":
-            rng = self._sample_rng(index)
+            rng = self._sample_rng(raw_index)
             if rng.random() < 0.5:
                 fields = fields[:, ::-1]
             fields = self._random_crop(fields, rng)
@@ -517,4 +531,12 @@ class Real(ActiveStereoDataset):
         self.disparity_list = self.raw_depth_list
         ir_l = _sorted_glob(base, "*_ir_l.png") or _sorted_glob(base, "ir_l", "*.png")
         ir_r = _sorted_glob(base, "*_ir_r.png") or _sorted_glob(base, "ir_r", "*.png")
+        # one missing file must fail loudly, not silently re-pair every
+        # later frame (zip truncates) or IndexError at high indices
+        if not (len(ir_l) == len(ir_r) == len(self.rgb_list)
+                == len(self.raw_depth_list)):
+            raise ValueError(
+                f"Real capture {base!r} has mismatched frame lists: "
+                f"{len(self.rgb_list)} rgb, {len(self.raw_depth_list)} "
+                f"depth, {len(ir_l)} ir_l, {len(ir_r)} ir_r")
         self.image_list = list(zip(ir_l, ir_r))

@@ -167,19 +167,27 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         idx_q: "queue.Queue" = queue.Queue()
         for bi, idxs in enumerate(batches):
             idx_q.put((bi, idxs))
         stop = threading.Event()
         results = {}
         results_lock = threading.Condition()
+        # caps decoded-but-unconsumed batches at `prefetch`: without it
+        # the workers race through the whole epoch and the results dict
+        # holds every decoded batch (host OOM on big datasets). Acquired
+        # BEFORE pulling from idx_q so slot holders always own the
+        # oldest remaining batches — the in-order consumer can't starve.
+        slots = threading.Semaphore(max(1, self.prefetch))
 
         def worker():
             while not stop.is_set():
+                if not slots.acquire(timeout=0.1):
+                    continue
                 try:
                     bi, idxs = idx_q.get_nowait()
                 except queue.Empty:
+                    slots.release()
                     return
                 try:
                     batch = collate([self.dataset[int(i)] for i in idxs])
@@ -199,6 +207,7 @@ class DataLoader:
                     while bi not in results:
                         results_lock.wait(timeout=60.0)
                     batch = results.pop(bi)
+                slots.release()  # frees a worker to decode the next batch
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch
@@ -215,7 +224,17 @@ def fetch_dataloader(config, seed: int = 0) -> Tuple[DataLoader, List[DataLoader
     train_sets = []
     for name, w in zip(config.train_dataset, config.dataset_weight):
         ds = create_dataset(config, name, "train")
-        train_sets.append(ds * int(w) if int(w) != 1 else ds)
+        # reference semantics: the base dataset is ALWAYS included once
+        # plus int(w)-1 extra copies (data_loader.py:143) — int(0.5)=0
+        # must not silently drop the dataset to an empty concat member
+        reps = max(1, int(w))
+        if reps != w:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dataset_weight %r for %s truncated to %d (weights are "
+                "whole-dataset repetition counts)", w, name, reps)
+        train_sets.append(ds * reps if reps != 1 else ds)
     train_ds = train_sets[0]
     for ds in train_sets[1:]:
         train_ds = train_ds + ds

@@ -93,6 +93,7 @@ class MonoDataset(BaseDataset):
         return rgb, depth, mask
 
     def __getitem__(self, index):
+        raw_index = index  # distinct per oversampled copy (RepeatedDataset)
         index = index % len(self)
         # bad-sample skip-and-retry (reference: mono_datasets.py:48-51)
         for attempt in range(4):
@@ -104,6 +105,16 @@ class MonoDataset(BaseDataset):
         else:
             raise RuntimeError(f"failed to load sample near index {index}")
 
+        if rgb.shape[:2] != depth.shape[:2]:
+            # rgb follows the depth grid, as the reference's loaders do
+            # (e.g. ScanNet resizes color to the depth size,
+            # mono_datasets.py:191): crop/flip coordinates below are
+            # shared between the two, so differing sizes would silently
+            # misalign every rgb/depth training pair
+            cv2 = _cv2()
+            rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]),
+                             interpolation=cv2.INTER_LINEAR)
+
         if mask is None:
             mask = (depth > 0) & np.isfinite(depth)
         else:
@@ -111,7 +122,7 @@ class MonoDataset(BaseDataset):
         depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
 
         if self.split == "train":
-            rng = self._sample_rng(index)
+            rng = self._sample_rng(raw_index)
             if rng.random() < 0.5:
                 rgb, depth, mask = rgb[:, ::-1], depth[:, ::-1], mask[:, ::-1]
             rgb, depth, mask = self._resized_crop(rgb, depth, mask, rng)

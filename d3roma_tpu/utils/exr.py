@@ -132,7 +132,17 @@ def read_exr(path: str) -> np.ndarray:
         magic, version = struct.unpack("<II", f.read(8))
         if magic != MAGIC:
             raise ValueError(f"not an EXR file: {path}")
+        # OpenEXR 2.0 version-field flags: 0x200 = single-part tiled,
+        # 0x800 = deep data, 0x1000 = multi-part. All three change the
+        # chunk layout this scanline reader assumes — misparsing a
+        # multipart header as the offset table yields garbage pixels,
+        # so reject loudly (NotImplementedError routes the caller to
+        # the cv2 fallback in _read_exr_file)
         if version & 0x200:
+            raise NotImplementedError("tiled EXR unsupported")
+        if version & 0x800:
+            raise NotImplementedError("deep-data EXR unsupported")
+        if version & 0x1000:
             raise NotImplementedError("multi-part EXR unsupported")
         attrs = _read_attr_headers(f)
         chans = _parse_channels(attrs["channels"][1])

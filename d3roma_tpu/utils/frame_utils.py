@@ -251,6 +251,10 @@ def read_sceneflow(resolution, file_name: str, pil: bool = False):
     scale, min_disp, max_disp = 1.0, 0.5, 256.0
     if resolution is not None and disp.shape != tuple(resolution):
         cv2 = _cv2()
+        # height-ratio scale, as the reference computes it
+        # (frame_utils.py:373) — exact only for aspect-preserving
+        # resolutions, which is all the eval protocol supports
+        # (evaluate.py's scale=960/W makes the same assumption)
         scale = disp.shape[0] / resolution[0]
         disp = cv2.resize(disp, tuple(resolution[::-1]), interpolation=cv2.INTER_NEAREST)
         disp = disp / scale

@@ -278,3 +278,188 @@ def test_eth3d_fixture_roundtrip(tmp_path):
     m = item["valid"][..., 0] > 0
     np.testing.assert_allclose(item["disp"][..., 0][m],
                                disp[m.reshape(disp.shape)], rtol=1e-6)
+
+
+def test_repeated_dataset_copies_get_different_augmentations(real_scene):
+    """ds * w must yield w DIFFERENT augmentations of each sample — the
+    per-sample RNG keys on the raw repeated index, not the modulo'd base
+    index (which made oversampled copies byte-identical)."""
+    ds = _real_dataset(real_scene, split="train")
+    rep = ds * 2
+    a = rep[0]["rgb"]
+    b = rep[len(ds)]["rgb"]  # same base sample, second copy
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b)
+    # determinism holds per (epoch, raw index)
+    np.testing.assert_array_equal(rep[0]["rgb"], rep[0]["rgb"])
+
+
+def test_dataloader_prefetch_is_bounded(real_scene):
+    """Workers must not decode the whole epoch ahead of the consumer —
+    in-flight decoded batches are capped by `prefetch` (unbounded results
+    accumulation host-OOMs on real datasets)."""
+    import threading
+    import time
+
+    class Counting:
+        def __init__(self, n):
+            self.n = n
+            self.decoded = 0
+            self.lock = threading.Lock()
+
+        def __len__(self):
+            return self.n
+
+        def set_epoch(self, e):
+            pass
+
+        def __getitem__(self, i):
+            with self.lock:
+                self.decoded += 1
+            return {"disp": np.zeros((4, 4, 1), np.float32),
+                    "path": str(i), "device": "t"}
+
+    ds = Counting(64)
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2,
+                    prefetch=3)
+    it = iter(dl)
+    next(it)
+    time.sleep(0.5)  # workers would race to 64 without the bound
+    # consumed 1 + up to `prefetch` in flight + one being decoded/worker
+    assert ds.decoded <= 1 + 3 + 2, ds.decoded
+    for _ in range(63):
+        next(it)
+    assert ds.decoded == 64
+
+
+def test_fractional_dataset_weight_keeps_dataset(real_scene, monkeypatch):
+    """dataset_weight=0.5 must not silently drop the dataset (int(0.5)=0
+    made an empty concat member); reference semantics keep the base."""
+    from functools import partial
+
+    import d3roma_tpu.data.loader as L
+    from d3roma_tpu.utils import frame_utils
+
+    def patched(config, name, split):
+        camera = Realsense.default_real("fxm")
+        camera.change_resolution(config.camera_resolution)
+        return Real(camera, tuple(config.image_size), split=split,
+                    root=real_scene, scene="synth",
+                    reader=partial(frame_utils.readDispReal, camera), seed=0)
+
+    monkeypatch.setattr(L, "create_dataset", patched)
+    cfg = TrainingConfig(
+        train_dataset=["Real_train_fxm"], eval_dataset=["Real_test_fxm"],
+        dataset_weight=[0.5], train_batch_size=1, eval_batch_size=1,
+        camera_resolution="480x270", image_size=(180, 320),
+        cond_channels="rgb+raw", depth_channels=1,
+    )
+    train_loader, _ = L.fetch_dataloader(cfg)
+    assert len(train_loader) >= 1
+
+
+def test_sparse_augmentor_carries_sim_flow():
+    """The sparse path must apply the SAME scale/flip/crop to the dense
+    sim flow (untransformed sim left full-resolution raw_depth in a
+    crop-sized item)."""
+    aug = SparseFlowAugmentor(crop_size=(64, 96), seed=0)
+    rng = np.random.default_rng(2)
+    img1 = rng.integers(0, 255, (100, 150, 3), np.uint8)
+    img2 = rng.integers(0, 255, (100, 150, 3), np.uint8)
+    flow = rng.normal(size=(100, 150, 2)).astype(np.float32)
+    valid = np.ones((100, 150), np.float32)
+    sim = rng.normal(size=(100, 150, 2)).astype(np.float32)
+    o1, o2, of, ov, osim = aug(img1, img2, flow, valid, sim_flow=sim)
+    assert osim.shape == (64, 96, 2)
+    assert of.shape == (64, 96, 2)
+    # the 4-tuple contract without sim_flow is unchanged, same rng stream
+    out4 = aug(img1, img2, flow, valid,
+               rng=np.random.default_rng(99))
+    assert len(out4) == 4
+
+
+def test_sceneflow_sim_list_stays_aligned(tmp_path):
+    """A frame without a raw_cleanpass PFM gets a '' placeholder so
+    sim_list stays index-aligned (conditional appends paired later frames
+    with the WRONG scene's sim disparity)."""
+    from d3roma_tpu.data.datasets import SceneFlow
+    from d3roma_tpu.utils.frame_utils import writePFM
+
+    root = tmp_path / "SceneFlow"
+    base = root / "FlyingThings3D" / "frames_cleanpass" / "TRAIN" / "A"
+    for scene in ("0000", "0001"):
+        for side in ("left", "right"):
+            d = base / scene / side
+            d.mkdir(parents=True)
+            import cv2
+
+            cv2.imwrite(str(d / "0006.png"),
+                        np.zeros((32, 48, 3), np.uint8))
+        dd = root / "FlyingThings3D" / "disparity" / "TRAIN" / "A" / scene / "left"
+        dd.mkdir(parents=True)
+        writePFM(str(dd / "0006.pfm"), np.full((32, 48), 5.0, np.float32))
+    # only scene 0000 has a sim pfm
+    sd = root / "FlyingThings3D" / "raw_cleanpass" / "TRAIN" / "A" / "0000" / "left"
+    sd.mkdir(parents=True)
+    writePFM(str(sd / "0006.pfm"), np.full((32, 48), 3.0, np.float32))
+
+    ds = SceneFlow(root=str(root), split="train", aug_params=None)
+    assert len(ds.sim_list) == len(ds.image_list) == 2
+    items = [ds[i] for i in range(2)]
+    with_sim = [i for i, it in enumerate(items)
+                if np.any(it["raw_depth"] > 0)]
+    assert len(with_sim) == 1
+    sim_idx = with_sim[0]
+    assert "0000" in ds.image_list[sim_idx][0]
+
+
+def test_real_dataset_rejects_mismatched_lists(tmp_path):
+    import cv2
+
+    scene = tmp_path / "Real" / "broken"
+    scene.mkdir(parents=True)
+    for i in range(2):
+        cv2.imwrite(str(scene / f"{i:04d}_color.png"),
+                    np.zeros((16, 16, 3), np.uint8))
+        cv2.imwrite(str(scene / f"{i:04d}_depth.png"),
+                    np.zeros((16, 16), np.uint16))
+        cv2.imwrite(str(scene / f"{i:04d}_ir_l.png"),
+                    np.zeros((16, 16), np.uint8))
+    cv2.imwrite(str(scene / "0000_ir_r.png"), np.zeros((16, 16), np.uint8))
+    cam = Realsense.default_real("fxm")
+    with pytest.raises(ValueError, match="mismatched"):
+        Real(cam, (16, 16), root=str(tmp_path / "Real"), scene="broken")
+
+
+def test_exr_rejects_multipart_and_deep(tmp_path):
+    import struct
+
+    from d3roma_tpu.utils.exr import MAGIC, read_exr
+
+    for flag, msg in ((0x1000, "multi-part"), (0x800, "deep-data"),
+                      (0x200, "tiled")):
+        p = tmp_path / f"f_{flag}.exr"
+        p.write_bytes(struct.pack("<II", MAGIC, 2 | flag) + b"\x00" * 64)
+        with pytest.raises(NotImplementedError, match=msg):
+            read_exr(str(p))
+
+
+def test_mono_rgb_resized_to_depth_grid(tmp_path):
+    """rgb at a different resolution than depth must be resized to the
+    depth grid before shared crop/flip coordinates are applied."""
+    from d3roma_tpu.data.mono_datasets import MonoDataset
+
+    class Fake(MonoDataset):
+        def __init__(self):
+            super().__init__((32, 48), split="train", seed=0)
+            self.rgb_list = ["a", "b"]
+
+        def _load(self, index):
+            rng = np.random.default_rng(index)
+            rgb = rng.integers(0, 255, (96, 128, 3), np.uint8)  # 2x depth
+            depth = rng.uniform(0.5, 2.0, (48, 64)).astype(np.float32)
+            return rgb, depth, None
+
+    item = Fake()[0]
+    assert item["rgb"].shape == (32, 48, 3)
+    assert item["depth"].shape == (32, 48, 1)
