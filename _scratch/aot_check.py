@@ -81,12 +81,12 @@ if WHAT in ("b1scan", "all"):
                            dtype=jnp.bfloat16)
     p = bf16_tree(param_structs(
         unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
-        jnp.zeros((1, 77, 1024))))
+        jnp.zeros((1, 2, 1024))))
 
     def scan_fn(params, key, conds):
         def unet_apply(mi, t, ctx):
             return unet.apply({"params": params}, mi, t, ctx)
-        return latent_denoise(unet_apply, jnp.zeros((1, 77, 1024)), spec,
+        return latent_denoise(unet_apply, jnp.zeros((1, 2, 1024)), spec,
                               tables, key, 5, 1, conds, {}, "rgb+raw",
                               noise_dtype=jnp.float32)
 
@@ -100,14 +100,14 @@ if WHAT in ("b16wino", "all"):
                            quant="wino_static", dtype=jnp.bfloat16)
     p = bf16_tree(param_structs(
         unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
-        jnp.zeros((1, 77, 1024))))
+        jnp.zeros((1, 2, 1024))))
 
     def step_fn(params, x, ctx):
         return unet.apply({"params": params}, x, jnp.full((16,), 500), ctx)
 
     check("b16 wino_static UNet step", step_fn, p,
           jax.ShapeDtypeStruct((16, H // 8, W // 8, in_ch), jnp.bfloat16),
-          jax.ShapeDtypeStruct((16, 77, 1024), jnp.bfloat16))
+          jax.ShapeDtypeStruct((16, 2, 1024), jnp.bfloat16))
 
 if WHAT in ("b16vae", "all"):
     vae = AutoencoderKL(quant="wino", dtype=jnp.bfloat16)
@@ -145,12 +145,12 @@ if WHAT in ("b1wino", "all"):
                            quant="wino", dtype=jnp.bfloat16)
     p = bf16_tree(param_structs(
         unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
-        jnp.zeros((1, 77, 1024))))
+        jnp.zeros((1, 2, 1024))))
 
     def scan1_fn(params, key, conds):
         def unet_apply(mi, t, ctx):
             return unet.apply({"params": params}, mi, t, ctx)
-        return latent_denoise(unet_apply, jnp.zeros((1, 77, 1024)), spec,
+        return latent_denoise(unet_apply, jnp.zeros((1, 2, 1024)), spec,
                               tables, key, 5, 1, conds, {}, "rgb+raw",
                               noise_dtype=jnp.float32)
 
@@ -174,11 +174,11 @@ if WHAT in ("serving_export", "all"):
     vae = AutoencoderKL(quant="static", dtype=jnp.bfloat16)
     p = bf16_tree(param_structs(
         unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
-        jnp.zeros((1, 77, 1024))))
+        jnp.zeros((1, 2, 1024))))
     vp = bf16_tree(param_structs(vae, jnp.zeros((1, 64, 64, 3))))
     pipe = GuidedLatentDiffusionPipeline(
         unet=unet, unet_params=p, vae=vae, vae_params=vp,
-        text_embed=jax.ShapeDtypeStruct((1, 77, 1024), jnp.bfloat16),
+        text_embed=jax.ShapeDtypeStruct((1, 2, 1024), jnp.bfloat16),
         spec=spec, guidance=FlowGuidance(flow_guidance_weight=0.0),
         normalizer=Normalizer(ssi=False, mode="average", num_chs=1,
                               ch_bounds=(128.0,), ch_gammas=(1.0,)))
@@ -210,7 +210,7 @@ if WHAT in ("tp4", "all"):
                            use_flash_attention=False, dtype=jnp.bfloat16)
     p = bf16_tree(param_structs(
         unet, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
-        jnp.zeros((1, 77, 1024))))
+        jnp.zeros((1, 2, 1024))))
 
     def unet_fn(params, x, t, ctx):
         return unet.apply({"params": params}, x, t, ctx)
@@ -224,7 +224,7 @@ if WHAT in ("tp4", "all"):
         jf.lower(p,
                  jax.ShapeDtypeStruct((8, H // 8, W // 8, in_ch), jnp.bfloat16),
                  jax.ShapeDtypeStruct((8,), jnp.int32),
-                 jax.ShapeDtypeStruct((8, 77, 1024), jnp.bfloat16)).compile()
+                 jax.ShapeDtypeStruct((8, 2, 1024), jnp.bfloat16)).compile()
         print(f"PASS flagship TP4 UNet step in {time.time()-t0:.0f}s", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"FAIL flagship TP4 UNet step after {time.time()-t0:.0f}s: "

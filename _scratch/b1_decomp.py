@@ -45,7 +45,7 @@ vae = AutoencoderKL(quant=quant, dtype=jnp.bfloat16, **vkw)
 key = jax.random.PRNGKey(0)
 unet_params = jax.jit(unet.init)(
     key, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
-    jnp.zeros((1, 77, 1024)))["params"]
+    jnp.zeros((1, 2, 1024)))["params"]
 vae_params = jax.jit(vae.init)(jax.random.fold_in(key, 1),
                                jnp.zeros((1, 64, 64, 3)))["params"]
 cast = lambda t: jax.tree.map(
@@ -76,7 +76,7 @@ def scan_fn(params, k, c):
     def unet_apply(mi, t, ctx):
         return unet.apply({"params": params}, mi, t, ctx)
     return latent_denoise(
-        unet_apply, jnp.zeros((1, 77, 1024)), spec, tables, k,
+        unet_apply, jnp.zeros((1, 2, 1024)), spec, tables, k,
         STEPS, 1, c, {}, "rgb+raw", noise_dtype=jnp.float32)
 
 

@@ -71,7 +71,7 @@ def bench_ldm(batch, reps):
 
     key = jax.random.PRNGKey(0)
     lat = jnp.zeros((1, H // 8, W // 8, in_ch))
-    ctx = jnp.zeros((1, 77, 1024))
+    ctx = jnp.zeros((1, 2, 1024))
     unet_params = jax.jit(unet.init)(key, lat, jnp.array([0]), ctx)["params"]
     vae_params = jax.jit(vae.init)(jax.random.fold_in(key, 1), jnp.zeros((1, 64, 64, 3)))["params"]
 
@@ -82,7 +82,7 @@ def bench_ldm(batch, reps):
     )
     pipe = GuidedLatentDiffusionPipeline(
         unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
-        text_embed=jnp.zeros((1, 77, 1024)),
+        text_embed=jnp.zeros((1, 2, 1024)),
         spec=SamplerSpec("my_ddim", sched),
         guidance=FlowGuidance(flow_guidance_weight=0.0, flow_guidance_mode="gradient"),
         normalizer=Normalizer(ssi=False, mode="average", num_chs=1,

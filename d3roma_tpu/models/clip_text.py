@@ -100,12 +100,17 @@ class CLIPTextModel(nn.Module):
                             name="final_layer_norm")(x)
 
 
-def empty_prompt_tokens(max_len: int = 77) -> np.ndarray:
-    """Token ids for the empty prompt with CLIP BPE: [BOS, EOS, EOS...].
+def empty_prompt_tokens(max_len: int = 2) -> np.ndarray:
+    """Token ids for the empty prompt: [BOS, EOS] — length 2.
 
-    CLIPTokenizer pads with EOS (id 49407) after BOS (49406); an empty string
-    tokenizes to [49406, 49407, 49407, ...]. Precomputing this removes the
-    tokenizer dependency at inference (reference: custom_pipelines.py:241-254).
+    The reference tokenizes "" with padding="do_not_pad"
+    (train.py:116-129 AND custom_pipelines.py:241-254), so its text
+    embedding is [1, 2, D] and cross-attention attends over exactly two
+    tokens. Padding to 77 would both diverge from reference numerics and
+    pay ~38x the cross-attention KV work. Precomputing the ids removes
+    the tokenizer dependency at inference. `max_len` > 2 reproduces
+    CLIPTokenizer's EOS-padded form for callers that need a fixed 77
+    (SD1.x-style max_length padding — NOT the reference's behavior).
     """
     ids = np.full((1, max_len), 49407, np.int32)
     ids[0, 0] = 49406

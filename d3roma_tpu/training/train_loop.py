@@ -76,7 +76,7 @@ def build_models(config, key: jax.Array, dtype=None):
         unet = UNet2DCondition(in_channels=in_ch, out_channels=4, dtype=dtype,
                                remat=True)
         sample = jnp.zeros((1, ph // 8, pw // 8, in_ch))
-        ctx = jnp.zeros((1, 77, unet.cross_attention_dim))
+        ctx = jnp.zeros((1, 2, unet.cross_attention_dim))
         unet_params = jax.jit(unet.init)(key, sample, jnp.array([0]), ctx)["params"]
 
         vae = AutoencoderKL(dtype=dtype)
@@ -85,7 +85,8 @@ def build_models(config, key: jax.Array, dtype=None):
         )["params"]
 
         # frozen empty-prompt embedding; imported checkpoints replace this
-        text_embed = jnp.zeros((1, 77, unet.cross_attention_dim))
+        # [1, 2, D]: the reference empty-prompt context is [BOS, EOS]
+        text_embed = jnp.zeros((1, 2, unet.cross_attention_dim))
         return dict(unet=unet, unet_params=unet_params, vae=vae,
                     vae_params=vae_params, text_embed=text_embed)
     else:

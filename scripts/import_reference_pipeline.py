@@ -150,11 +150,13 @@ def main(argv=None):
                 hidden_act=tcfg.get("hidden_act", "gelu"),
             ))
             clip_params = clip_text_torch_to_flax(load_torch_state_dict(te_dir))
-            ids = jnp.asarray(empty_prompt_tokens(77))
+            # [BOS, EOS] only — the reference encodes "" with
+            # padding="do_not_pad" (train.py:121-129)
+            ids = jnp.asarray(empty_prompt_tokens())
             text_embed = clip.apply({"params": clip_params}, ids)
             print("computed empty-prompt embedding from text_encoder")
         else:
-            text_embed = jnp.zeros((1, 77, ucfg.get("cross_attention_dim", 1024)))
+            text_embed = jnp.zeros((1, 2, ucfg.get("cross_attention_dim", 1024)))
             print("WARNING: no text_encoder dir; zero text embedding")
 
         pipe = GuidedLatentDiffusionPipeline(

@@ -219,8 +219,9 @@ def test_import_cli_end_to_end(tmp_path):
     assert pipe.spec.kind == "my_ddim"
     assert pipe.spec.schedule.num_train_timesteps == 16
 
-    # the empty-prompt embedding came from the real (tiny) text tower
-    assert pipe.text_embed.shape == (1, 77, 16)
+    # the empty-prompt embedding came from the real (tiny) text tower:
+    # [BOS, EOS] only (reference encodes "" with padding="do_not_pad")
+    assert pipe.text_embed.shape == (1, 2, 16)
     assert float(np.abs(np.asarray(pipe.text_embed)).max()) > 0
 
     # ---- run 2 denoise steps through the imported pipeline ----

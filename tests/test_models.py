@@ -130,9 +130,14 @@ def test_clip_matches_torch_transformers():
 
 
 def test_empty_prompt_tokens():
-    ids = empty_prompt_tokens(77)
-    assert ids.shape == (1, 77)
-    assert ids[0, 0] == 49406 and ids[0, 1] == 49407 and ids[0, -1] == 49407
+    # reference tokenizes "" with padding="do_not_pad" (train.py:121-129):
+    # the context is exactly [BOS, EOS]
+    ids = empty_prompt_tokens()
+    assert ids.shape == (1, 2)
+    assert ids[0, 0] == 49406 and ids[0, 1] == 49407
+    # EOS-padded variant still available for max_length-padding callers
+    ids77 = empty_prompt_tokens(77)
+    assert ids77.shape == (1, 77) and ids77[0, -1] == 49407
 
 
 def test_conv_in_widening_rule():
