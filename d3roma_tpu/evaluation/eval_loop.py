@@ -141,6 +141,10 @@ def eval_batch(
             out = pipeline(jax.random.fold_in(key, r), **kwargs)
         else:
             kwargs["depth_channels"] = config.depth_channels
+            # sensor-validity mask for pixel imputation guidance (the
+            # in-pipeline sim_disp != 0 fallback only works under SSI)
+            if raw_depth_p is not None:
+                kwargs["raw_mask"] = raw_depth_p > 0
             out = pipeline(jax.random.fold_in(key, r), **kwargs)
         rounds.append(padder.unpad(out.images))
 

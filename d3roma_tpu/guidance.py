@@ -35,7 +35,14 @@ class FlowGuidance:
     """Static guidance configuration (serialized with the pipeline like the
     reference's ModelMixin subclass — reference: core/guidance.py:91-124)."""
 
+    # The weight is an ON/OFF gate, exactly as in the reference: its only
+    # runtime read is `> 0.0` (scheduler_ddim.py:461, scheduler_ddpm.py:506;
+    # the magnitude-scaling use is commented out, guidance.py:333). All
+    # non-zero weights therefore produce identical results — including in
+    # the reference's own guidance-weight eval sweep.
     flow_guidance_weight: float = 1.0
+    # carried for config parity; "@deprecated" in the reference
+    # (config.py:105) and never read at runtime there either
     perturb_start_ratio: float = 0.0
     flow_guidance_mode: str = "imputation"  # "imputation" | "gradient"
     num_opt_steps: int = 10
@@ -51,7 +58,6 @@ class FlowGuidance:
         decoder: Callable[[jnp.ndarray], jnp.ndarray],
         denormer: Callable[[jnp.ndarray], jnp.ndarray],
         raw_depth: jnp.ndarray,
-        raw_mask: Optional[jnp.ndarray] = None,
     ):
         """Return a guidance_fn(pred_x0_latent, t) for the DDIM step.
 

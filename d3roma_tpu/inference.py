@@ -296,6 +296,10 @@ class D3RoMa:
             out = self.pipeline(key, **kwargs)
         else:
             kwargs["depth_channels"] = self.config.depth_channels
+            # real sensor-validity mask for imputation guidance: the
+            # in-pipeline fallback (sim_disp != 0) is wrong for non-SSI
+            # normalizers (raw 0 normalizes to -1)
+            kwargs["raw_mask"] = mask
             out = self.pipeline(key, **kwargs)
 
         pred_depth, unc, md, me = self._jit_post(
@@ -377,6 +381,7 @@ class D3RoMa:
                 kwargs["denorm_mask"] = mask_b
         else:
             kwargs["depth_channels"] = self.config.depth_channels
+            kwargs["raw_mask"] = mask_b  # see infer(): non-SSI fallback trap
         out = self.pipeline(key, **kwargs)
 
         pred_depth, unc = self._jit_post_b(out.images, raw_dev, key)

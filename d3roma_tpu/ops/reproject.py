@@ -39,8 +39,14 @@ def reproject_depth(
     pix = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(H * W, jnp.float32)])
     d = depth.reshape(-1).astype(jnp.float32)
     pts = jnp.linalg.inv(K_src.astype(jnp.float32)) @ pix * d[None, :]
-    valid = d > 0.0
     pts = T[:3, :3].astype(jnp.float32) @ pts + T[:3, 3:].astype(jnp.float32)
+    # destination-frame z is what gets scattered AND what wins the
+    # z-buffer: for the RealSense depth->color transform (pure
+    # translation, the reference even leaves T commented out —
+    # camera.py:277) it equals the source depth, but for a general T
+    # with rotation the source depth would be the wrong value
+    z_dst = pts[2]
+    valid = (d > 0.0) & (z_dst > 0.0)  # behind-camera points drop out
     proj = K_dst.astype(jnp.float32) @ pts
     u = proj[0] / jnp.maximum(proj[2], 1e-12)
     v = proj[1] / jnp.maximum(proj[2], 1e-12)
@@ -52,7 +58,7 @@ def reproject_depth(
         vv = jnp.round(vv).astype(jnp.int32)
         ok = valid & (uu >= 0) & (uu < oW) & (vv >= 0) & (vv < oH)
         # out-of-bounds / invalid samples write +inf at a clamped index
-        val = jnp.where(ok, d, _INF)
+        val = jnp.where(ok, z_dst, _INF)
         uu = jnp.clip(uu, 0, oW - 1)
         vv = jnp.clip(vv, 0, oH - 1)
         return zbuf.at[vv, uu].min(val)

@@ -57,7 +57,6 @@ def ncc_cost_volume(
 
     L, Ls, La, L2s = cache(left)
     R, Rs, Ra, R2s = cache(right)
-    W = left.shape[2]
 
     var_l = L2s - 2 * La * Ls + n * La * La + 1e-5
     var_r = R2s - 2 * Ra * Rs + n * Ra * Ra + 1e-5
@@ -136,6 +135,9 @@ def lrc_check(
     and invalidate (-1) inconsistent pixels
     (reference: scripts/stereo_matching.py:192-202)."""
     warped_r = bilinear_sample(dispR[..., None], _x_minus_disp(dispL), _ys(dispL))[..., 0]
+    # SQUARED difference vs the raw threshold, exactly as the reference
+    # writes it (pow(diff,2) > 0.5, stereo_matching.py:199) — the
+    # effective pixel tolerance is sqrt(threshold) ~= 0.71 px
     return jnp.where((dispL - warped_r) ** 2 > threshold, -1.0, dispL)
 
 

@@ -593,9 +593,6 @@ class GuidedLatentDiffusionPipeline:
                 vae_encode=self._replayed(
                     lambda x: encode_image_to_latent(vapply, x),
                     "vae_encode"),
-                vae_encode_disp=self._replayed(
-                    lambda x: encode_disp_to_latent(vapply, x),
-                    "vae_encode"),
                 vae_decode=self._replayed(
                     lambda z: decode_latent(vapply, z), "vae_decode"),
                 text_embed=text_embed,

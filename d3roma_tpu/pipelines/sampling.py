@@ -255,7 +255,9 @@ def pixel_pipeline(
     """Pixel-space sampling (reference: custom_pipelines.py:90-213).
 
     All image tensors NHWC at full resolution; starts from noise at image
-    resolution; final images are clamped x_hat0 of the last step.
+    resolution; final images are the last step's clamped prev_sample
+    (reference: custom_pipelines.py:175,196-199 — NOT x_hat0; the
+    intermediates stack, in contrast, holds per-step x_hat0).
     """
     ref = next(x for x in (rgb, left) if x is not None)
     B, H, W, _ = ref.shape
@@ -266,11 +268,20 @@ def pixel_pipeline(
 
     guidance_fn = None
     if guidance is not None and guidance.enabled and sim_disp is not None:
-        if guidance.flow_guidance_mode == "imputation":
-            mask = raw_mask if raw_mask is not None else (sim_disp != 0)
-            guidance_fn = guidance.make_pixel_imputation_fn(
-                sim_disp[..., :depth_channels], mask[..., :depth_channels]
-            )
+        if guidance.flow_guidance_mode != "imputation":
+            # loud, like the latent path's unsupported-mode error —
+            # silently sampling unguided would report unguided output
+            # as guided results
+            raise NotImplementedError(
+                f"pixel pipeline supports only imputation guidance, got "
+                f"{guidance.flow_guidance_mode!r}")
+        # fallback mask (sim_disp != 0) is only correct when invalid raw
+        # pixels normalize to exactly 0 (SSI); non-SSI normalizers map
+        # raw 0 to -1, so callers must pass the real raw_mask
+        mask = raw_mask if raw_mask is not None else (sim_disp != 0)
+        guidance_fn = guidance.make_pixel_imputation_fn(
+            sim_disp[..., :depth_channels], mask[..., :depth_channels]
+        )
 
     noise_rgb_cfg = None
     if add_noise_rgb and rgb is not None and cond_channels.startswith("rgb"):
@@ -295,7 +306,6 @@ def pixel_pipeline(
 def latent_pipeline(
     unet_apply: Callable,
     vae_encode: Callable[[jnp.ndarray], jnp.ndarray],
-    vae_encode_disp: Callable[[jnp.ndarray], jnp.ndarray],
     vae_decode: Callable[[jnp.ndarray], jnp.ndarray],
     text_embed: jnp.ndarray,
     spec: SamplerSpec,

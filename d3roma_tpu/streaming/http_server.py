@@ -123,6 +123,8 @@ def _validate_frame(z) -> tuple:
     if not (rgb.ndim == 2 or (rgb.ndim == 3 and rgb.shape[-1] == 3)):
         raise ValueError(
             f"rgb must be [H,W,3] or [H,W] (got shape {rgb.shape})")
+    if rgb.shape[0] < 1 or rgb.shape[1] < 1:
+        raise ValueError(f"rgb must be non-empty (got shape {rgb.shape})")
     if not np.issubdtype(raw.dtype, np.floating):
         raise ValueError(
             f"raw_depth must be float meters (got {raw.dtype})")

@@ -71,11 +71,21 @@ class D3RoMaProcessor:
             self.frame_queue.put_nowait((rgb, depth, time.time()))
             return True
         except queue.Full:
-            try:
-                self.frame_queue.get_nowait()
-            except queue.Empty:
-                pass
-            self.frame_queue.put_nowait((rgb, depth, time.time()))
+            # drop-oldest, then retry a few times: with concurrent
+            # producers another thread can re-fill the freed slot between
+            # our get and put (the bare second put_nowait raised
+            # queue.Full into the capture callback)
+            for _ in range(4):
+                try:
+                    self.frame_queue.get_nowait()
+                except queue.Empty:
+                    pass
+                try:
+                    self.frame_queue.put_nowait((rgb, depth, time.time()))
+                    return False
+                except queue.Full:
+                    continue
+            logger.warning("frame dropped: queue contended")
             return False
 
     def start(self):
@@ -107,8 +117,12 @@ class D3RoMaProcessor:
         len > 1 — and publish each frame's (raw_pc, pred_pc)."""
         t0 = time.time()
         n = len(frames)
+        if not frames:
+            return []
         if self.max_batch == 1:
-            preds = [self.droma.infer_with_rgb_raw(*frames[0])]
+            # every frame still gets inferred — just one at a time
+            preds = [self.droma.infer_with_rgb_raw(rgb, d)
+                     for rgb, d in frames]
         else:
             # pad the tail by repeating the last frame — INCLUDING the
             # single-frame case, so exactly one batched program shape
@@ -187,18 +201,30 @@ def run_ros_node(droma, camera, topic_rgb="/cam_right/color/image_raw",
     proc.start()
 
     state = {}
+    # rospy runs each subscriber's callback on its own thread: without a
+    # lock two concurrent maybe() calls can both pass the membership check
+    # and the second pop raises KeyError inside the ROS callback
+    state_lock = threading.Lock()
 
     def rgb_cb(msg):
-        state["rgb"] = bridge.imgmsg_to_cv2(msg, "rgb8")
+        rgb = bridge.imgmsg_to_cv2(msg, "rgb8")
+        with state_lock:
+            state["rgb"] = rgb
         maybe()
 
     def depth_cb(msg):
-        state["depth"] = bridge.imgmsg_to_cv2(msg, "passthrough").astype(np.float32) / 1000.0
+        depth = bridge.imgmsg_to_cv2(msg, "passthrough").astype(np.float32) / 1000.0
+        with state_lock:
+            state["depth"] = depth
         maybe()
 
     def maybe():
-        if "rgb" in state and "depth" in state:
-            proc.submit(state.pop("rgb"), state.pop("depth"))
+        with state_lock:
+            if "rgb" in state and "depth" in state:
+                pair = (state.pop("rgb"), state.pop("depth"))
+            else:
+                return
+        proc.submit(*pair)
 
     rospy.Subscriber(topic_rgb, Image, rgb_cb)
     rospy.Subscriber(topic_depth, Image, depth_cb)

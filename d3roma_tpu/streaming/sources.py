@@ -51,9 +51,15 @@ class FileReplaySource(FrameSource):
 
         while True:
             for cf in self.color_files:
-                rgb = cv2.cvtColor(cv2.imread(cf), cv2.COLOR_BGR2RGB)
+                bgr = cv2.imread(cf)
+                if bgr is None:
+                    raise FileNotFoundError(f"unreadable color frame: {cf}")
+                rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
                 df = cf.replace(self._color_tag, "_depth.png")
-                depth = cv2.imread(df, cv2.IMREAD_ANYDEPTH).astype(np.float32) / 1000.0
+                d = cv2.imread(df, cv2.IMREAD_ANYDEPTH)
+                if d is None:
+                    raise FileNotFoundError(f"missing/unreadable depth frame: {df}")
+                depth = d.astype(np.float32) / 1000.0
                 yield rgb, depth
                 if self.fps:
                     time.sleep(1.0 / self.fps)

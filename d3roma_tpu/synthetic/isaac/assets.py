@@ -69,6 +69,11 @@ def sample_cad_models(
     for i, (ci, mat) in enumerate(zip(idx, classes)):
         entry = dict(catalog[int(ci)])
         entry["instance_id"] = i
+        # sampling is WITH replacement: a duplicated catalog entry must
+        # still get a unique instance_name (it keys _spawned bookkeeping
+        # and the RigidPrim name — collisions corrupted the
+        # saved-original-material restore in the GT pass)
+        entry["instance_name"] = f"{entry['instance_name']}_{i}"
         entry["scale"] = CLASS_SCALES.get(entry["class_name"], DEFAULT_SCALE)
         entry["material_type"] = mat
         out.append(entry)

@@ -140,9 +140,12 @@ class OmniBackend:
                 "(DREDS layout: <root>/<class>/<instance>/*.usd)")
         names = []
         for model in models:
-            prim_name = f"model_{model['instance_id']}_{model['class_name']}"
+            # globally-unique spawn ordinal: instance_id restarts at 0
+            # per spawn call, so prim paths would collide across calls
+            self._spawn_seq = getattr(self, "_spawn_seq", 0) + 1
+            prim_name = f"model_{self._spawn_seq}_{model['class_name']}"
             prim = prims.create_prim(
-                prim_path=f"/World/{model['class_name']}_{model['instance_id']}",
+                prim_path=f"/World/{model['class_name']}_{self._spawn_seq}",
                 usd_path=f"file://{model['instance_path']}",
                 semantic_label=prim_name,
                 scale=[model["scale"]] * 3,

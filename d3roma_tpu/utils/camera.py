@@ -86,7 +86,13 @@ class DepthCamera:
             w, h = (int(x) for x in new_res.split("x"))
         else:
             w, h = new_res
-        self.scale = h / self.H
+        # MULTIPLY, don't overwrite: intrinsics are stored at the 640-base
+        # and self.scale already maps base -> current resolution. For the
+        # standard default_real flow (constructed at base, scale 1) this
+        # equals the reference's `scale = h / H` (camera.py:72); for a
+        # camera constructed at a non-base resolution (e.g. "1280x720",
+        # scale 2) the reference's overwrite yields wrong intrinsics.
+        self.scale *= h / self.H
         self.resolution_str = f"{w}x{h}"
         self._changed_res = True
 
@@ -157,8 +163,12 @@ class DepthCamera:
         pix = np.stack([xs.ravel(), ys.ravel(), np.ones(H * W, np.float32)])
         d = depth.reshape(1, -1)
         pts = (np.linalg.inv(K_src) @ pix) * d
-        valid = pts[2] > 0.0
         pts = T[:3, :3] @ pts + T[:3, 3:]
+        # destination-frame z (equals the source depth for the RealSense
+        # pure-translation transform; correct for general T — see
+        # ops/reproject.py)
+        z_dst = pts[2]
+        valid = (d[0] > 0.0) & (z_dst > 0.0)
         proj = K_dst @ pts
         u = proj[0] / np.maximum(proj[2], 1e-12)
         v = proj[1] / np.maximum(proj[2], 1e-12)
@@ -169,7 +179,7 @@ class DepthCamera:
             uu = np.round(uu).astype(np.int64)
             vv = np.round(vv).astype(np.int64)
             ok = valid & (uu >= 0) & (uu < oW) & (vv >= 0) & (vv < oH)
-            out[vv[ok], uu[ok]] = d[0, ok]
+            out[vv[ok], uu[ok]] = z_dst[ok]
 
         if aggressive_fill:
             fill(np.floor(u), np.floor(v))
@@ -411,7 +421,7 @@ class Realsense(DepthCamera):
 
     @property
     def baseline(self):
-        return (self._T_fc @ self.extrinsics["left_to_right"] @ self._T_fc.T)[0, 3]
+        return self.T_lr[0, 3]
 
     @property
     def fxb(self):

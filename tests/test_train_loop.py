@@ -408,3 +408,42 @@ def test_eval_intermediates_unpadded(tmp_path):
     assert np.isfinite(metrics["disp"]["epe"])
     assert any(f.endswith("intermediate_metrics.png")
                for f in os.listdir(tmp_path))
+
+
+def test_pixel_eval_guidance_mask_non_ssi():
+    """Pixel imputation guidance during eval must use the REAL sensor
+    mask: under non-SSI normalization raw 0 normalizes to -1, so the
+    in-pipeline sim_disp != 0 fallback would impute garbage into holes.
+    eval_batch passes raw_mask explicitly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from d3roma_tpu.evaluation import eval_batch
+    from d3roma_tpu.guidance import FlowGuidance
+
+    cfg = _config()
+    cfg.ssi = False
+    cfg.normalize_mode = "average"
+    cfg.num_chs = 1
+    cfg.ch_bounds = [64.0]
+    cfg.ch_gammas = [1.0]
+    pipeline, batch = _mini_pipeline_and_batch(cfg, jax.random.PRNGKey(0))
+    pipeline = dataclasses.replace(
+        pipeline, guidance=FlowGuidance(flow_guidance_weight=1.0,
+                                        flow_guidance_mode="imputation"))
+    # punch holes into the raw sensor channel
+    rd = np.array(batch["raw_depth"])  # writable copy
+    rd[:, :16] = 0.0
+    batch["raw_depth"] = jnp.asarray(rd)
+    batch["sim_disp_unnorm"] = jnp.where(batch["raw_depth"] > 0,
+                                         400.0 / jnp.maximum(batch["raw_depth"], 1e-3),
+                                         0.0)
+    pred, metrics, _, _, _ = eval_batch(cfg, pipeline, batch,
+                                        jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(pred))
+    # holes must NOT be pinned at the normalized-zero garbage value: the
+    # model fills them (imputation only overwrites where the sensor saw
+    # something)
+    hole_vals = pred[:, :16]
+    assert np.std(hole_vals) > 1e-3

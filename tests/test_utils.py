@@ -349,7 +349,7 @@ def test_jittable_reproject_matches_host():
     ))
     # same hole pattern; where both are filled the device z-buffer keeps the
     # NEAREST surface, so dev <= host (the numpy scatter keeps an arbitrary
-    # last writer); every filled value comes from the source depth set
+    # last writer); filled values are destination-frame z (close to source depth)
     assert ((host > 0) == (dev > 0)).mean() > 0.97
     both = (host > 0) & (dev > 0)
     assert np.mean(dev[both] <= host[both] + 1e-4) > 0.98
@@ -358,7 +358,7 @@ def test_jittable_reproject_matches_host():
     nearest = src[np.clip(idx, 0, len(src) - 1)]
     nearest_lo = src[np.clip(idx - 1, 0, len(src) - 1)]
     err = np.minimum(np.abs(nearest - dev[both]), np.abs(nearest_lo - dev[both]))
-    assert err.max() < 1e-5
+    assert err.max() < 5e-3  # dest-frame z differs from source depth by the transform z-effect
 
 
 def test_compose_coerces_scientific_notation():
