@@ -445,7 +445,12 @@ class FeedForward(nn.Module):
         # the fused kernel only has a static-activation-scale int8 variant;
         # dynamic-scale quant (True/"all") uses the unfused path below
         q = "static" if self.quant in ("static", "mxu", "halo", "wino_static") else None
-        if self.fused and (q or not self.quant):
+        from d3roma_tpu.ops.pallas.geglu import geglu_supported
+
+        # gate BEFORE consume_act_scale: shape-deterministic, so the
+        # capture/replay scale call-order stays consistent either way
+        if (self.fused and (q or not self.quant)
+                and geglu_supported(x.shape[-1], f)):
             from d3roma_tpu.ops.pallas import geglu_ff
 
             k1, b1 = _GegluParams(x.shape[-1], f, name="net_0")()

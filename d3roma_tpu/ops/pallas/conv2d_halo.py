@@ -121,15 +121,16 @@ def _kernel(x_hbm, w_ref, ws_ref, o_ref, bufs, acc_ref, sems,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("quant", "act_scale", "block_m", "interpret"),
+    static_argnames=("quant", "act_scale", "block_m", "interpret", "out_dtype"),
 )
 def conv3x3_halo(x, w, *, quant: str | None = "static",
                  act_scale: float = STATIC_ACT_SCALE,
-                 block_m: int = 512, interpret: bool = False):
+                 block_m: int = 512, interpret: bool = False,
+                 out_dtype=None):
     """[B,H,W,Cin] x [3,3,Cin,Cout] -> [B,H,W,Cout], stride-1 SAME."""
     B, H, W, Cin = x.shape
     Cout = w.shape[3]
-    out_dtype = x.dtype
+    out_dtype = out_dtype or x.dtype
     Wp, Hp = W + 2, H + 2
     cin_p = _round_up(Cin, _LANES)
     cout_p = _round_up(Cout, _LANES)

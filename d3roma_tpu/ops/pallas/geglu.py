@@ -48,6 +48,18 @@ def _pick_cols(f: int) -> int:
     return min(1024, f)
 
 
+def geglu_supported(c: int, f: int) -> bool:
+    """Shapes the fused kernel can lower. The failure class is the F
+    (hidden) axis: _pick_cols must find a lane-aligned column chunk, so
+    F has to be a multiple of 128 (e.g. C=24 -> F=96 yields a 96-wide
+    block Mosaic cannot tile). The flagship dims (C in {320, 640, 1280},
+    F = 4C) are measured-good (docs/PERFORMANCE.md); the caps exclude
+    far-off-menu widths whose weight chunks could not fit VMEM. Callers
+    MUST gate on this before geglu_ff instead of crashing at trace
+    time."""
+    return f % 128 == 0 and c <= 2048 and f <= 8192
+
+
 def _pick_rows(c: int) -> tuple[int, int]:
     """(macro row block, in-kernel sub-chunk).  Large macro blocks keep the
     weight chunks resident across more rows (the j grid dim is innermost,

@@ -221,8 +221,13 @@ def int8_conv_general_dilated_static(lhs, rhs, window_strides, padding,
                                      feature_group_count=1,
                                      batch_group_count=1, precision=None,
                                      preferred_element_type=None):
-    """int8 conv with a CONSTANT activation scale (no absmax pass)."""
-    if feature_group_count != 1 or batch_group_count != 1:
+    """int8 conv with a CONSTANT activation scale (no absmax pass).
+
+    NHWC/HWIO only: the scale axes below assume channel-last operands,
+    so any other layout falls back to the float conv (silently-wrong
+    per-axis scales, not an error, would be the alternative)."""
+    if (feature_group_count != 1 or batch_group_count != 1
+            or not is_nhwc_dn(dimension_numbers)):
         return lax.conv_general_dilated(
             lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
             dimension_numbers, feature_group_count, batch_group_count,
@@ -279,7 +284,11 @@ def int8_conv_mxu(lhs, rhs, window_strides, padding,
                 precision=precision,
                 preferred_element_type=preferred_element_type,
             )
-        return conv3x3_flat(lhs, rhs, quant="static", act_scale=scale)
+        # same output-dtype convention as the XLA fallback below: a
+        # shape-dependent dtype flip (bf16 vs promoted f32) would change
+        # numerics between kernel-admitted and rejected conv sites
+        return conv3x3_flat(lhs, rhs, quant="static", act_scale=scale,
+                            out_dtype=jnp.promote_types(lhs.dtype, rhs.dtype))
     return int8_conv_general_dilated_static(
         lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
         dimension_numbers, feature_group_count, batch_group_count,
@@ -322,9 +331,11 @@ def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
     dynamic int8 x int8 -> int32 convolution.
 
     Scales: per batch item for the input (the only lhs axis outside the
-    contraction), per output channel for the kernel.
+    contraction), per output channel for the kernel. Non-NHWC layouts
+    fall back to the float conv (the scale axes assume channel-last).
     """
-    if feature_group_count != 1 or batch_group_count != 1:
+    if (feature_group_count != 1 or batch_group_count != 1
+            or not is_nhwc_dn(dimension_numbers)):
         return lax.conv_general_dilated(
             lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
             dimension_numbers, feature_group_count, batch_group_count,
@@ -372,7 +383,8 @@ def int8_conv_halo(lhs, rhs, window_strides, padding,
                 precision=precision,
                 preferred_element_type=preferred_element_type,
             )
-        return conv3x3_halo(lhs, rhs, quant="static", act_scale=scale)
+        return conv3x3_halo(lhs, rhs, quant="static", act_scale=scale,
+                            out_dtype=jnp.promote_types(lhs.dtype, rhs.dtype))
     return int8_conv_general_dilated_static(
         lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
         dimension_numbers, feature_group_count, batch_group_count,

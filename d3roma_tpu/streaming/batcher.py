@@ -52,6 +52,11 @@ class MicroBatcher:
         self.pad = pad
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
+        # serializes submit's (check-stop, enqueue) against stop's
+        # (set-stop, drain/sentinel): without it an item enqueued between
+        # the worker's final stop-and-empty check and exit would leave
+        # its Future unresolved forever
+        self._lifecycle = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="d3roma-microbatcher", daemon=True)
         self._worker.start()
@@ -63,26 +68,44 @@ class MicroBatcher:
     # ------------------------------------------------------------------ #
     def submit(self, item) -> Future:
         """Enqueue one request; the Future resolves to its result row (or
-        raises whatever `infer_batch` raised for its batch)."""
-        if self._stop.is_set():
-            raise RuntimeError("MicroBatcher is stopped")
+        raises whatever `infer_batch` raised for its batch).
+
+        Raises RuntimeError when stopped or when the worker has died, and
+        queue.Full (without blocking) when the backlog is at capacity —
+        the serving layer maps that to backpressure (503) instead of
+        silently accumulating blocked handler threads that the
+        per-request timeout cannot bound."""
         fut: Future = Future()
-        self._q.put((item, fut))
+        with self._lifecycle:
+            if self._stop.is_set():
+                raise RuntimeError("MicroBatcher is stopped")
+            if not self._worker.is_alive():
+                raise RuntimeError("MicroBatcher worker has died")
+            self._q.put_nowait((item, fut))  # queue.Full propagates
         return fut
 
     def stop(self, drain: bool = True, timeout: Optional[float] = 10.0):
         """Stop the worker. With `drain=True` queued requests are still
         processed; otherwise they fail with CancelledError."""
-        if not drain:
+        with self._lifecycle:
+            # stop BEFORE draining: a racing submit can no longer slip an
+            # item past the cancellation loop
+            self._stop.set()
+            if not drain:
+                try:
+                    while True:
+                        entry = self._q.get_nowait()
+                        if entry is not None:
+                            entry[1].cancel()
+                except queue.Empty:
+                    pass
+            # unblock a worker waiting on an empty queue; if the queue is
+            # full the worker has work to wake on anyway (and a blocking
+            # put here would hold the lifecycle lock indefinitely)
             try:
-                while True:
-                    _, fut = self._q.get_nowait()
-                    fut.cancel()
-            except queue.Empty:
+                self._q.put_nowait(None)
+            except queue.Full:
                 pass
-        self._stop.set()
-        # unblock a worker waiting on an empty queue
-        self._q.put(None)
         self._worker.join(timeout=timeout)
 
     # ------------------------------------------------------------------ #
@@ -131,7 +154,15 @@ class MicroBatcher:
                 self.items += n
                 for i, (_, fut) in enumerate(pairs):
                     fut.set_result(results[i])
-            except Exception as e:  # noqa: BLE001 — fail the whole batch
+            except BaseException as e:  # noqa: BLE001 — fail the whole batch
+                # BaseException: a SystemExit/fatal-runtime error must
+                # still resolve the claimed futures (clients would hang
+                # forever otherwise) before it kills the worker; dead
+                # workers are surfaced by submit()'s is_alive check
                 for _, fut in pairs:
                     if not fut.done():
-                        fut.set_exception(e)
+                        fut.set_exception(
+                            e if isinstance(e, Exception)
+                            else RuntimeError(f"worker died: {e!r}"))
+                if not isinstance(e, Exception):
+                    raise

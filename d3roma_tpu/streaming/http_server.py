@@ -225,8 +225,21 @@ class InferenceHTTPServer:
                         "error": f"{type(e).__name__}: {e}"[:300]})
                     return
                 try:
-                    depth = server._batcher.submit((rgb, raw)).result(
-                        timeout=server._timeout_s)
+                    try:
+                        fut = server._batcher.submit((rgb, raw))
+                    except Exception as e:
+                        import queue as _queue
+
+                        if isinstance(e, _queue.Full):
+                            # backpressure: the backlog is at capacity —
+                            # a blocking put would accumulate handler
+                            # threads the request timeout cannot bound
+                            server._metrics.observe(False, 0.0)
+                            self._reply_json(503, {
+                                "error": "server overloaded (queue full)"})
+                            return
+                        raise
+                    depth = fut.result(timeout=server._timeout_s)
                     body = _npz_bytes(depth=np.asarray(depth, np.float32))
                     server._metrics.observe(True, time.monotonic() - t0)
                     self._reply(200, body, "application/x-npz")

@@ -211,3 +211,79 @@ def test_processor_batched_drain():
     # remote-compile failure case and would double compile cost)
     proc.process_frame(*frames[0])
     assert calls == [4, 4]
+
+
+def test_submit_full_queue_raises_immediately():
+    """A full backlog must surface as queue.Full (the serving layer maps
+    it to 503) instead of blocking the caller past any timeout."""
+    import queue as _q
+
+    hang = threading.Event()
+
+    def stall(items):
+        hang.wait(10)
+        return items
+
+    b = MicroBatcher(stall, max_batch=1, max_wait_ms=1, queue_size=2)
+    try:
+        b.submit(1)  # worker picks this up and stalls
+        time.sleep(0.2)
+        b.submit(2)
+        b.submit(3)
+        with pytest.raises(_q.Full):
+            b.submit(4)
+    finally:
+        hang.set()
+        b.stop()
+
+
+def test_stop_does_not_strand_racing_submit():
+    """Items enqueued concurrently with stop() must be either processed
+    (drain=True) or cancelled — never left with an unresolved Future."""
+    done = []
+
+    def infer(items):
+        return items
+
+    for trial in range(50):
+        b = MicroBatcher(infer, max_batch=4, max_wait_ms=1)
+        futs = []
+
+        def spam():
+            for i in range(20):
+                try:
+                    futs.append(b.submit(i))
+                except RuntimeError:
+                    return
+
+        t = threading.Thread(target=spam)
+        t.start()
+        b.stop(drain=True)
+        t.join()
+        for f in futs:
+            # every accepted future resolves (result or cancellation)
+            assert f.done() or f.cancelled(), trial
+        done.append(len(futs))
+    assert sum(done) > 0  # the race actually exercised submissions
+
+
+def test_worker_death_fails_fast():
+    """A fatal (BaseException) error kills the worker but resolves the
+    in-flight futures; later submits fail fast instead of queueing into
+    a dead batcher."""
+    def fatal(items):
+        raise SystemExit("runtime aborted")
+
+    b = MicroBatcher(fatal, max_batch=1, max_wait_ms=1)
+    f = b.submit(1)
+    with pytest.raises(RuntimeError, match="worker died"):
+        f.result(timeout=5)
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        try:
+            b.submit(2)
+            time.sleep(0.02)
+        except RuntimeError:
+            break
+    else:
+        raise AssertionError("submit never failed fast after worker death")
