@@ -311,25 +311,31 @@ def _apply_to_dataclass(obj: Any, key: str, value: Any) -> None:
         setattr(obj, leaf, value)
 
 
-def load_task_preset(name: str, conf_dir: Optional[str] = None) -> TrainingConfig:
-    """Load conf/task/<name>.yaml onto TrainingConfig defaults. Supports the
-    reference's ``defaults: [<parent>]`` inheritance used by eval presets."""
-    conf_dir = conf_dir or CONF_DIR
+def _apply_preset_file(cfg: TrainingConfig, name: str, conf_dir: str) -> None:
+    """Apply conf/task/<name>.yaml onto `cfg` IN PLACE: parents first (in
+    listed order, Hydra semantics — later entries override earlier), then
+    this file's own keys. Only keys a file explicitly sets are applied,
+    so a second parent's dataclass DEFAULTS never clobber the first
+    parent's explicit settings."""
     path = os.path.join(conf_dir, "task", f"{name}.yaml")
     with open(path) as f:
         data = yaml.safe_load(f) or {}
-
-    cfg = TrainingConfig()
     parents = data.pop("defaults", [])
     if isinstance(parents, (str,)):
         parents = [parents]
     for parent in parents:
         if isinstance(parent, dict):
             continue  # hydra-style self-reference entries
-        parent_cfg = load_task_preset(str(parent), conf_dir)
-        cfg = parent_cfg
+        _apply_preset_file(cfg, str(parent), conf_dir)
     for k, v in data.items():
         _apply_to_dataclass(cfg, k, v)
+
+
+def load_task_preset(name: str, conf_dir: Optional[str] = None) -> TrainingConfig:
+    """Load conf/task/<name>.yaml onto TrainingConfig defaults. Supports the
+    reference's ``defaults: [<parent>]`` inheritance used by eval presets."""
+    cfg = TrainingConfig()
+    _apply_preset_file(cfg, name, conf_dir or CONF_DIR)
     return cfg
 
 

@@ -93,8 +93,12 @@ def unet2d_condition_flops(
     def inner_for(ch):
         return max(1, ch // attention_head_dim) * attention_head_dim
 
-    # ---- down ----
-    skips = [c0]
+    # ---- down ----  (skips record (channels, h, w): the up path resnets
+    # run at the POPPED skip's resolution and the upsample targets the
+    # NEXT skip's size — unet2d_condition.py:144 uses out_hw=skips[-1];
+    # doubling h,w instead overcounts odd latent dims, e.g. 45x80 -> the
+    # widest up blocks costed at 48x80)
+    skips = [(c0, h, w)]
     cur = c0
     for i, (btype, ch) in enumerate(zip(down_block_types, block_out_channels)):
         is_last = i == len(block_out_channels) - 1
@@ -104,11 +108,11 @@ def unet2d_condition_flops(
             if btype == "CrossAttnDownBlock2D":
                 total += transformer2d_flops(h, w, ch, inner_for(ch),
                                              ctx_len, cross_attention_dim)
-            skips.append(ch)
+            skips.append((ch, h, w))
         if not is_last:
             total += conv_flops((h + 1) // 2, (w + 1) // 2, ch, ch)  # stride-2
             h, w = (h + 1) // 2, (w + 1) // 2
-            skips.append(ch)
+            skips.append((ch, h, w))
 
     # ---- mid ----
     mid = block_out_channels[-1]
@@ -124,14 +128,14 @@ def unet2d_condition_flops(
         ch = rev[i]
         is_last = i == len(up_block_types) - 1
         for _ in range(layers_per_block + 1):
-            skip = skips.pop()
+            skip, h, w = skips.pop()
             total += resnet_block_flops(h, w, cur + skip, ch, temb)
             cur = ch
             if btype == "CrossAttnUpBlock2D":
                 total += transformer2d_flops(h, w, ch, inner_for(ch),
                                              ctx_len, cross_attention_dim)
         if not is_last:
-            h, w = h * 2, w * 2
+            h, w = skips[-1][1], skips[-1][2]  # upsample to the next skip's size
             total += conv_flops(h, w, ch, ch)  # Upsample2D conv after resize
 
     total += conv_flops(h, w, block_out_channels[0], out_channels)

@@ -59,8 +59,28 @@ def _load() -> Optional[ctypes.CDLL]:
                               np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
                               ctypes.c_int, ctypes.c_int]
     lib.exr_write.restype = ctypes.c_int
+    lib.exr_channel_names.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_int]
+    lib.exr_channel_names.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def _rgb_reorder(img: np.ndarray, path: str) -> np.ndarray:
+    """Match the pure-Python decoder's channel convention (utils/exr.py):
+    storage is alphabetical (B,G,R); return RGB-ordered when R/G/B are
+    all present. Without this the native and Python decoders returned
+    different channel orders depending on which host built the lib."""
+    lib = _load()
+    buf = ctypes.create_string_buffer(4096)
+    if lib.exr_channel_names(path.encode(), buf, len(buf)) != 0:
+        return img
+    names = buf.value.decode().split(";")
+    if set(names) >= {"R", "G", "B"}:
+        idx = [names.index("R"), names.index("G"), names.index("B")]
+        idx += [i for i in range(img.shape[-1]) if i not in idx]
+        return img[..., idx]
+    return img
 
 
 def available() -> bool:
@@ -77,12 +97,15 @@ def read_exr(path: str) -> np.ndarray:
     c = ctypes.c_int()
     if lib.exr_header(path.encode(), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)) != 0:
         raise ValueError(f"bad EXR header: {path}")
-    out = np.empty(h.value * w.value * c.value, np.float32)
+    total = h.value * w.value * c.value
+    if not 0 < total < 2**31:  # c_int capacity + sane allocation bound
+        raise ValueError(f"unreasonable EXR size {total}: {path}")
+    out = np.empty(total, np.float32)
     n = lib.exr_read(path.encode(), out, out.size)
     if n < 0:
         raise NotImplementedError(f"native EXR decode failed ({n}): {path}")
     img = out.reshape(h.value, w.value, c.value)
-    return img[..., 0] if c.value == 1 else img
+    return img[..., 0] if c.value == 1 else _rgb_reorder(img, path)
 
 
 def read_exr_batch(paths: List[str], num_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
@@ -90,6 +113,8 @@ def read_exr_batch(paths: List[str], num_threads: int = 0) -> Tuple[np.ndarray, 
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO unavailable")
+    if not paths:
+        return np.empty((0,), np.float32), np.empty((0,), np.int32)
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
@@ -102,7 +127,10 @@ def read_exr_batch(paths: List[str], num_threads: int = 0) -> Tuple[np.ndarray, 
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.exr_read_batch(arr, n, out, per, status, num_threads)
     shape = (n, h.value, w.value) if c.value == 1 else (n, h.value, w.value, c.value)
-    return out.reshape(shape), status
+    res = out.reshape(shape)
+    if c.value > 1:
+        res = _rgb_reorder(res, paths[0])  # same-shaped files share names
+    return res, status
 
 
 def write_exr(path: str, image: np.ndarray) -> None:

@@ -79,7 +79,10 @@ def write_ply(path: str, pts: np.ndarray, colors: Optional[np.ndarray] = None) -
         if has_color:
             c = colors
             if c.dtype != np.uint8:
-                c = np.clip(c * 255.0 if c.max() <= 1.0 + 1e-6 else c, 0, 255).astype(np.uint8)
+                # n == 0: c.max() on a zero-size array raises; an empty
+                # .ply (header only) is the right artifact
+                scale = 255.0 if (c.size and c.max() <= 1.0 + 1e-6) else 1.0
+                c = np.clip(c * scale, 0, 255).astype(np.uint8)
             dt = np.dtype([("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
             rec = np.empty(n, dt)
             rec["xyz"] = pts.astype(np.float32)

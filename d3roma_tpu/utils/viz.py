@@ -81,6 +81,8 @@ def plot_denoised_images(
 ) -> None:
     """Grid of intermediate x_hat0 frames (reference: camera.py:840-900)."""
     n = len(images)
+    if n == 0:
+        return  # nothing to plot (subplots(0, ...) raises)
     ncols = min(ncols, max(1, n))
     nrows = (n + ncols - 1) // ncols
     fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 2 * nrows))
@@ -115,6 +117,8 @@ def plot_intermediate_metrics(
 ) -> None:
     """Metric-vs-denoise-step curves (reference: evaluate.py:263-295)."""
     n = len(metric_curves)
+    if n == 0:
+        return  # nothing to plot (subplots(1, 0) raises)
     fig, axes = plt.subplots(1, n, figsize=(4 * n, 3))
     axes = np.atleast_1d(axes)
     for ax, (name, ys) in zip(axes, metric_curves.items()):

@@ -87,8 +87,17 @@ bool parse_header(FILE* f, ExrHeader* hdr) {
     hdr->error = "bad magic";
     return false;
   }
-  if (std::fread(&version, 4, 1, f) != 1 || (version & 0x200)) {
-    hdr->error = "multi-part unsupported";
+  if (std::fread(&version, 4, 1, f) != 1) {
+    hdr->error = "truncated version";
+    return false;
+  }
+  // OpenEXR 2.0 version flags: 0x200 single-part tiled, 0x800 deep
+  // data, 0x1000 multi-part — all three change the chunk layout this
+  // scanline reader assumes; misparsing a deep/multipart chunk table as
+  // scanline offsets can return SUCCESS with garbage pixels, so reject
+  // loudly (the Python caller falls back to cv2).
+  if (version & (0x200u | 0x800u | 0x1000u)) {
+    hdr->error = "tiled/deep/multi-part unsupported";
     return false;
   }
   while (true) {
@@ -187,7 +196,11 @@ int decode_exr(const char* path, float* out, int out_capacity) {
   }
   const int W = hdr.width, H = hdr.height;
   const int C = static_cast<int>(hdr.channels.size());
-  if (out_capacity < H * W * C) {
+  // 64-bit product: H*W is bounded to 2^28 by parse_header but C up to
+  // 64 pushes H*W*C to 2^34 — an int product would wrap and bypass the
+  // capacity check (out-of-bounds writes on a crafted header)
+  const int64_t total = int64_t(H) * W * C;
+  if (total > int64_t(out_capacity)) {
     std::fclose(f);
     return -3;
   }
@@ -280,6 +293,27 @@ int exr_header(const char* path, int* h, int* w, int* c) {
   return 0;
 }
 
+// Channel names in storage order, ';'-joined into `buf` (cap bytes incl.
+// the terminator). The Python wrapper needs them to reorder B,G,R storage
+// into RGB exactly like the pure-Python twin (utils/exr.py) — without
+// this the two decoders returned different channel orders per host.
+int exr_channel_names(const char* path, char* buf, int cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  ExrHeader hdr;
+  bool ok = parse_header(f, &hdr);
+  std::fclose(f);
+  if (!ok) return -2;
+  std::string joined;
+  for (size_t i = 0; i < hdr.channels.size(); i++) {
+    if (i) joined += ';';
+    joined += hdr.channels[i].name;
+  }
+  if (int(joined.size()) + 1 > cap) return -3;
+  std::memcpy(buf, joined.c_str(), joined.size() + 1);
+  return 0;
+}
+
 // Decode into caller-allocated out (capacity floats). Returns element count
 // written, or negative error.
 int exr_read(const char* path, float* out, int capacity) {
@@ -353,19 +387,24 @@ int exr_write(const char* path, const float* data, int h, int w) {
   std::fputc(0, f);
 
   long table_pos = std::ftell(f);
+  if (table_pos < 0) { std::fclose(f); return -2; }
   std::vector<uint64_t> offsets(h, 0);
-  std::fwrite(offsets.data(), 8, h, f);
-  for (int y = 0; y < h; y++) {
-    offsets[y] = std::ftell(f);
+  bool ok = std::fwrite(offsets.data(), 8, h, f) == size_t(h);
+  for (int y = 0; ok && y < h; y++) {
+    long pos = std::ftell(f);
+    if (pos < 0) { ok = false; break; }
+    offsets[y] = uint64_t(pos);
     int32_t yy = y, size = w * 4;
-    std::fwrite(&yy, 4, 1, f);
-    std::fwrite(&size, 4, 1, f);
-    std::fwrite(data + size_t(y) * w, 4, w, f);
+    ok = std::fwrite(&yy, 4, 1, f) == 1 &&
+         std::fwrite(&size, 4, 1, f) == 1 &&
+         std::fwrite(data + size_t(y) * w, 4, w, f) == size_t(w);
   }
-  std::fseek(f, table_pos, SEEK_SET);
-  std::fwrite(offsets.data(), 8, h, f);
-  std::fclose(f);
-  return 0;
+  // a disk-full/quota failure must not report success: the pipeline
+  // would claim the depth map saved while the file is truncated
+  ok = ok && std::fseek(f, table_pos, SEEK_SET) == 0 &&
+       std::fwrite(offsets.data(), 8, h, f) == size_t(h);
+  if (std::fclose(f) != 0) ok = false;
+  return ok ? 0 : -2;
 }
 
 }  // extern "C"

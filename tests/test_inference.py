@@ -232,3 +232,26 @@ def test_d3roma_split_programs_matches_monolithic():
     d_split = build(True).infer_with_rgb_raw(rgb, raw_depth)
     assert d_mono.shape == (48, 64)
     np.testing.assert_allclose(d_split, d_mono, atol=1e-4)
+
+
+def test_preset_multiple_parents_merge_in_order(tmp_path):
+    """defaults: [a, b] merges BOTH parents (Hydra order, later wins on
+    conflicts; a second parent's unset fields must not reset the first's
+    explicit settings)."""
+    import yaml as _yaml
+
+    from d3roma_tpu.config import load_task_preset
+
+    task = tmp_path / "task"
+    task.mkdir()
+    (task / "pa.yaml").write_text(_yaml.safe_dump(
+        {"learning_rate": 5e-4, "divis_by": 16}))
+    (task / "pb.yaml").write_text(_yaml.safe_dump(
+        {"divis_by": 8, "num_epochs": 7}))
+    (task / "child.yaml").write_text(_yaml.safe_dump(
+        {"defaults": ["pa", "pb"], "tag": "x"}))
+    cfg = load_task_preset("child", conf_dir=str(tmp_path))
+    assert cfg.learning_rate == 5e-4   # from pa (pb must not reset it)
+    assert cfg.divis_by == 8           # pb overrides pa
+    assert cfg.num_epochs == 7
+    assert cfg.tag == "x"

@@ -372,3 +372,32 @@ def test_compose_coerces_scientific_notation():
     assert isinstance(base.task.learning_rate, float)
     assert base.task.learning_rate == 2e-4
     assert base.task.num_epochs == 100
+
+
+def test_native_exr_rgb_channel_order_matches_python(tmp_path):
+    """3-channel R/G/B EXR: both decoders must return the SAME (RGB)
+    channel order — the native reader used to return raw storage order
+    (alphabetical B,G,R), silently swapping channels per host."""
+    from d3roma_tpu.utils import native_io
+    from d3roma_tpu.utils.exr import read_exr as py_read
+    from d3roma_tpu.utils.exr import write_exr
+
+    if not native_io.available():
+        pytest.skip("no compiler/native lib")
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (9, 13, 3)).astype(np.float32)
+    p = str(tmp_path / "rgb.exr")
+    # name the planes explicitly (write_exr's 3-channel default treats
+    # input as BGR, cv2-style); storage order is alphabetical either way
+    write_exr(p, img, channel_names=["R", "G", "B"])
+    a = py_read(p)
+    b = native_io.read_exr(p)
+    np.testing.assert_allclose(b, a, rtol=1e-7)
+    np.testing.assert_allclose(a, img, rtol=1e-7)  # RGB order preserved
+    # batch reader uses the same convention
+    batch, status = native_io.read_exr_batch([p, p])
+    assert (status >= 0).all()  # per-file element counts
+    np.testing.assert_allclose(batch[0], img, rtol=1e-7)
+    # empty batch is a no-op, not an IndexError
+    empty, st = native_io.read_exr_batch([])
+    assert empty.size == 0 and st.size == 0
