@@ -36,6 +36,8 @@ def main(argv=None):
         t.start()
     for t in threads:
         t.join()
+    if not stats:
+        raise SystemExit("no frames captured (worker errors above?)")
     print(f"mean latency: {sum(stats)/len(stats)*1000:.2f} ms over {len(stats)} frames")
     src.close()
 

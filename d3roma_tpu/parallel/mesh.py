@@ -25,7 +25,7 @@ def make_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
+def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding."""
     return NamedSharding(mesh, P(DATA_AXIS))
 
@@ -66,6 +66,33 @@ def shard_batch(batch: Dict, mesh: Mesh, spec: P = None) -> Dict:
 
 def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicate_sharding(mesh))
+
+
+def slice_process_local(batch: Dict, process_index: int = None,
+                        process_count: int = None) -> Dict:
+    """Keep this process's contiguous row-slice of a host-global batch.
+
+    Multi-host loaders here are seed-identical on every host (no
+    per-rank dataloader sharding), so before `shard_batch` each process
+    must keep only ITS slice — `make_array_from_process_local_data`
+    treats the passed rows as the process-local shard, and feeding the
+    full batch would assemble process_count duplicate copies of every
+    sample. The leading dim must divide process_count (pad first with
+    `pad_batch_to_devices(batch, global_data_axis_size)`).
+    """
+    pc = process_count if process_count is not None else jax.process_count()
+    if pc <= 1:
+        return batch
+    pi = process_index if process_index is not None else jax.process_index()
+    rows = next(v.shape[0] for v in batch.values()
+                if getattr(v, "ndim", 0) >= 1)
+    assert rows % pc == 0, f"batch rows {rows} not divisible by {pc} processes"
+    per = rows // pc
+    return {
+        k: (v[pi * per:(pi + 1) * per]
+            if getattr(v, "ndim", 0) >= 1 and v.shape[0] == rows else v)
+        for k, v in batch.items()
+    }
 
 
 def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:

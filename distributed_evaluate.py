@@ -32,7 +32,8 @@ def main(argv):
     from d3roma_tpu.data import device_preprocess, fetch_dataloader
     from d3roma_tpu.evaluation import evaluate_dataset
     from d3roma_tpu.ops.normalizer import Normalizer
-    from d3roma_tpu.parallel import make_mesh, pad_batch_to_devices, shard_batch
+    from d3roma_tpu.parallel import (make_mesh, pad_batch_to_devices,
+                                     shard_batch, slice_process_local)
     from d3roma_tpu.pipelines import (
         GuidedDiffusionPipeline,
         GuidedLatentDiffusionPipeline,
@@ -76,6 +77,10 @@ def main(argv):
         arrays = {k: v for k, v in raw_batch.items()
                   if not isinstance(v, (list, str))}
         arrays = pad_batch_to_devices(arrays, n_pad)
+        # multi-host: keep only this process's row-slice (loaders are
+        # seed-identical on every host — feeding the full batch would
+        # assemble process_count duplicate copies of every sample)
+        arrays = slice_process_local(arrays)
         sharded = shard_batch(arrays, mesh)
         return device_preprocess(sharded, norm, config.prediction_space)
 

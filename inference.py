@@ -85,7 +85,12 @@ def main(argv=None):
 
     K = camera.K.arr
     rgb_resized = cv2.resize(rgb, camera.resolution[::-1])
-    raw_resized = cv2.resize(depth_m, camera.resolution[::-1],
+    # backproject the COLOR-FRAME-aligned raw depth (what the model
+    # consumed) with the color intrinsics: the raw depth-frame map would
+    # be misprojected by the depth->color extrinsics and inconsistent
+    # with pred.ply
+    raw_src = aligned if args.variant == "rgb+raw" else depth_m
+    raw_resized = cv2.resize(raw_src, camera.resolution[::-1],
                              interpolation=cv2.INTER_NEAREST)
     pts, cols = backproject_depth(raw_resized, K, rgb_resized)
     write_ply(os.path.join(out_dir, "raw.ply"), pts, cols)

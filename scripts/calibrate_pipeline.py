@@ -54,10 +54,17 @@ def main(argv=None):
             rgbs.append((f["rgb"].astype(np.float32) / 255.0 - 0.5) * 2.0)
             disp = np.where(f["sim_depth"] > 0,
                             f["fxb"] / np.maximum(f["sim_depth"], 1e-6), 0.0)
-            raws.append(((disp / 128.0).clip(0, 2) - 1.0)[..., None])
+            raws.append(disp[..., None].astype(np.float32))
+        # normalize with the PIPELINE'S normalizer — the serving path
+        # (D3RoMa.run_pipeline) feeds Normalizer-encoded sim_disp, and a
+        # hand-rolled formula here (previously disp/128-1, half the
+        # scale of the average-mode disp/64-1) captures activation
+        # statistics on the wrong input range
+        disp_b = jnp.asarray(np.stack(raws))
+        normalized, _, _ = pipe.normalizer.normalize(disp_b, disp_b > 0)
         batches.append(dict(
             rgb_images=jnp.asarray(np.stack(rgbs)),
-            sim_disp=jnp.asarray(np.stack(raws).astype(np.float32)),
+            sim_disp=normalized,
         ))
 
     calibrated = pipe.calibrate(

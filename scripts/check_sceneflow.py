@@ -62,7 +62,7 @@ def main(argv=None):
     pairs = []
     for lf in lefts:
         gt = lf.replace(args.dstype, "disparity").replace(".png", ".pfm")
-        sim = lf.replace(args.dstype, "raw_cleanpass").replace(".png", ".pfm")
+        sim = lf.replace(args.dstype, args.dstype.replace("frames", "raw")).replace(".png", ".pfm")
         if os.path.exists(gt) and os.path.exists(sim):
             pairs.append((lf, gt, sim))
     check(pairs, args.out, args.threshold)

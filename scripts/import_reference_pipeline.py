@@ -109,8 +109,13 @@ def main(argv=None):
             # diffusers stores per-block head COUNTS under this name (its
             # historical naming bug); the per-head dim is channels/heads
             head_dim = boc[0] // int(ahd[0])
+        elif int(ahd) < 32 and boc[0] % int(ahd) == 0:
+            # scalar <32 is the SD1.x-style head COUNT (e.g. 8 ->
+            # per-head dim 320/8 = 40); hardcoding 64 here regrouped
+            # 8x40 weights as 5x64 heads — silently wrong attention
+            head_dim = boc[0] // int(ahd)
         else:
-            head_dim = 64  # SD2.x convention: 64-dim heads throughout
+            head_dim = int(ahd)  # already a per-head dim (SD2.x-style 64)
         n = len(boc)
         default_down = ("CrossAttnDownBlock2D",) * (n - 1) + ("DownBlock2D",)
         default_up = ("UpBlock2D",) + ("CrossAttnUpBlock2D",) * (n - 1)

@@ -85,6 +85,22 @@ def main():
     assert xg.shape == (4 * num_procs, 2, 2)
     print(f"CHECK to_host_sum={float(xg.sum())}", flush=True)
 
+    # distributed_evaluate's multi-host batch path: BOTH processes hold
+    # the same seed-identical "global" batch; slice_process_local keeps
+    # each process's rows so the assembled global batch has every sample
+    # exactly once (feeding the full batch duplicated each sample
+    # process_count times)
+    from d3roma_tpu.parallel import slice_process_local
+
+    full = {"x": np.arange(8, dtype=np.float32).reshape(8, 1),
+            "fxb": np.full((8,), 10.0, np.float32)}
+    local = slice_process_local(dict(full))
+    assert local["x"].shape[0] == 8 // num_procs
+    g = shard_batch(local, mesh)
+    assert g["x"].shape == (8, 1)  # global rows == original batch
+    gx = _to_host(g["x"]).ravel().tolist()
+    print(f"CHECK dedup_rows={sorted(gx)}", flush=True)
+
     print("CHECK done", flush=True)
     jax.distributed.shutdown()
 

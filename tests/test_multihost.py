@@ -73,3 +73,7 @@ def test_two_process_shard_batch_and_dp_step():
     for out in outs:
         assert grab(out, "asarray_raises") == "True"
         assert float(grab(out, "to_host_sum")) == pytest.approx(48.0)
+    # slice_process_local: the assembled global batch holds every sample
+    # exactly once (no per-process duplication)
+    for out in outs:
+        assert grab(out, "dedup_rows") == str([float(i) for i in range(8)])
