@@ -401,3 +401,33 @@ def test_native_exr_rgb_channel_order_matches_python(tmp_path):
     # empty batch is a no-op, not an IndexError
     empty, st = native_io.read_exr_batch([])
     assert empty.size == 0 and st.size == 0
+
+
+def test_step_timer_phases():
+    import jax.numpy as jnp
+
+    from d3roma_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(3):
+        with t.phase("fwd", block_on=jnp.ones(4)):
+            pass
+        with t.phase("host"):
+            pass
+    s = t.summary()
+    assert set(s) == {"fwd", "host"}
+    assert t.counts["fwd"] == 3 and s["fwd"] >= 0
+    t.log()  # smoke: no crash
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax.numpy as jnp
+
+    from d3roma_tpu.utils.profiling import trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        jnp.ones(8).block_until_ready()
+    import os as _os
+
+    assert _os.path.isdir(d) and _os.listdir(d)
