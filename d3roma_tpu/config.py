@@ -169,6 +169,10 @@ class TrainingConfig:
     plot_intermediate_metrics: bool = False
     experiment_dir: str = "experiments"
     safe_ssi: bool = False
+    # SSI normalization quantile window (0/1 = min/max, the reference's
+    # effective behavior; robust settings like 0.02/0.98 ignore outliers)
+    ssi_low_p: float = 0.0
+    ssi_high_p: float = 1.0
     ransac_error_threshold: float = 0.6
     ensemble: bool = False
     coarse_to_fine: bool = False

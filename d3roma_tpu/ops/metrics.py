@@ -52,8 +52,12 @@ def compute_errors(
         # clip non-positive predicted depth (reference: utils.py:583-586)
         pred_depth = jnp.clip(pred, 1e-3, None)
         gt_depth = jnp.where(m > 0, gt, 1.0)
-        gt_disp = fxb[:, None] / gt_depth
-        pred_disp = fxb[:, None] / pred_depth
+        # disparity metrics need a focal-baseline; pseudo fxb=1 (1/depth
+        # disparities) keeps depth-space metrics meaningful when a
+        # dataset carries no fxb, matching the disp branch's None path
+        fxb_d = jnp.ones((B,)) if fxb is None else fxb
+        gt_disp = fxb_d[:, None] / gt_depth
+        pred_disp = fxb_d[:, None] / pred_depth
     elif space == "disp":
         # when any masked prediction is non-positive, clip the whole sample's
         # predictions up to the masked gt minimum (reference: utils.py:596-601)

@@ -20,9 +20,8 @@ def pyramid_noise_like(
 ) -> jnp.ndarray:
     """Multiscale noise, NHWC shape [B, H, W, C], normalized to unit std."""
     b, h, w, c = shape
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 11)  # base + 10 pyramid levels
     noise = jax.random.normal(keys[0], (b, h, w, c), dtype)
-    hh, ww = h, w
     for i in range(1, 11):
         hh, ww = max(1, h // (2**i)), max(1, w // (2**i))
         level = jax.random.normal(keys[i], (b, hh, ww, c), dtype)

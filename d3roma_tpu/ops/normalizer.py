@@ -57,6 +57,8 @@ class Normalizer:
             t=config.norm_t,
             s=config.norm_s,
             safe_ssi=config.safe_ssi,
+            low_p=getattr(config, "ssi_low_p", 0.0),
+            high_p=getattr(config, "ssi_high_p", 1.0),
             ransac_error_threshold=config.ransac_error_threshold,
         )
 
@@ -91,6 +93,13 @@ class Normalizer:
                 else:  # [H,W,1]
                     q = masked_quantile(x, mask, [self.low_p, self.high_p])
                     low, up = q[0], q[1]
+            # degenerate masks: an all-invalid frame yields NaN low/up
+            # (nanquantile over no values) and a constant masked region
+            # yields up == low -> 0/0. Both would poison the training
+            # loss; fall back to a harmless identity window instead.
+            bad = ~jnp.isfinite(low) | ~jnp.isfinite(up) | (up - low <= 0)
+            low = jnp.where(bad, 0.0, low)
+            up = jnp.where(bad, 1.0, up)
             y = (jnp.clip((x - low) / (up - low), 0.0, 1.0) - self.t) * self.s
             y = jnp.where(mask, y, 0.0)
             return y, low, up

@@ -267,12 +267,17 @@ def euler_step(
     pred_x0 = _maybe_clip(cfg, pred_x0)
     perturbed_x0 = guidance_fn(pred_x0, t) if guidance_fn is not None else pred_x0
 
-    sigma = sigma_of(alpha_prod_t)
-    sigma_prev = sigma_of(alpha_prod_t_prev)
-    x_hat = sample / jnp.sqrt(alpha_prod_t)
-    d = (x_hat - perturbed_x0) / sigma
-    x_hat_prev = x_hat + (sigma_prev - sigma) * d
-    prev_sample = x_hat_prev * jnp.sqrt(alpha_prod_t_prev)
+    # The Euler update in the rescaled variable is ALGEBRAICALLY the
+    # DDIM eta=0 update: x_hat + (sigma_prev - sigma) * d with
+    # d = (x_hat - x0)/sigma = eps reduces to
+    # sqrt(a_prev) * x0 + sqrt(1 - a_prev) * eps. Computing it in this
+    # VP form keeps the step finite at alpha_prod_t == 0 (the zero-SNR
+    # terminal step, where sigma and x_hat are infinite).
+    eps_pert = (sample - jnp.sqrt(alpha_prod_t) * perturbed_x0) / jnp.sqrt(
+        jnp.maximum(1.0 - alpha_prod_t, 1e-12))
+    prev_sample = (jnp.sqrt(alpha_prod_t_prev) * perturbed_x0
+                   + jnp.sqrt(jnp.maximum(1.0 - alpha_prod_t_prev, 0.0))
+                   * eps_pert)
     return StepOutput(prev_sample, pred_x0, perturbed_x0)
 
 
@@ -300,23 +305,35 @@ def heun_correct(
     pred_x0, _ = predict_x0_and_eps(cfg, model_output_t, sample, alpha_prod_t)
     pred_x0 = _maybe_clip(cfg, pred_x0)
     perturbed_x0 = guidance_fn(pred_x0, t) if guidance_fn is not None else pred_x0
-    x_hat = sample / jnp.sqrt(alpha_prod_t)
-    d1 = (x_hat - perturbed_x0) / sigma
+    safe_alpha = jnp.maximum(alpha_prod_t, 1e-12)
+    safe_sigma = sigma_of(safe_alpha)
+    x_hat = sample / jnp.sqrt(safe_alpha)
+    d1 = (x_hat - perturbed_x0) / safe_sigma
 
-    # derivative at the Euler-predicted point
+    # derivative at the Euler-predicted point — with the SAME guidance
+    # hook the next euler step would apply there (an unguided d2 biases
+    # the averaged derivative toward the unguided trajectory, partially
+    # cancelling guidance vs plain euler)
     safe_prev_alpha = jnp.maximum(alpha_prod_t_prev, 1e-12)
     x_hat_prev = euler_prev_sample / jnp.sqrt(safe_prev_alpha)
     pred_x0_2, _ = predict_x0_and_eps(
         cfg, model_output_prev, euler_prev_sample, alpha_prod_t_prev
     )
     pred_x0_2 = _maybe_clip(cfg, pred_x0_2)
+    if guidance_fn is not None:
+        pred_x0_2 = guidance_fn(pred_x0_2, prev_t)
     safe_sigma_prev = jnp.maximum(sigma_prev, 1e-12)
     d2 = (x_hat_prev - pred_x0_2) / safe_sigma_prev
 
     d_avg = 0.5 * (d1 + d2)
-    x_hat_heun = x_hat + (sigma_prev - sigma) * d_avg
+    x_hat_heun = x_hat + (sigma_prev - safe_sigma) * d_avg
     heun_prev = x_hat_heun * jnp.sqrt(alpha_prod_t_prev)
-    prev_sample = jnp.where(sigma_prev > 1e-10, heun_prev, euler_prev_sample)
+    # the correction is undefined at the final step (sigma_prev == 0)
+    # AND from an infinite-sigma start (zero-SNR terminal alpha == 0,
+    # where stepping from sigma = inf has no finite Heun form) — both
+    # fall back to the Euler/DDIM-form result
+    use_heun = (sigma_prev > 1e-10) & (alpha_prod_t > 1e-10)
+    prev_sample = jnp.where(use_heun, heun_prev, euler_prev_sample)
     return StepOutput(prev_sample, pred_x0, perturbed_x0)
 
 

@@ -170,6 +170,8 @@ def set_timesteps(
     T = cfg.num_train_timesteps
     if timesteps is not None:
         ts = np.asarray(sorted(set(int(t) for t in timesteps), reverse=True))
+        if ts.size == 0:
+            raise ValueError("custom timesteps must be non-empty")
         if ts.max() >= T or ts.min() < 0:
             raise ValueError(f"custom timesteps out of range [0, {T})")
         return ts.astype(np.int32)
@@ -184,6 +186,11 @@ def set_timesteps(
         step_ratio = T // num_inference_steps
         ts = (np.arange(num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
         ts += cfg.steps_offset
+        # steps == T with steps_offset=1 computes timestep T — the
+        # reference's own off-by-one (scheduler_ddim.py:327-338), pinned
+        # by tests/test_reference_traced_goldens.py. extract()'s
+        # jnp.take clips it to T-1 (a duplicated first step), which is
+        # the kindest faithful handling; do NOT "fix" the sequence here.
     elif cfg.timestep_spacing == "trailing":
         step_ratio = T / num_inference_steps
         ts = np.round(np.arange(T, 0, -step_ratio)).astype(np.int64) - 1

@@ -251,3 +251,70 @@ def test_posterior_mean_variance_tables():
     assert mean.shape == x0.shape
     np.testing.assert_allclose(np.asarray(jnp.exp(logvar[1])), np.asarray(var[1]),
                                rtol=1e-4)
+
+
+def _euler_setup(rescale=False, pred="epsilon", T=64):
+    from d3roma_tpu.ops.scheduler_step import euler_step, heun_correct
+
+    cfg = ScheduleConfig(num_train_timesteps=T, beta_schedule="linear",
+                         prediction_type=pred, clip_sample=False,
+                         timestep_spacing="trailing",
+                         rescale_betas_zero_snr=rescale)
+    return cfg, cfg.tables(), euler_step, heun_correct
+
+
+def test_euler_equals_ddim_eta0():
+    """The Euler PF-ODE step in the rescaled variable is ALGEBRAICALLY the
+    DDIM eta=0 update — the implementation computes it in the VP form, so
+    the two must agree to float tolerance."""
+    cfg, tables, euler_step, _ = _euler_setup()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 1)), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    for t, pt in ((48, 32), (32, 16), (16, 0)):
+        e = euler_step(tables, cfg, eps, jnp.int32(t), jnp.int32(pt), x)
+        d = ddim_step(tables, cfg, eps, jnp.int32(t), jnp.int32(pt), x, eta=0.0)
+        np.testing.assert_allclose(np.asarray(e.prev_sample),
+                                   np.asarray(d.prev_sample), atol=2e-5)
+
+
+def test_euler_heun_finite_at_zero_snr_terminal():
+    """rescale_betas_zero_snr makes the terminal alpha-bar exactly 0;
+    the old (x_hat - x0)/sigma form produced inf/NaN on the first step
+    for every prediction type. Both samplers must stay finite."""
+    cfg, tables, euler_step, heun_correct = _euler_setup(
+        rescale=True, pred="v_prediction")
+    assert float(tables.alphas_cumprod[-1]) == 0.0
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 1)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=x.shape), jnp.float32) * 0.1
+    t, pt = 63, 47  # t at the zero-SNR terminal
+    e = euler_step(tables, cfg, v, jnp.int32(t), jnp.int32(pt), x)
+    assert np.isfinite(np.asarray(e.prev_sample)).all()
+    h = heun_correct(tables, cfg, v, v, jnp.int32(t), jnp.int32(pt), x,
+                     e.prev_sample)
+    assert np.isfinite(np.asarray(h.prev_sample)).all()
+    # from an infinite-sigma start the Heun correction has no finite
+    # form: it must fall back to the Euler result
+    np.testing.assert_allclose(np.asarray(h.prev_sample),
+                               np.asarray(e.prev_sample))
+
+
+def test_heun_applies_guidance_on_second_derivative():
+    """The correction derivative at prev_t must see the SAME guidance
+    hook the next euler step would apply there."""
+    cfg, tables, euler_step, heun_correct = _euler_setup()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 1)), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    calls = []
+
+    def guid(x0, t):
+        calls.append(int(np.asarray(t)))
+        return x0 + 1.0
+
+    e = euler_step(tables, cfg, eps, jnp.int32(32), jnp.int32(16), x,
+                   guidance_fn=guid)
+    heun_correct(tables, cfg, eps, eps, jnp.int32(32), jnp.int32(16), x,
+                 e.prev_sample, guidance_fn=guid)
+    assert 16 in calls and 32 in calls  # d2 guided at prev_t, d1 at t
