@@ -30,7 +30,7 @@ SITES = [  # (B, H, W, C, O) — UNet latent + VAE decode sites
     (16, 90, 160, 128, 128),
     (16, 360, 640, 128, 128),   # VAE decoder full-res block
 ]
-SCAN = 8
+SCAN = int(os.environ.get("PB_SCAN", "8"))
 
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 sites = SITES if which == "all" else [SITES[int(which)]]
