@@ -16,12 +16,15 @@ Env knobs:
                           kernel for self+cross, 3 = whole-row kernel for
                           self-attention only (measured best), 4 = fully
                           fused QKV+attention+out kernel
-  BENCH_QUANT=0|1|dense|static|mxu  int8 MXU path for UNet+VAE (default
-                          "static" — the release deployment config, within
-                          the static-vs-float tolerance test; "0" = bf16;
+  BENCH_QUANT=0|1|dense|static|mxu|vae8  int8 MXU path (default "static"
+                          — calibrated int8 UNet+VAE, the measured best:
+                          15.24 fps vs "vae8" 12.71 (bf16 UNet +
+                          int8 VAE) and "0" (bf16 everywhere) 11.73;
                           "dense" = projections only; "mxu" = static +
-                          Pallas implicit-GEMM conv kernel)
-  BENCH_FF=0|1            fused Pallas GEGLU feed-forward (default 1)
+                          Pallas implicit-GEMM conv)
+  BENCH_FF=0|1            fused Pallas GEGLU feed-forward (default 1;
+                          A/B at the release config: ff=1 15.37 fps,
+                          ff=0 15.24 — the round-2 conclusion stands)
   BENCH_STEPS=N           denoise steps (default 10 — the release setting;
                           differencing N=20 vs N=10 isolates per-step UNet
                           cost from the VAE encode/decode overhead)
@@ -30,11 +33,11 @@ Env knobs:
                           pallas_call is a fusion barrier; kept as an
                           opt-in building block)
   BENCH_AUTOSELECT=0|1    default 1: with BENCH_QUANT unset, flip from
-                          "static" to the fastest quant mode MEASURED by
-                          prior runs at the same setting (recorded in
-                          .bench_cache/results.jsonl, latest record per
-                          config), requiring a >2% recorded win over the
-                          latest static run
+                          the default mode to the fastest quant mode
+                          MEASURED by prior runs at the same setting
+                          (recorded in .bench_cache/results.jsonl, latest
+                          record per config), requiring a >2% recorded
+                          win over the latest default-mode run
 """
 
 import json
@@ -49,6 +52,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 20.0  # BASELINE.json north-star
+DEFAULT_QUANT = "static"  # measured best (15.24 fps; vae8 12.71, bf16 11.73)
+DEFAULT_FF = "1"  # fused GEGLU default; tests/test_bench_select.py tracks this
 
 
 def bench_ldm(batch, reps):
@@ -63,7 +68,7 @@ def bench_ldm(batch, reps):
     flash_env = os.environ.get("BENCH_FLASH", "3")
     use_flash = {"0": False, "1": True, "2": "pallas",
                  "3": "pallas-self", "4": "fused"}.get(flash_env, True)
-    fused_ff = os.environ.get("BENCH_FF", "1") == "1"
+    fused_ff = os.environ.get("BENCH_FF", DEFAULT_FF) == "1"
     unet = UNet2DCondition(in_channels=in_ch, out_channels=4,
                            use_flash_attention=use_flash, fused_ff=fused_ff,
                            dtype=jnp.bfloat16)
@@ -90,9 +95,17 @@ def bench_ldm(batch, reps):
     ).half_precision()
     if os.environ.get("BENCH_FUSED_GN", "0") == "1":
         pipe = pipe.fuse_norms()
-    quant = os.environ.get("BENCH_QUANT", "static")
+    quant = os.environ.get("BENCH_QUANT", DEFAULT_QUANT)
     if quant in ("1", "all"):
         pipe = pipe.quantize_int8()
+    elif quant == "vae8":
+        # bf16 UNet + calibrated static-int8 VAE. A scan-length-confounded
+        # probe briefly suggested this beat full static int8; end-to-end
+        # it measures 12.71 fps vs static's 15.24 — kept as the measured
+        # mixed-precision point, not the default.
+        import dataclasses as _dc
+
+        pipe = _dc.replace(pipe, vae=_dc.replace(pipe.vae, quant="static"))
     elif quant in ("dense", "static", "mxu", "halo", "wino", "wino_static"):
         import dataclasses as _dc
 
@@ -107,7 +120,7 @@ def bench_ldm(batch, reps):
 
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
-    if (quant in ("static", "mxu", "halo", "wino_static")
+    if (quant in ("static", "mxu", "halo", "wino_static", "vae8")
             # "1" = calibrate (cached); "force" = recapture ignoring the
             # disk cache; anything else disables calibration
             and os.environ.get("BENCH_CALIB", "1") in ("1", "force")):
@@ -121,14 +134,20 @@ def bench_ldm(batch, reps):
         # drops the (large) capture programs that day.
         import dataclasses as _dc
 
-        # keyed by quant mode AND the wino-eligibility env: wino_static
-        # consumes a different (dense-only) scale sequence than static,
-        # D3ROMA_WINO_CHUNK moves big-slab convs between the static and
-        # wino paths, and replay is call-order-strict
+        # keyed by EVERY knob that changes the quantized call sequence —
+        # replay is call-order-strict: quant mode, the wino-eligibility
+        # env (D3ROMA_WINO_CHUNK moves big-slab convs between the static
+        # and wino paths), the attention impl (kernel vs unfused paths
+        # consume scales at different sites), and the GEGLU fusion flag
+        # (the fused kernel consumes one scale where the unfused path
+        # consumes none/different ones)
         wc = os.environ.get("D3ROMA_WINO_CHUNK", "0")
+        ff = os.environ.get("BENCH_FF", DEFAULT_FF)
+        fl = os.environ.get("BENCH_FLASH", "3")
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache",
                              f"act_scales_{quant}_b{batch}_s{steps}"
+                             f"_ff{ff}_fl{fl}"
                              + (f"_wc{wc}" if quant == "wino_static" else "")
                              + ".json")
         if os.path.exists(cache) and os.environ.get("BENCH_CALIB") != "force":
@@ -163,10 +182,18 @@ def bench_ldm(batch, reps):
                           f"{type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
                     time.sleep(20)
 
+    # Run-unique key base: with a fixed base, two bench PROCESSES at the
+    # same config enqueue byte-identical (program, input) dispatches, and
+    # the remote-device transport can serve repeats from its cache —
+    # observed as impossibly identical fps (12.695 twice to 3 decimals)
+    # across separate runs. A per-process nonce keeps every dispatch
+    # unique so each run measures real device execution.
+    seed_base = int(os.environ.get("BENCH_SEED", str(time.time_ns() % (1 << 20))))
+
     def run(i, block=True):
         # deployment setting decodes only the final x_hat0
         # (reference: d3roma_processor.py overrides num_intermediate_images=1)
-        out = pipe(jax.random.PRNGKey(i), num_inference_steps=steps,
+        out = pipe(jax.random.PRNGKey(seed_base + i), num_inference_steps=steps,
                    num_intermediate_images=1, cond_channels="rgb+raw",
                    rgb_images=rgb, sim_disp=raw)
         if block:
@@ -221,7 +248,7 @@ def _bench_setting():
         "batch": int(os.environ.get("BENCH_BATCH", "16")),
         "steps": int(os.environ.get("BENCH_STEPS", "10")),
         "flash": os.environ.get("BENCH_FLASH", "3"),
-        "ff": os.environ.get("BENCH_FF", "1"),
+        "ff": os.environ.get("BENCH_FF", DEFAULT_FF),
         "fused_gn": os.environ.get("BENCH_FUSED_GN", "0"),
         # wino backend knobs: runs with a different kernel routing are
         # not comparable to the default run they would steer
@@ -279,10 +306,11 @@ def _maybe_autoselect_quant():
         # the user pinned the chunking env: configs measured under a
         # different wc are not what this run would execute
         latest = {k: v for k, v in latest.items() if k[1] == user_wc}
-    static_best = max((r for (q, _), r in latest.items() if q == "static"),
-                      key=lambda r: r["fps"], default=None)
+    static_best = max(
+        (r for (q, _), r in latest.items() if q == DEFAULT_QUANT),
+        key=lambda r: r["fps"], default=None)
     best = max(latest.values(), key=lambda r: r["fps"], default=None)
-    if (best and static_best and best.get("quant") != "static"
+    if (best and static_best and best.get("quant") != DEFAULT_QUANT
             and best["fps"] > 1.02 * static_best["fps"]):
         os.environ["BENCH_QUANT"] = best["quant"]
         if user_wc is None:
@@ -295,7 +323,7 @@ def _maybe_autoselect_quant():
 
 def _record_result(fps):
     rec = dict(_bench_setting(),
-               quant=os.environ.get("BENCH_QUANT", "static"),
+               quant=os.environ.get("BENCH_QUANT", DEFAULT_QUANT),
                wc=os.environ.get("D3ROMA_WINO_CHUNK", "0"),
                fps=round(fps, 3), ts=int(time.time()))
     try:
@@ -405,7 +433,7 @@ def main():
         "config": tag,
         "batch": batch,
         "ms_per_frame": round(1000.0 * dt / batch, 2),
-        "quant": os.environ.get("BENCH_QUANT", "static"),
+        "quant": os.environ.get("BENCH_QUANT", DEFAULT_QUANT),
     }
     if flops_per_frame:
         # analytic model FLOPs (utils/flops.py, XLA-validated): the MFU

@@ -52,7 +52,7 @@ def _set_env(records, **env):
 
 
 def _write_records(path, rows):
-    base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",
+    base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",  # ff tracks bench.DEFAULT_FF
                 fused_gn="0", wino_fused="", wino_slab="", calib="1",
                 wc="0", ts=0)
     with open(path, "w") as f:
@@ -150,7 +150,7 @@ def test_autoselect_never_overrides_user_wino_chunk(tmp_path):
 def test_autoselect_skips_malformed_records(tmp_path):
     bench = _load_bench()
     rec = tmp_path / "results.jsonl"
-    base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",
+    base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",  # ff tracks bench.DEFAULT_FF
                 fused_gn="0", wino_fused="", wino_slab="", calib="1")
     with open(rec, "w") as f:
         f.write("not json\n")
