@@ -26,7 +26,6 @@ from d3roma_tpu.models import (
     UNet2D,
     UNet2DCondition,
     decode_latent,
-    encode_disp_to_latent,
     encode_image_to_latent,
 )
 from d3roma_tpu.ops.normalizer import Normalizer
@@ -408,7 +407,6 @@ class GuidedLatentDiffusionPipeline:
         from d3roma_tpu.ops.quant import capture_act_scales
         from d3roma_tpu.ops.scheduler_step import ddim_step
         from d3roma_tpu.ops.schedules import set_timesteps
-        from d3roma_tpu.pipelines.sampling import build_cond_concat
 
         pipe = self
         if pipe.unet.quant not in ("static", "mxu", "halo", "wino_static"):
@@ -432,10 +430,19 @@ class GuidedLatentDiffusionPipeline:
                 return out, stacked
             return jax.jit(fn)
 
-        enc_fn = make_capture(
-            lambda p, x: encode_image_to_latent(pipe._vae_apply(p), x))
-        enc_disp_fn = make_capture(
-            lambda p, x: encode_disp_to_latent(pipe._vae_apply(p), x))
+        # The encode MUST be captured through latent_encode_conds — ONE
+        # stacked call over all conditions, exactly as __call__ builds it.
+        # Capturing per-condition (batch B) while deployment encodes the
+        # 2-4xB stack diverges the wino_static routing: _wino_eligible's
+        # liveness cap is batch-dependent, so a conv that fits at B can
+        # fall back to static int8 (consuming a scale) at 2B — replay
+        # then runs out of scales mid-program (observed on-chip at the
+        # 180x320/C=128 VAE sites, batch 16 vs 32).
+        enc_all_fn = make_capture(
+            lambda p, rgb, left, right, raw: latent_encode_conds(
+                lambda x: encode_image_to_latent(pipe._vae_apply(p), x),
+                cond_channels, rgb=rgb, left=left, right=right,
+                sim_disp=raw))
         dec_fn = make_capture(
             lambda p, z: decode_latent(pipe._vae_apply(p), z))
 
@@ -472,17 +479,11 @@ class GuidedLatentDiffusionPipeline:
             left = b.get("left_images")
             right = b.get("right_images")
             raw = b.get("sim_disp")
-            lat_parts = {}
-            for nm, img in (("rgb", rgb), ("left", left), ("right", right)):
-                if img is not None:
-                    z, s = enc_fn(pipe.vae_params, img.astype(jnp.float32))
-                    lat_parts[nm] = z
-                    acc("vae_encode", s)
-            if raw is not None:
-                z, s = enc_disp_fn(pipe.vae_params, raw.astype(jnp.float32))
-                lat_parts["raw"] = z
-                acc("vae_encode", s)
-            conds = build_cond_concat(cond_channels, **lat_parts)
+            as_f32 = lambda a: None if a is None else a.astype(jnp.float32)
+            (conds, lat_parts), s = enc_all_fn(
+                pipe.vae_params, as_f32(rgb), as_f32(left), as_f32(right),
+                as_f32(raw))
+            acc("vae_encode", s)
             bkey = jax.random.fold_in(key, bi)
             # the real trajectory: start from pure noise, step with the
             # pipeline's own sampler math (unquantized model forward)

@@ -261,3 +261,40 @@ def test_capture_forward_is_mosaic_free():
     jaxpr_run = jax.make_jaxpr(
         lambda x: unet.apply({"params": params}, x, jnp.array([0]), ctx))(x)
     assert "pallas_call" in str(jaxpr_run)
+
+
+def test_calibrate_matches_wino_routing_at_the_stacked_encode_batch(monkeypatch):
+    """Regression (round 3, on-chip): __call__ encodes ALL conditions in
+    ONE stacked call (2-4x the frame batch), and wino_static conv routing
+    depends on batch size through the liveness cap — so calibrate() must
+    capture the encode through the same stacked program. When it captured
+    per-condition (batch B) instead, a conv eligible at B but over-cap at
+    2B consumed a scale only in the deployed program, and replay ran out
+    of scales mid-trace (observed at the 180x320/C=128 VAE sites,
+    batch 16 vs 32)."""
+    import dataclasses as _dc
+
+    # cap chosen so the 32x32 full-res VAE convs fit at batch 1 (the old
+    # per-condition capture) but NOT at the stacked batch 2 the pipeline
+    # actually encodes: ~3.1 MB/item inflated liveness at C<=128
+    monkeypatch.setenv("D3ROMA_WINO_SLAB_MB", "4")
+    monkeypatch.setenv("D3ROMA_WINO_CHUNK", "0")
+
+    pipe = _tiny_latent_pipe()
+    wino = _dc.replace(
+        pipe, unet=_dc.replace(pipe.unet, quant="wino_static"),
+        vae=_dc.replace(pipe.vae, quant="wino_static"))
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2),
+                                    (1, 32, 32, 1))) * 0.3
+
+    cal = wino.calibrate(jax.random.PRNGKey(3),
+                         [dict(rgb_images=rgb, sim_disp=raw)],
+                         cond_channels="rgb+raw", num_inference_steps=2)
+    assert all(len(v) > 0 for v in cal.act_scales.values())
+    # the deployed program must replay the captured sequence exactly
+    out = cal(jax.random.PRNGKey(9), num_inference_steps=2,
+              num_intermediate_images=1, cond_channels="rgb+raw",
+              rgb_images=rgb, sim_disp=raw)
+    assert np.all(np.isfinite(np.asarray(out.images, np.float32)))
