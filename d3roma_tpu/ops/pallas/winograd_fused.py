@@ -97,7 +97,12 @@ def pick_block_tr(x_shape, o_block: int = 128):
     # waste <= 25%: a tile-row grid that tr can't divide without heavy
     # padding (th=6 at the 12x20 level: 8/6 = 33%) wastes MXU work the
     # XLA formulation doesn't (it folds batch into M instead).
-    fitting = [tr for tr in (8, 4, 2)
+    # tr=2 is NOT a candidate: the per-block DMA source row offset is
+    # r*2*tr, and HBM DMA row offsets must be bf16-sublane-tile (8)
+    # aligned — 2*2=4 compiles but FAULTS on device (observed: the
+    # (16,90,160,512) VAE decoder site took the whole wino_static
+    # pipeline down with "TPU device error"); 2*4 and 2*8 are aligned.
+    fitting = [tr for tr in (8, 4)
                if _block_budget(x_shape, tr, o_block) <= _VMEM_CAP
                and tr * twp >= 96
                and _round_up(th, tr) / th <= 1.25]

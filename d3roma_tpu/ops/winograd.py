@@ -220,10 +220,21 @@ def _wino_dispatch(lhs, rhs, bc):
 def _wino_or_fallback(fallback, lhs, rhs, window_strides, padding,
                       lhs_dilation, rhs_dilation, dimension_numbers,
                       feature_group_count, batch_group_count, precision,
-                      preferred_element_type):
+                      preferred_element_type, require_fused=False):
     bc = _wino_eligible(lhs, rhs, window_strides, padding, lhs_dilation,
                         rhs_dilation, dimension_numbers, feature_group_count,
                         batch_group_count)
+    if bc is not None and require_fused:
+        # wino_static policy: Winograd ONLY where the fused kernel fits —
+        # the XLA formulation's V/M HBM round trips measured 6.09 fps
+        # end-to-end vs static int8's 15.37 (docs/PERFORMANCE.md), so the
+        # non-fused shapes (C>=960 concat widths, big slabs) are better
+        # on the static path. Shape math only: the decision is identical
+        # across capture/replay and across backends.
+        from d3roma_tpu.ops.pallas.winograd_fused import pick_config
+
+        if pick_config((bc,) + tuple(lhs.shape[1:])) is None:
+            bc = None
     if bc is not None:
         return _wino_dispatch(lhs, rhs, bc)
     return fallback(
@@ -253,16 +264,20 @@ def wino_static_conv_general_dilated(lhs, rhs, window_strides, padding,
                                      feature_group_count=1,
                                      batch_group_count=1, precision=None,
                                      preferred_element_type=None):
-    """The 'wino_static' conv: Winograd where eligible, the static-int8
-    XLA conv for everything else (big slabs, strides) — the measured-best
-    direct path at those shapes. Routing is shape-deterministic, so the
-    calibration capture and replay passes traverse the same static-int8
-    call sequence — PROVIDED calibration runs at the deployment batch
-    size and D3ROMA_WINO_* env settings (eligibility depends on both;
-    a mismatch shifts which convs consume scales, and replay raises)."""
+    """The 'wino_static' conv: Winograd where the FUSED kernel fits
+    (pick_config admits the chunked shape), the static-int8 XLA conv for
+    everything else (big slabs, strides, C>=960 concat widths) — the
+    measured-best direct path at those shapes; the XLA Winograd fallback
+    measured 6.09 fps end-to-end vs static's 15.37 and is never routed
+    here. Routing is shape-deterministic, so the calibration capture and
+    replay passes traverse the same static-int8 call sequence — PROVIDED
+    calibration runs at the deployment batch size and D3ROMA_WINO_* env
+    settings (eligibility depends on both; a mismatch shifts which convs
+    consume scales, and replay raises)."""
     from d3roma_tpu.ops.quant import int8_conv_general_dilated_static
 
     return _wino_or_fallback(
         int8_conv_general_dilated_static, lhs, rhs, window_strides, padding,
         lhs_dilation, rhs_dilation, dimension_numbers, feature_group_count,
-        batch_group_count, precision, preferred_element_type)
+        batch_group_count, precision, preferred_element_type,
+        require_fused=True)

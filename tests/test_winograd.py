@@ -130,8 +130,10 @@ def test_fused_block_tr_selection():
 
     # flagship latent site: biggest block fits
     assert pick_block_tr((16, 45, 80, 320)) == 8
-    # full-res VAE site: wide rows -> only tr=2 fits the VMEM cap
-    assert pick_block_tr((16, 360, 640, 128)) == 2
+    # full-res VAE site: only tr=2 would fit the VMEM cap, but tr=2's
+    # DMA row offsets (multiples of 4) are sub-sublane-tile and FAULT on
+    # device — rejected; in wino_static the site runs static int8 instead
+    assert pick_block_tr((16, 360, 640, 128)) is None
     # th=12: tr=8 pads 12->16 (33% waste), tr=4 is exact
     assert pick_block_tr((16, 23, 40, 640)) == 4
     # wide-C site: VMEM cap forces tr=4 (tr=8 measured-fails Mosaic)
