@@ -286,3 +286,44 @@ def test_wino_batch_chunking(monkeypatch):
     assert calls["n"] == 0
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flagship_routing_table(monkeypatch):
+    """Pins the wino_static routing policy at the flagship conv sites
+    (round-3 measured policy: fused Winograd ONLY where pick_config
+    admits the shape — 12.30 fps e2e came from these sites — static
+    int8 everywhere else; the XLA Winograd fallback measured 6.09 fps
+    e2e and must never be routed). Also pins the tr=2 exclusion: the
+    (16,90,160,512) decoder site faulted on device at tr=2."""
+    monkeypatch.setenv("D3ROMA_WINO_CHUNK", "0")
+    monkeypatch.delenv("D3ROMA_WINO_SLAB_MB", raising=False)
+    from d3roma_tpu.ops.pallas.winograd_fused import pick_config
+    from d3roma_tpu.ops.winograd import _wino_eligible
+
+    class A:
+        def __init__(self, sh):
+            self.shape = sh
+
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def route(B, H, W, C, O, s=1):
+        bc = _wino_eligible(A((B, H, W, C)), A((3, 3, C, O)), (s, s),
+                            "SAME", None, None, dn, 1, 1)
+        if bc is None:
+            return "static"
+        return "fused" if pick_config((bc, H, W, C)) else "static"
+
+    # UNet latent sites -> fused
+    assert route(16, 45, 80, 320, 320) == "fused"
+    assert route(16, 45, 80, 320, 640) == "fused"
+    assert route(16, 23, 40, 640, 640) == "fused"
+    # strides, concat widths, bottom level -> static (not XLA wino)
+    assert route(16, 45, 80, 320, 320, s=2) == "static"
+    assert route(16, 45, 80, 960, 320) == "static"
+    assert route(16, 12, 20, 1280, 1280) == "static"
+    # VAE: deep 45x80 sites fused (incl. the stacked-encode batch 32);
+    # the tr=2 fault site and the full-res slabs -> static
+    assert route(32, 45, 80, 512, 512) == "fused"
+    assert route(16, 45, 80, 512, 512) == "fused"
+    assert route(16, 90, 160, 512, 512) == "static"
+    assert route(16, 360, 640, 128, 128) == "static"
