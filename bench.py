@@ -16,14 +16,15 @@ Env knobs:
                           kernel for self+cross, 3 = whole-row kernel for
                           self-attention only (measured best), 4 = fully
                           fused QKV+attention+out kernel
-  BENCH_QUANT=0|1|dense|static|mxu|vae8  int8 MXU path (default "static"
-                          — calibrated int8 UNet+VAE, the measured best:
-                          15.24 fps vs "vae8" 12.71 (bf16 UNet +
-                          int8 VAE) and "0" (bf16 everywhere) 11.73;
-                          "dense" = projections only; "mxu" = static +
-                          Pallas implicit-GEMM conv)
+  BENCH_QUANT=0|1|dense|static|mxu|vae8|wino_static  int8/conv path
+                          (default "static" — calibrated int8 UNet+VAE,
+                          the measured best: 15.39 fps vs "wino_static"
+                          12.30, "vae8" 12.71 (bf16 UNet + int8 VAE),
+                          "0" (bf16 everywhere) 11.73; "dense" =
+                          projections only; "mxu" = static + Pallas
+                          implicit-GEMM conv)
   BENCH_FF=0|1            fused Pallas GEGLU feed-forward (default 1;
-                          A/B at the release config: ff=1 15.37 fps,
+                          A/B at the release config: ff=1 15.39 fps,
                           ff=0 15.24 — the round-2 conclusion stands)
   BENCH_STEPS=N           denoise steps (default 10 — the release setting;
                           differencing N=20 vs N=10 isolates per-step UNet
@@ -52,7 +53,16 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 20.0  # BASELINE.json north-star
-DEFAULT_QUANT = "static"  # measured best (15.24 fps; vae8 12.71, bf16 11.73)
+
+
+def _metric_name():
+    # stable name at the release setting (the driver tracks it across
+    # rounds); custom-step runs are labeled with their own step count
+    steps = os.environ.get("BENCH_STEPS", "10")
+    return f"depth_fps_per_chip_640x360_{steps}step"
+
+
+DEFAULT_QUANT = "static"  # measured best (15.39 fps; wino 12.30, vae8 12.71, bf16 11.73)
 DEFAULT_FF = "1"  # fused GEGLU default; tests/test_bench_select.py tracks this
 
 
@@ -370,7 +380,7 @@ def _device_liveness_probe():
                     last = rec
     except OSError:
         pass
-    out = {"metric": "depth_fps_per_chip_640x360_10step",
+    out = {"metric": _metric_name(),
            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
            "error": f"TPU unreachable: {detail}".strip()}
     if last:
@@ -419,14 +429,14 @@ def main():
         _record_result(fps)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({
-            "metric": "depth_fps_per_chip_640x360_10step",
+            "metric": _metric_name(),
             "value": 0.0, "unit": "frames/s",
             "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"[:300],
         }))
         return 1
 
     result = {
-        "metric": "depth_fps_per_chip_640x360_10step",
+        "metric": _metric_name(),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
