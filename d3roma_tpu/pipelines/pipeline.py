@@ -357,11 +357,14 @@ class GuidedLatentDiffusionPipeline:
         (docs/PERFORMANCE.md): bf16 params, whole-row Pallas
         self-attention (N>=512 sites), fused GEGLU feed-forward, and —
         in "throughput" mode — the static-scale int8 MXU path for
-        UNet+VAE. "latency" (batch-1/streaming) skips int8, which is
-        latency-bound there. "wino" routes stride-1 3x3 convs through
-        Winograd F(2x2,3x3) (fused Pallas kernel where it fits VMEM,
-        static int8 elsewhere — ops/winograd.py; on-chip measurement
-        pending, docs/PERFORMANCE.md). "off" returns self unchanged."""
+        UNet+VAE (15.39 fps at the release setting). "latency"
+        (batch-1/streaming) skips int8, which is latency-bound there
+        (static int8 measured 242 ms/frame at batch 1 vs bf16's 106).
+        "wino" routes stride-1 3x3 convs through Winograd F(2x2,3x3)
+        (fused Pallas kernel where pick_config admits the shape, static
+        int8 elsewhere — ops/winograd.py); measured SLOWER end-to-end
+        (12.30 fps) and kept opt-in (docs/PERFORMANCE.md). "off"
+        returns self unchanged."""
         import dataclasses as _dc
 
         if mode in ("off", "", None):
