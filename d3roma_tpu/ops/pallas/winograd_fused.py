@@ -248,7 +248,7 @@ def conv3x3_wino_fused(x, w, block_tr: int = 8, o_block: int = 128,
         functools.partial(_kernel, block_tr=TR, twp=twp, cp=cp,
                           o_blk=o_block, out_dtype=out_dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
             pl.BlockSpec((16, cp, o_block), lambda b, r, o: (0, 0, o)),
         ],
         out_specs=pl.BlockSpec((1, 2 * TR, twp, 2 * o_block),
