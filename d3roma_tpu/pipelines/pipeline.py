@@ -450,8 +450,9 @@ class GuidedLatentDiffusionPipeline:
             lambda p, z: decode_latent(pipe._vae_apply(p), z))
 
         def unet_fwd(params, model_input, t):
-            # broadcast the (1, 77, D) embed to the calibration batch, as
-            # the sampling loop does (sampling.py::denoise_scan)
+            # broadcast the (1, T, D) embed (T=2: [BOS, EOS]) to the
+            # calibration batch, as the sampling loop does
+            # (sampling.py::denoise_scan)
             ctx = pipe.text_embed
             if ctx.shape[0] == 1 and model_input.shape[0] > 1:
                 ctx = jnp.broadcast_to(

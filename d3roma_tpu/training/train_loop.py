@@ -232,11 +232,15 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
             vae_params = jax.device_put(models["vae_params"],
                                         replicate_sharding(mesh))
 
-        def vae_apply(x, method):
-            return vae.apply({"params": vae_params}, x, method=method)
+        # vae_params enter step_fn as a traced ARGUMENT (params-first
+        # apply, like the pipeline's _vae_apply) — closing over the tree
+        # would embed it as lowering constants, which the remote-compile
+        # transport rejects for the flagship VAE (HTTP 413)
+        def vae_apply(p, x, method):
+            return vae.apply({"params": p}, x, method=method)
         text_embed = models["text_embed"]
     else:
-        vae_apply, text_embed = None, None
+        vae_apply, text_embed, vae_params = None, None, None
 
     unet = models["unet"]
     if config.ldm:
@@ -306,7 +310,7 @@ def train(config, base_config=None, output_dir: Optional[str] = None,
             last_bi = bi
             step_key = jax.random.fold_in(base_key, counter.global_step)
             dispatch_step = counter.global_step
-            state, metrics = step_fn(state, batch, step_key)
+            state, metrics = step_fn(state, batch, step_key, vae_params)
             counter.tick()  # advance at dispatch; loss recorded on drain
             drain()
             pending = (metrics, raw_batch, dispatch_step)

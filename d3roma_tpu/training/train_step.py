@@ -40,14 +40,21 @@ def make_train_step(
     unet_apply: Callable,  # (params, model_input, t[, text_embed]) -> out
     tx: optax.GradientTransformation,
     tables: ScheduleTables,
-    vae_apply: Optional[Callable] = None,  # (x, method) -> ... (frozen)
+    vae_apply: Optional[Callable] = None,  # (vae_params, x, method) -> ...
     text_embed: Optional[jnp.ndarray] = None,
     t_sampler: Optional[str] = None,  # None -> config.timestep_sampler
 ):
-    """Returns step_fn(state, batch, key) -> (state, metrics).
+    """Returns step_fn(state, batch, key, vae_params=None) -> (state, metrics).
 
     batch: the device_preprocess output dict (normalized_disp, sim_disp,
     normalized_rgb, left_image, right_image, mask, ...), channel-last.
+
+    The frozen VAE params are a TRACED ARGUMENT of step_fn, not a
+    closure capture: a captured param tree becomes lowering constants
+    embedded in the serialized compile request, which a remote-compile
+    transport rejects outright for the flagship VAE (observed: HTTP 413
+    "length limit exceeded" — the same trap the calibration capture
+    programs hit, see GuidedLatentDiffusionPipeline.calibrate).
     """
     ldm = config.ldm
     loss_kind = config.loss_type
@@ -65,7 +72,10 @@ def make_train_step(
             return (a - b) ** 2
         raise ValueError(f"loss type {loss_kind} not supported")
 
-    def step_fn(state: TrainState, batch: Dict, key: jax.Array):
+    def step_fn(state: TrainState, batch: Dict, key: jax.Array,
+                vae_params=None):
+        va = (None if vae_apply is None
+              else lambda x, method: vae_apply(vae_params, x, method))
         k_noise, k_t, k_rgbnoise = jax.random.split(key, 3)
 
         normalized_disp = batch["normalized_disp"]
@@ -80,18 +90,18 @@ def make_train_step(
             normalized_disp = clipped
 
         if ldm:
-            x_clean = encode_disp_to_latent(vae_apply, normalized_disp)
-            cond_sim = encode_disp_to_latent(vae_apply, batch["sim_disp"])
+            x_clean = encode_disp_to_latent(va, normalized_disp)
+            cond_sim = encode_disp_to_latent(va, batch["sim_disp"])
             cond_rgb = (
-                encode_image_to_latent(vae_apply, batch["normalized_rgb"])
+                encode_image_to_latent(va, batch["normalized_rgb"])
                 if "rgb" in cond_channels else None
             )
             cond_left = (
-                encode_image_to_latent(vae_apply, batch["left_image"])
+                encode_image_to_latent(va, batch["left_image"])
                 if "left" in cond_channels else None
             )
             cond_right = (
-                encode_image_to_latent(vae_apply, batch["right_image"])
+                encode_image_to_latent(va, batch["right_image"])
                 if "right" in cond_channels else None
             )
         else:
@@ -141,7 +151,7 @@ def make_train_step(
                 ab = extract(tables.alphas_cumprod, t, noisy.ndim)
                 x0_hat_latent = jnp.sqrt(ab) * noisy - jnp.sqrt(1 - ab) * jax.lax.stop_gradient(model_output)
                 if ldm:
-                    x0_hat = jnp.clip(decode_latent(vae_apply, x0_hat_latent), -1, 1)
+                    x0_hat = jnp.clip(decode_latent(va, x0_hat_latent), -1, 1)
                 else:
                     x0_hat = jnp.clip(x0_hat_latent, -1, 1)
                 metrics["recon_mae"] = jnp.mean(jnp.abs(x0_hat - normalized_disp))
@@ -149,7 +159,7 @@ def make_train_step(
                 # decoded-x0 pixel loss (reference: train.py:363-381)
                 ab = extract(tables.alphas_cumprod, t, noisy.ndim)
                 x0_hat_latent = jnp.sqrt(ab) * noisy - jnp.sqrt(1 - ab) * model_output
-                x0_hat = decode_latent(vae_apply, x0_hat_latent)
+                x0_hat = decode_latent(va, x0_hat_latent)
                 network_loss = elementwise_loss(x0_hat * mask, normalized_disp * mask)
                 metrics["recon_mae"] = jnp.mean(
                     jnp.abs(jnp.clip(jax.lax.stop_gradient(x0_hat), -1, 1) - normalized_disp)

@@ -242,8 +242,8 @@ def test_ldm_train_step():
         jax.random.fold_in(key, 1), jnp.zeros((1, 16, 16, 3))
     )["params"]
 
-    def vae_apply(x, method):
-        return vae.apply({"params": vae_params}, x, method=method)
+    def vae_apply(p, x, method):
+        return vae.apply({"params": p}, x, method=method)
 
     def unet_apply(p, x, t, ctx):
         return unet.apply({"params": p}, x, t, ctx)
@@ -255,7 +255,7 @@ def test_ldm_train_step():
     step_fn = jax.jit(make_train_step(cfg, unet_apply, tx, tables,
                                       vae_apply=vae_apply, text_embed=text))
     batch = _batch(cfg, key)
-    state, metrics = step_fn(state, batch, key)
+    state, metrics = step_fn(state, batch, key, vae_params)
     assert np.isfinite(float(metrics["loss"]))
     assert "recon_mae" in metrics and np.isfinite(float(metrics["recon_mae"]))
     assert int(state.step) == 1
