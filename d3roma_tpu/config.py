@@ -60,6 +60,10 @@ class TrainingConfig:
     num_epochs: int = 1000
     gradient_accumulation_steps: int = 3
     clip_grad_norm: float = 1.0
+    # "adamw" (reference parity) | "adafactor" (factored second moment —
+    # fits the flagship 866M UNet's optimizer state on a single 16 GB
+    # chip, where AdamW's 6.9 GB of f32 moments OOMs; see training/state.py)
+    optimizer: str = "adamw"
 
     lr_warmup_steps: int = 500
     val_every_global_steps: int = 1000

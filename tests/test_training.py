@@ -86,6 +86,38 @@ def test_train_step_runs_and_loss_decreases():
     assert int(state.step) == 30
 
 
+def test_adafactor_optimizer_trains_with_small_state():
+    """task.optimizer=adafactor: loss decreases AND the optimizer state
+    carries no per-param first/second Adam moments (the factored second
+    moment is O(rows+cols) — the lever that fits the flagship 866M UNet
+    on a single 16 GB chip, training/state.py)."""
+    cfg = _tiny_config(optimizer="adafactor")
+    state, step_fn, _ = _setup(cfg)
+    key = jax.random.PRNGKey(0)
+    batch = _batch(cfg, key)
+    def opt_size(st):
+        return sum(np.prod(np.shape(l)) for l in jax.tree.leaves(st)
+                   if hasattr(l, "shape"))
+
+    adamw_state = create_train_state(_tiny_config(), state.params, 10)
+    # the factored second moment is O(rows+cols) per tensor vs AdamW's two
+    # full per-param moments (at the flagship's 866M the ratio is ~100x;
+    # at this tiny model it is already well under half)
+    assert opt_size(state.opt_state) < 0.6 * opt_size(adamw_state.opt_state)
+    losses = []
+    for i in range(30):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
+
+
+def test_unknown_optimizer_rejected():
+    cfg = _tiny_config(optimizer="sgd")
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        build_optimizer(cfg, steps_per_epoch=10)
+
+
 @pytest.mark.parametrize("pred_type", ["epsilon", "v_prediction"])
 def test_train_step_prediction_types(pred_type):
     cfg = _tiny_config(prediction_type=pred_type)
