@@ -39,6 +39,11 @@ Env knobs:
                           (recorded in .bench_cache/results.jsonl, latest
                           record per config), requiring a >2% recorded
                           win over the latest default-mode run
+  BENCH_DEEPCACHE=N       DeepCache interval (default 1 = off): N > 1
+                          runs the full UNet every N-th denoise step and
+                          a shallow cached pass between (deep-trunk
+                          reuse, Ma et al. CVPR 2024). An approximation —
+                          accuracy deltas in docs/PERFORMANCE.md.
 """
 
 import json
@@ -154,9 +159,11 @@ def bench_ldm(batch, reps):
         wc = os.environ.get("D3ROMA_WINO_CHUNK", "0")
         ff = os.environ.get("BENCH_FF", DEFAULT_FF)
         fl = os.environ.get("BENCH_FLASH", "3")
+        # "act_scales2": the table set grew a "unet_cached" entry (the
+        # DeepCache shallow pass) — round-2 cache files lack it
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache",
-                             f"act_scales_{quant}_b{batch}_s{steps}"
+                             f"act_scales2_{quant}_b{batch}_s{steps}"
                              f"_ff{ff}_fl{fl}"
                              + (f"_wc{wc}" if quant == "wino_static" else "")
                              + ".json")
@@ -191,6 +198,10 @@ def bench_ldm(batch, reps):
                     print(f"# calibration at batch {cb} w/{w_step} failed: "
                           f"{type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
                     time.sleep(20)
+
+    dc_interval = int(os.environ.get("BENCH_DEEPCACHE", "1"))
+    if dc_interval > 1:
+        pipe = pipe.deepcache(dc_interval)
 
     # Run-unique key base: with a fixed base, two bench PROCESSES at the
     # same config enqueue byte-identical (program, input) dispatches, and
@@ -310,23 +321,33 @@ def _maybe_autoselect_quant():
             continue
         if not isinstance(r.get("fps"), (int, float)):
             continue
-        latest[(r.get("quant"), r.get("wc", "0"))] = r
+        latest[(r.get("quant"), r.get("wc", "0"),
+                r.get("deepcache", "1"))] = r
     user_wc = os.environ.get("D3ROMA_WINO_CHUNK")
     if user_wc is not None:
         # the user pinned the chunking env: configs measured under a
         # different wc are not what this run would execute
         latest = {k: v for k, v in latest.items() if k[1] == user_wc}
+    user_dc = os.environ.get("BENCH_DEEPCACHE")
+    if user_dc is not None:
+        latest = {k: v for k, v in latest.items() if k[2] == user_dc}
     static_best = max(
-        (r for (q, _), r in latest.items() if q == DEFAULT_QUANT),
+        (r for (q, _, dcv), r in latest.items()
+         if q == DEFAULT_QUANT and dcv == (user_dc or "1")),
         key=lambda r: r["fps"], default=None)
     best = max(latest.values(), key=lambda r: r["fps"], default=None)
-    if (best and static_best and best.get("quant") != DEFAULT_QUANT
+    if (best and static_best
+            and (best.get("quant"), best.get("deepcache", "1"))
+            != (DEFAULT_QUANT, user_dc or "1")
             and best["fps"] > 1.02 * static_best["fps"]):
         os.environ["BENCH_QUANT"] = best["quant"]
         if user_wc is None:
             os.environ["D3ROMA_WINO_CHUNK"] = best.get("wc", "0")
+        if user_dc is None:
+            os.environ["BENCH_DEEPCACHE"] = best.get("deepcache", "1")
         print(f"# auto-selected quant={best['quant']} wc="
-              f"{os.environ.get('D3ROMA_WINO_CHUNK', '0')} from records "
+              f"{os.environ.get('D3ROMA_WINO_CHUNK', '0')} deepcache="
+              f"{os.environ.get('BENCH_DEEPCACHE', '1')} from records "
               f"({best['fps']} vs static {static_best['fps']} fps)",
               file=sys.stderr)
 
@@ -335,6 +356,7 @@ def _record_result(fps):
     rec = dict(_bench_setting(),
                quant=os.environ.get("BENCH_QUANT", DEFAULT_QUANT),
                wc=os.environ.get("D3ROMA_WINO_CHUNK", "0"),
+               deepcache=os.environ.get("BENCH_DEEPCACHE", "1"),
                fps=round(fps, 3), ts=int(time.time()))
     try:
         os.makedirs(os.path.dirname(_records_path()), exist_ok=True)

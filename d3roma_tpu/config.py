@@ -78,6 +78,13 @@ class TrainingConfig:
     # (on-chip measurement pending). Numbers: docs/PERFORMANCE.md.
     fast_inference: str = "off"
 
+    # DeepCache interval for latent-pipeline inference (Ma et al., CVPR
+    # 2024): 1 = off; k > 1 runs the full UNet on every k-th denoise step
+    # and a shallow cached pass (deep-trunk reuse) between — an
+    # accuracy/throughput trade measured in docs/PERFORMANCE.md. Applies
+    # to inference/evaluate CLIs; heun is unsupported.
+    deepcache: int = 1
+
     # Run the latent pipeline as three jitted programs (VAE encode /
     # denoise scan / VAE decode) instead of one. Same math and steady-state
     # cost (the dispatches pipeline through the device queue); each program

@@ -136,6 +136,9 @@ class D3RoMa:
         if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
             pipeline = pipeline.fast_inference(config.fast_inference)
             logger.info("fast_inference=%s kernels enabled", config.fast_inference)
+        if config.deepcache > 1 and hasattr(pipeline, "deepcache"):
+            pipeline = pipeline.deepcache(config.deepcache)
+            logger.info("deepcache interval=%d enabled", config.deepcache)
         return pipeline
 
     # ------------------------------------------------------------------ #

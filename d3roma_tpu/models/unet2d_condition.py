@@ -60,9 +60,29 @@ class UNet2DCondition(nn.Module):
         timesteps: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
         deterministic: bool = True,
+        cached_trunk: jnp.ndarray = None,
+        return_trunk: bool = False,
     ):
         """sample: [B, h, w, in_channels] latents (+concat cond latents);
-        encoder_hidden_states: [B, 77, cross_attention_dim] text embedding."""
+        encoder_hidden_states: [B, 77, cross_attention_dim] text embedding.
+
+        DeepCache support (Ma et al., CVPR 2024 — inference-time deep-feature
+        reuse across adjacent denoise steps; the reference has no analog):
+
+        - ``return_trunk=True``: additionally return the *trunk* — the
+          feature map entering the LAST up block (after the final upsample),
+          the shallowest cache point.
+        - ``cached_trunk=trunk``: run only the shallow path — conv_in, down
+          block 0 (whose skips the last up block consumes), the last up
+          block at the new timestep's embedding, and conv_out — splicing the
+          given trunk in place of the deep levels (~34% of the full step's
+          FLOPs at the flagship latent shape). Exact when the trunk comes
+          from a full pass over the same (sample, t); an approximation when
+          reused across steps (the DeepCache schedule).
+
+        Both paths create identically-named modules, so one param tree
+        serves all three call forms.
+        """
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         context = encoder_hidden_states.astype(self.dtype)
@@ -100,49 +120,78 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
+            if cached_trunk is not None:
+                # shallow (cached) pass: block 0's skips are all the last
+                # up block consumes — the downsample and every deeper
+                # level are replaced by the cached trunk
+                break
             if not is_last:
                 x = Downsample2D(ch, quant=self.quant, dtype=self.dtype,
                                  name=f"down_{i}_downsample")(x)
                 skips.append(x)
 
-        # ---- mid (UNetMidBlock2DCrossAttn) ----
-        mid_ch = self.block_out_channels[-1]
-        x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
-                          fused_norm=self.fused_norm,
-                          dtype=self.dtype, name="mid_res_0")(x, t_emb)
-        x = AttnBlock(mid_ch, heads_for(mid_ch), self.attention_head_dim,
-                          self.cross_attention_dim, groups=self.norm_groups,
-                          use_flash=self.use_flash_attention, quant=self.quant,
-                          fused_ff=self.fused_ff,
-                          dtype=self.dtype, name="mid_attn")(x, context)
-        x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
-                          fused_norm=self.fused_norm,
-                          dtype=self.dtype, name="mid_res_1")(x, t_emb)
-
-        # ---- up ----
         rev = tuple(reversed(self.block_out_channels))
-        for i, btype in enumerate(self.up_block_types):
-            ch = rev[i]
-            is_last = i == len(self.up_block_types) - 1
-            for j in range(self.layers_per_block + 1):
-                skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = ResBlock(ch, groups=self.norm_groups, quant=self.quant,
-                                  fused_norm=self.fused_norm,
-                                  dtype=self.dtype, name=f"up_{i}_res_{j}")(x, t_emb)
-                if btype == "CrossAttnUpBlock2D":
-                    x = AttnBlock(
-                        ch, heads_for(ch), self.attention_head_dim,
-                        self.cross_attention_dim, groups=self.norm_groups,
-                        use_flash=self.use_flash_attention, quant=self.quant,
-                        fused_ff=self.fused_ff,
-                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
-                    )(x, context)
-            if not is_last:
+        last_up = len(self.up_block_types) - 1
+
+        if cached_trunk is None:
+            # ---- mid (UNetMidBlock2DCrossAttn) ----
+            mid_ch = self.block_out_channels[-1]
+            x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
+                              fused_norm=self.fused_norm,
+                              dtype=self.dtype, name="mid_res_0")(x, t_emb)
+            x = AttnBlock(mid_ch, heads_for(mid_ch), self.attention_head_dim,
+                              self.cross_attention_dim, groups=self.norm_groups,
+                              use_flash=self.use_flash_attention, quant=self.quant,
+                              fused_ff=self.fused_ff,
+                              dtype=self.dtype, name="mid_attn")(x, context)
+            x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
+                              fused_norm=self.fused_norm,
+                              dtype=self.dtype, name="mid_res_1")(x, t_emb)
+
+            # ---- up (all but the last block) ----
+            for i in range(last_up):
+                btype = self.up_block_types[i]
+                ch = rev[i]
+                for j in range(self.layers_per_block + 1):
+                    skip = skips.pop()
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    x = ResBlock(ch, groups=self.norm_groups, quant=self.quant,
+                                      fused_norm=self.fused_norm,
+                                      dtype=self.dtype, name=f"up_{i}_res_{j}")(x, t_emb)
+                    if btype == "CrossAttnUpBlock2D":
+                        x = AttnBlock(
+                            ch, heads_for(ch), self.attention_head_dim,
+                            self.cross_attention_dim, groups=self.norm_groups,
+                            use_flash=self.use_flash_attention, quant=self.quant,
+                            fused_ff=self.fused_ff,
+                            dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                        )(x, context)
                 x = Upsample2D(ch, quant=self.quant, dtype=self.dtype,
                                name=f"up_{i}_upsample")(
                     x, out_hw=skips[-1].shape[1:3]
                 )
+            trunk = x
+        else:
+            trunk = cached_trunk.astype(self.dtype)
+            x = trunk
+
+        # ---- the last up block (shared by full and cached passes) ----
+        btype = self.up_block_types[last_up]
+        ch = rev[last_up]
+        for j in range(self.layers_per_block + 1):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResBlock(ch, groups=self.norm_groups, quant=self.quant,
+                              fused_norm=self.fused_norm,
+                              dtype=self.dtype, name=f"up_{last_up}_res_{j}")(x, t_emb)
+            if btype == "CrossAttnUpBlock2D":
+                x = AttnBlock(
+                    ch, heads_for(ch), self.attention_head_dim,
+                    self.cross_attention_dim, groups=self.norm_groups,
+                    use_flash=self.use_flash_attention, quant=self.quant,
+                    fused_ff=self.fused_ff,
+                    dtype=self.dtype, name=f"up_{last_up}_attn_{j}",
+                )(x, context)
 
         from d3roma_tpu.models.layers import GroupNormSiLU
 
@@ -150,6 +199,8 @@ class UNet2DCondition(nn.Module):
                           dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(x)
+        if return_trunk:
+            return x, trunk
         return x
 
 

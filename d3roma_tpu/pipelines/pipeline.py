@@ -266,6 +266,11 @@ class GuidedLatentDiffusionPipeline:
     # call order — see ops/quant.py + calibrate()). None = the global
     # STATIC_ACT_SCALE fallback.
     act_scales: Optional[dict] = None
+    # DeepCache interval (Ma et al., CVPR 2024): 1 = off; k > 1 runs the
+    # full UNet on every k-th denoise step and a shallow cached pass
+    # (conv_in + down block 0 + last up block + conv_out, reusing the
+    # deep trunk feature) on the k-1 steps between. See deepcache().
+    cache_interval: int = 1
     # compiled-executable cache (serving/aot.py); None = plain jit
     aot_cache_dir: Optional[str] = None
     aot_cache_token: str = ""
@@ -315,6 +320,7 @@ class GuidedLatentDiffusionPipeline:
         parts = [repr(self.unet), repr(self.vae), repr(self.spec),
                  repr(self.guidance), repr(self.normalizer),
                  json.dumps(self.act_scales or {}, sort_keys=True),
+                 str(self.cache_interval),
                  self.aot_cache_token, repr(sig_stable)]
         return "ldm_" + hashlib.sha256(
             "|".join(parts).encode()).hexdigest()[:24]
@@ -351,6 +357,53 @@ class GuidedLatentDiffusionPipeline:
             self, unet=_dc.replace(self.unet, fused_norm=True),
             vae=_dc.replace(self.vae, fused_norm=True),
         )
+
+    def deepcache(self, interval: int = 2) -> "GuidedLatentDiffusionPipeline":
+        """Enable DeepCache deep-feature reuse (Ma et al., CVPR 2024; no
+        reference analog — a TPU-side inference accelerator): each group
+        of `interval` denoise steps runs ONE full UNet pass (also emitting
+        the deep trunk feature) and `interval-1` shallow passes that splice
+        the cached trunk in (~34% of the full step's FLOPs at the flagship
+        shape). An approximation — gate on end metrics before deploying
+        (tests/test_deepcache.py + the on-chip accuracy sweep in
+        docs/PERFORMANCE.md). heun is unsupported (its second model
+        evaluation has no cached analog)."""
+        interval = int(interval)
+        if interval < 1:
+            raise ValueError(f"cache_interval must be >= 1, got {interval}")
+        if interval > 1 and self.spec.kind == "heun":
+            raise ValueError("deepcache does not support the heun sampler")
+        return dataclasses.replace(self, cache_interval=interval)
+
+    def _unet_cache_fns(self, unet_params):
+        """(trunk_apply, cached_apply) for the DeepCache sampling path —
+        (None, None) when cache_interval == 1. Each static-int8 pass shape
+        replays its OWN calibrated scale table ("unet" for the full/trunk
+        pass — identical call order to the plain pass — and "unet_cached"
+        for the shallow pass, whose call-site subsequence differs)."""
+        if self.cache_interval <= 1:
+            return None, None
+        static_modes = ("static", "mxu", "halo", "wino_static")
+        if (self.act_scales and self.act_scales.get("unet")
+                and self.unet.quant in static_modes
+                and not self.act_scales.get("unet_cached")):
+            raise ValueError(
+                "deepcache with calibrated static int8 needs the "
+                "'unet_cached' scale table — re-run calibrate() (it "
+                "captures both passes); replaying the full-pass table "
+                "against the shallow pass's different call order would "
+                "silently misassign every per-layer scale")
+
+        def trunk_apply(model_input, t, ctx):
+            return self.unet.apply({"params": unet_params}, model_input,
+                                   t, ctx, return_trunk=True)
+
+        def cached_apply(model_input, t, ctx, trunk):
+            return self.unet.apply({"params": unet_params}, model_input,
+                                   t, ctx, cached_trunk=trunk)
+
+        return (self._replayed(trunk_apply, "unet"),
+                self._replayed(cached_apply, "unet_cached"))
 
     def fast_inference(self, mode: str = "throughput") -> "GuidedLatentDiffusionPipeline":
         """Apply the measured-best TPU inference configuration
@@ -449,7 +502,7 @@ class GuidedLatentDiffusionPipeline:
         dec_fn = make_capture(
             lambda p, z: decode_latent(pipe._vae_apply(p), z))
 
-        def unet_fwd(params, model_input, t):
+        def _ctx_for(model_input):
             # broadcast the (1, T, D) embed (T=2: [BOS, EOS]) to the
             # calibration batch, as the sampling loop does
             # (sampling.py::denoise_scan)
@@ -457,11 +510,29 @@ class GuidedLatentDiffusionPipeline:
             if ctx.shape[0] == 1 and model_input.shape[0] > 1:
                 ctx = jnp.broadcast_to(
                     ctx, (model_input.shape[0],) + ctx.shape[1:])
-            return pipe.unet.apply({"params": params}, model_input, t, ctx)
+            return ctx
+
+        def unet_fwd(params, model_input, t):
+            # return_trunk changes nothing about the call sequence (the
+            # "unet" table stays valid for the plain pass); the trunk
+            # feeds the cached-pass capture below
+            return pipe.unet.apply({"params": params}, model_input, t,
+                                   _ctx_for(model_input), return_trunk=True)
+
+        def unet_cached_fwd(params, model_input, t, trunk):
+            # the DeepCache shallow pass visits a different call-site
+            # subsequence, so it gets its OWN scale table ("unet_cached");
+            # same-step trunks are exact inputs, and absmax-over-steps
+            # with `margin` covers the cross-step reuse drift
+            return pipe.unet.apply({"params": params}, model_input, t,
+                                   _ctx_for(model_input),
+                                   cached_trunk=trunk)
 
         unet_fn = make_capture(unet_fwd)
+        unet_cached_fn = make_capture(unet_cached_fwd)
 
-        tabs = {"unet": None, "vae_encode": None, "vae_decode": None}
+        tabs = {"unet": None, "unet_cached": None, "vae_encode": None,
+                "vae_decode": None}
 
         def acc(name, arr):
             arr = np.asarray(arr, np.float32)
@@ -496,8 +567,11 @@ class GuidedLatentDiffusionPipeline:
             for t in ts:
                 tt = jnp.full((x.shape[0],), int(t), jnp.int32)
                 model_input = jnp.concatenate([x, conds], axis=-1)
-                out, s = unet_fn(pipe.unet_params, model_input, tt)
+                (out, trunk), s = unet_fn(pipe.unet_params, model_input, tt)
                 acc("unet", s)
+                _, s = unet_cached_fn(pipe.unet_params, model_input, tt,
+                                      trunk)
+                acc("unet_cached", s)
                 x, x0 = _step(out, jnp.int32(int(t)),
                               jnp.int32(int(t) - step_ratio), x)
             _, s = dec_fn(pipe.vae_params, x0)
@@ -593,6 +667,7 @@ class GuidedLatentDiffusionPipeline:
             dn = denormer
             if denorm_builder is not None:
                 dn = lambda x: denorm_builder(x, raw_depth, mask)
+            trunk_apply, cached_apply = self._unet_cache_fns(unet_params)
             return latent_pipeline(
                 self._replayed(unet_apply, "unet"),
                 vae_encode=self._replayed(
@@ -609,6 +684,9 @@ class GuidedLatentDiffusionPipeline:
                 raw_depth=raw_depth,
                 guidance=self.guidance if raw_depth is not None else None,
                 denormer=dn, add_noise_rgb=add_noise_rgb,
+                cache_interval=self.cache_interval,
+                unet_apply_trunk=trunk_apply,
+                unet_apply_cached=cached_apply,
             )
         return fn
 
@@ -699,6 +777,14 @@ class GuidedLatentDiffusionPipeline:
         ref = next(x for x in (rgb_images, left_images, right_images,
                                sim_disp) if x is not None)
         noise_dtype = ref.dtype
+        if scan_chunk and self.cache_interval > 1 \
+                and scan_chunk % self.cache_interval != 0:
+            # each non-tail chunk restarts the group pattern (a full pass
+            # first), so chunk length must be a whole number of groups for
+            # the step pattern to match the monolithic program's
+            raise ValueError(
+                f"scan_chunk={scan_chunk} must be a multiple of "
+                f"cache_interval={self.cache_interval}")
 
         if sig not in self._jitted:
             def enc_fn(vae_params, rgb, left, right, raw):
@@ -716,12 +802,16 @@ class GuidedLatentDiffusionPipeline:
                     return self.unet.apply({"params": unet_params},
                                            model_input, t, ctx)
 
+                trunk_apply, cached_apply = self._unet_cache_fns(unet_params)
                 return latent_denoise(
                     self._replayed(unet_apply, "unet"), text_embed,
                     self.spec, self._tables, key, num_inference_steps,
                     num_intermediate_images, conds, lat, cond_channels,
                     guidance_fn=_guidance_fn(vae_params, raw_depth, mask),
-                    add_noise_rgb=add_noise_rgb, noise_dtype=noise_dtype)
+                    add_noise_rgb=add_noise_rgb, noise_dtype=noise_dtype,
+                    cache_interval=self.cache_interval,
+                    unet_apply_trunk=trunk_apply,
+                    unet_apply_cached=cached_apply)
 
             def dec_fn(vae_params, kept):
                 vapply = self._vae_apply(vae_params)
@@ -771,10 +861,17 @@ class GuidedLatentDiffusionPipeline:
                 if add_noise_rgb and "rgb" in lat and "rgb" in cond_channels:
                     noise_rgb_cfg = {"rgb": lat["rgb"],
                                      "slice": (0, lat["rgb"].shape[-1])}
+                mf_trunk = mf_cached = None
+                if self.cache_interval > 1:
+                    t_apply, c_apply = self._unet_cache_fns(unet_params)
+                    mf_trunk = lambda mi, t: t_apply(mi, t, text_embed)
+                    mf_cached = (lambda mi, t, trunk:
+                                 c_apply(mi, t, text_embed, trunk))
                 return run_sampler_steps(
                     model_fn, self.spec, self._tables, x, conds, key,
                     ts, prev_ts, _guidance_fn(vae_params, raw_depth, mask),
-                    noise_rgb_cfg)
+                    noise_rgb_cfg, cache_interval=self.cache_interval,
+                    model_fn_trunk=mf_trunk, model_fn_cached=mf_cached)
 
             # executable-cache the split programs too: the split path IS
             # the latency/streaming deployment (the monolithic batch-1

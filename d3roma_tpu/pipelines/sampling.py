@@ -130,6 +130,9 @@ def run_sampler(
     num_inference_steps: int,
     guidance_fn=None,
     noise_rgb_cfg: Optional[Dict] = None,
+    cache_interval: int = 1,
+    model_fn_trunk=None,
+    model_fn_cached=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Core scan. model_fn(model_input, t) -> model output (same shape as
     x_init). Returns (final prev_sample, per-step x_hat0 stack [T, ...]) —
@@ -141,13 +144,56 @@ def run_sampler(
     stop)} implementing the reference's add_noise_rgb option: the rgb slice
     of `conds` is blended 50/50 with its noised version at each t
     (custom_pipelines.py:343-350).
+
+    cache_interval > 1 enables DeepCache-style deep-feature reuse (see
+    run_sampler_steps).
     """
     ts, prev_ts = _timestep_arrays(spec.schedule, num_inference_steps)
     x_final, _, x0_stack = run_sampler_steps(
         model_fn, spec, tables, x_init, conds, key, ts, prev_ts,
-        guidance_fn, noise_rgb_cfg,
+        guidance_fn, noise_rgb_cfg, cache_interval=cache_interval,
+        model_fn_trunk=model_fn_trunk, model_fn_cached=model_fn_cached,
     )
     return x_final, x0_stack
+
+
+def _step_conds(conds, noise_rgb_cfg, tables, t, k_rgb):
+    """Per-step conditions, with the add_noise_rgb 50/50 blend when
+    configured (custom_pipelines.py:343-350)."""
+    if noise_rgb_cfg is None:
+        return conds
+    rgb = noise_rgb_cfg["rgb"]
+    s0, s1 = noise_rgb_cfg["slice"]
+    noise = jax.random.normal(k_rgb, rgb.shape, rgb.dtype)
+    noisy = add_noise(tables, rgb, noise, t)
+    final_rgb = rgb * 0.5 + noisy * 0.5
+    return jnp.concatenate([conds[..., :s0], final_rgb, conds[..., s1:]],
+                           axis=-1)
+
+
+def _scheduler_apply(spec, tables, model_output, t, prev_t, x, k_noise,
+                     guidance_fn):
+    """One scheduler update for the non-heun samplers (heun needs a second
+    model evaluation and stays inline in the scan body)."""
+    cfg = spec.schedule
+    if spec.is_ddim:
+        return ddim_step(
+            tables, cfg, model_output, t, prev_t, x,
+            eta=spec.eta,
+            key=k_noise if spec.eta > 0 else None,
+            use_clipped_model_output=spec.use_clipped_model_output,
+            guidance_fn=guidance_fn,
+        )
+    if spec.kind == "euler":
+        return euler_step(
+            tables, cfg, model_output, t, prev_t, x, guidance_fn=guidance_fn,
+        )
+    if spec.kind in ("ddpm", "my_ddpm"):
+        return ddpm_step(
+            tables, cfg, model_output, t, prev_t, x,
+            key=k_noise, guidance_fn=guidance_fn,
+        )
+    raise ValueError(f"unknown sampler kind {spec.kind!r}")
 
 
 def run_sampler_steps(
@@ -161,13 +207,35 @@ def run_sampler_steps(
     prev_ts: jnp.ndarray,
     guidance_fn=None,
     noise_rgb_cfg: Optional[Dict] = None,
+    cache_interval: int = 1,
+    model_fn_trunk=None,
+    model_fn_cached=None,
 ) -> tuple[jnp.ndarray, jax.Array, jnp.ndarray]:
     """run_sampler over an explicit (ts, prev_ts) slice, returning the
     carry key too: `(x_final, key_final, x0_stack)`. The timestep arrays
     may be TRACED — one compiled program then serves every equal-length
     chunk of a denoise trajectory (the scan_chunk deployment mode, where
     very long single-program scans cannot compile through the remote
-    relay)."""
+    relay).
+
+    With ``cache_interval=k > 1`` (DeepCache, Ma et al. CVPR 2024): steps
+    run in groups of k — the group's first step evaluates
+    ``model_fn_trunk(input, t) -> (output, trunk)`` (the full model, also
+    returning its deep trunk feature), the k-1 following steps evaluate
+    ``model_fn_cached(input, t, trunk)`` (the shallow path splicing the
+    cached trunk in). The scan runs over whole groups; a remainder of
+    len(ts) % k steps is finished with full-model steps. The per-step RNG
+    split pattern is identical to the uncached scan. heun is not
+    supported (its second model evaluation has no cached analog)."""
+    if cache_interval and cache_interval > 1:
+        assert spec.kind != "heun", "cache_interval>1 does not support heun"
+        assert model_fn_trunk is not None and model_fn_cached is not None, (
+            "cache_interval>1 needs model_fn_trunk and model_fn_cached")
+        return _run_cached_steps(
+            model_fn, spec, tables, x_init, conds, key, ts, prev_ts,
+            guidance_fn, noise_rgb_cfg, int(cache_interval),
+            model_fn_trunk, model_fn_cached)
+
     cfg = spec.schedule
 
     def body(carry, step_in):
@@ -175,33 +243,11 @@ def run_sampler_steps(
         t, prev_t = step_in
         k, k_noise, k_rgb = jax.random.split(k, 3)
 
-        step_conds = conds
-        if noise_rgb_cfg is not None:
-            rgb = noise_rgb_cfg["rgb"]
-            s0, s1 = noise_rgb_cfg["slice"]
-            noise = jax.random.normal(k_rgb, rgb.shape, rgb.dtype)
-            noisy = add_noise(tables, rgb, noise, t)
-            final_rgb = rgb * 0.5 + noisy * 0.5
-            step_conds = jnp.concatenate(
-                [conds[..., :s0], final_rgb, conds[..., s1:]], axis=-1
-            )
-
+        step_conds = _step_conds(conds, noise_rgb_cfg, tables, t, k_rgb)
         model_input = jnp.concatenate([x, step_conds], axis=-1)
         model_output = model_fn(model_input, t)
 
-        if spec.is_ddim:
-            out = ddim_step(
-                tables, cfg, model_output, t, prev_t, x,
-                eta=spec.eta,
-                key=k_noise if spec.eta > 0 else None,
-                use_clipped_model_output=spec.use_clipped_model_output,
-                guidance_fn=guidance_fn,
-            )
-        elif spec.kind == "euler":
-            out = euler_step(
-                tables, cfg, model_output, t, prev_t, x, guidance_fn=guidance_fn,
-            )
-        elif spec.kind == "heun":
+        if spec.kind == "heun":
             e = euler_step(
                 tables, cfg, model_output, t, prev_t, x, guidance_fn=guidance_fn,
             )
@@ -212,13 +258,9 @@ def run_sampler_steps(
                 tables, cfg, model_output, model_output2, t, prev_t, x,
                 e.prev_sample, guidance_fn=guidance_fn,
             )
-        elif spec.kind in ("ddpm", "my_ddpm"):
-            out = ddpm_step(
-                tables, cfg, model_output, t, prev_t, x,
-                key=k_noise, guidance_fn=guidance_fn,
-            )
-        else:  # unreachable: SamplerSpec.__post_init__ validates the kind
-            raise ValueError(f"unknown sampler kind {spec.kind!r}")
+        else:
+            out = _scheduler_apply(spec, tables, model_output, t, prev_t,
+                                   x, k_noise, guidance_fn)
         # scheduler-table math runs in f32; cast back so the scan carry
         # keeps the caller's noise dtype (bf16 inputs otherwise fail the
         # scan's carry-type invariance on step 1)
@@ -228,6 +270,52 @@ def run_sampler_steps(
     (x_final, key_final), x0_stack = jax.lax.scan(
         body, (x_init, key), (ts, prev_ts))
     return x_final, key_final, x0_stack
+
+
+def _run_cached_steps(model_fn, spec, tables, x_init, conds, key, ts,
+                      prev_ts, guidance_fn, noise_rgb_cfg, interval,
+                      model_fn_trunk, model_fn_cached):
+    """The DeepCache grouped scan (see run_sampler_steps)."""
+    num_steps = int(ts.shape[0])
+    groups, rem = divmod(num_steps, interval)
+
+    def gbody(carry, step_in):
+        x, k = carry
+        ts_g, prev_g = step_in  # each [interval]
+        x0s = []
+        trunk = None
+        for j in range(interval):
+            t, prev_t = ts_g[j], prev_g[j]
+            k, k_noise, k_rgb = jax.random.split(k, 3)
+            step_conds = _step_conds(conds, noise_rgb_cfg, tables, t, k_rgb)
+            model_input = jnp.concatenate([x, step_conds], axis=-1)
+            if j == 0:
+                model_output, trunk = model_fn_trunk(model_input, t)
+            else:
+                model_output = model_fn_cached(model_input, t, trunk)
+            out = _scheduler_apply(spec, tables, model_output, t, prev_t,
+                                   x, k_noise, guidance_fn)
+            x = out.prev_sample.astype(x_init.dtype)
+            x0s.append(out.perturbed_original_sample)
+        return (x, k), jnp.stack(x0s)
+
+    carry = (x_init, key)
+    stacks = []
+    if groups:
+        gts = ts[: groups * interval].reshape(groups, interval)
+        gprev = prev_ts[: groups * interval].reshape(groups, interval)
+        carry, ys = jax.lax.scan(gbody, carry, (gts, gprev))
+        stacks.append(ys.reshape((groups * interval,) + ys.shape[2:]))
+    if rem:
+        # finish the remainder with full-model steps (same RNG pattern)
+        x_f, key_f, tail = run_sampler_steps(
+            model_fn, spec, tables, carry[0], conds, carry[1],
+            ts[groups * interval:], prev_ts[groups * interval:],
+            guidance_fn, noise_rgb_cfg)
+        carry = (x_f, key_f)
+        stacks.append(tail)
+    x0_stack = stacks[0] if len(stacks) == 1 else jnp.concatenate(stacks, 0)
+    return carry[0], carry[1], x0_stack
 
 
 # ---------------------------------------------------------------------- #
@@ -322,6 +410,9 @@ def latent_pipeline(
     guidance: Optional[FlowGuidance] = None,
     denormer: Optional[Callable] = None,
     add_noise_rgb: bool = False,
+    cache_interval: int = 1,
+    unet_apply_trunk=None,
+    unet_apply_cached=None,
 ) -> PipelineOutput:
     """Latent-space sampling (reference: custom_pipelines.py:208-462).
 
@@ -329,6 +420,10 @@ def latent_pipeline(
     model is conditioned on the (empty-prompt) text embedding; guidance in
     "gradient" mode runs inside the scan; the returned images are VAE
     decodes of x_hat0 (channel-mean -> 1 channel), clamped to [-1, 1].
+
+    cache_interval > 1 = DeepCache (see run_sampler_steps); callers supply
+    `unet_apply_trunk(model_input, t, ctx) -> (out, trunk)` and
+    `unet_apply_cached(model_input, t, ctx, trunk) -> out`.
     """
     guidance_fn = None
     if guidance is not None and guidance.enabled:
@@ -351,7 +446,9 @@ def latent_pipeline(
         unet_apply, text_embed, spec, tables, key, num_inference_steps,
         num_intermediate_images, conds, lat, cond_channels,
         guidance_fn=guidance_fn, add_noise_rgb=add_noise_rgb,
-        noise_dtype=ref.dtype,
+        noise_dtype=ref.dtype, cache_interval=cache_interval,
+        unet_apply_trunk=unet_apply_trunk,
+        unet_apply_cached=unet_apply_cached,
     )
     return latent_decode_images(vae_decode, kept)
 
@@ -402,6 +499,9 @@ def latent_denoise(
     guidance_fn=None,
     add_noise_rgb: bool = False,
     noise_dtype=None,
+    cache_interval: int = 1,
+    unet_apply_trunk=None,
+    unet_apply_cached=None,
 ) -> jnp.ndarray:
     """Stage 2: latent-noise init + the T-step denoise scan. Returns the
     kept x_hat0 latents [S, B, h, w, 4] (last kept index = final step).
@@ -423,6 +523,14 @@ def latent_denoise(
     def model_fn(model_input, t):
         return unet_apply(model_input, t, text_embed)
 
+    model_fn_trunk = model_fn_cached = None
+    if cache_interval and cache_interval > 1:
+        def model_fn_trunk(model_input, t):
+            return unet_apply_trunk(model_input, t, text_embed)
+
+        def model_fn_cached(model_input, t, trunk):
+            return unet_apply_cached(model_input, t, text_embed, trunk)
+
     noise_rgb_cfg = None
     if add_noise_rgb and "rgb" in lat and "rgb" in cond_channels:
         noise_rgb_cfg = {"rgb": lat["rgb"], "slice": (0, lat["rgb"].shape[-1])}
@@ -430,6 +538,8 @@ def latent_denoise(
     _, x0_stack = run_sampler(
         model_fn, spec, tables, x_init, conds, key,
         num_inference_steps, guidance_fn, noise_rgb_cfg,
+        cache_interval=cache_interval, model_fn_trunk=model_fn_trunk,
+        model_fn_cached=model_fn_cached,
     )
     return x0_stack[_kept_indices(num_inference_steps, num_intermediate_images)]
 

@@ -59,6 +59,9 @@ def main(argv):
         else:
             pipeline = pipeline.fast_inference(config.fast_inference)
     pipeline = pipeline.replace_sampler(create_sampler_spec(config, train=False))
+    if config.deepcache > 1 and hasattr(pipeline, "deepcache"):
+        # after replace_sampler so the heun validation sees the final spec
+        pipeline = pipeline.deepcache(config.deepcache)
 
     if tp > 1:
         # 2-D (data, model) mesh: batches shard on data, the UNet/VAE

@@ -18,8 +18,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _ENV_KEYS = ("BENCH_QUANT", "BENCH_MODEL", "BENCH_BATCH", "BENCH_STEPS",
              "BENCH_FLASH", "BENCH_FF", "BENCH_FUSED_GN", "BENCH_AUTOSELECT",
-             "BENCH_CALIB", "BENCH_RECORDS", "D3ROMA_WINO_CHUNK",
-             "D3ROMA_WINO_FUSED", "D3ROMA_WINO_SLAB_MB")
+             "BENCH_CALIB", "BENCH_RECORDS", "BENCH_DEEPCACHE",
+             "D3ROMA_WINO_CHUNK", "D3ROMA_WINO_FUSED", "D3ROMA_WINO_SLAB_MB")
 
 
 @pytest.fixture(autouse=True)
@@ -161,6 +161,43 @@ def test_autoselect_skips_malformed_records(tmp_path):
     _set_env(rec)
     bench._maybe_autoselect_quant()  # must not raise
     assert os.environ.get("BENCH_QUANT") is None
+
+
+def test_autoselect_deepcache_dimension(tmp_path):
+    """deepcache is a selectable config dimension like quant/wc: a
+    measured-faster cached config flips the default run; a user-pinned
+    BENCH_DEEPCACHE restricts comparisons to that interval."""
+    bench = _load_bench()
+    rec = tmp_path / "results.jsonl"
+    _write_records(rec, [
+        dict(quant="static", fps=15.3),
+        dict(quant="static", deepcache="2", fps=19.5),
+    ])
+    _set_env(rec)
+    bench._maybe_autoselect_quant()
+    assert os.environ.get("BENCH_QUANT") == "static"
+    assert os.environ.get("BENCH_DEEPCACHE") == "2"
+
+    # user pinned the interval: records at other intervals are not
+    # comparable, and the pin survives
+    _write_records(rec, [
+        dict(quant="static", deepcache="2", fps=19.5),
+        dict(quant="static", deepcache="3", fps=25.0),
+        dict(quant="wino_static", deepcache="2", fps=21.0),
+    ])
+    _set_env(rec, BENCH_DEEPCACHE="2")
+    bench._maybe_autoselect_quant()
+    assert os.environ.get("BENCH_QUANT") == "wino_static"
+    assert os.environ.get("BENCH_DEEPCACHE") == "2"
+
+    # records without the field predate the feature = interval 1
+    _write_records(rec, [
+        dict(quant="static", fps=15.3),
+        dict(quant="static", deepcache="2", fps=15.4),  # within noise
+    ])
+    _set_env(rec)
+    bench._maybe_autoselect_quant()
+    assert os.environ.get("BENCH_DEEPCACHE") is None
 
 
 def test_record_result_roundtrip(tmp_path):

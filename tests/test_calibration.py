@@ -147,7 +147,8 @@ def test_pipeline_calibrate_end_metric_gate(tmp_path):
         [dict(rgb_images=rgb, sim_disp=raw)],
         cond_channels="rgb+raw", num_inference_steps=3,
     )
-    assert set(calibrated.act_scales) == {"unet", "vae_encode", "vae_decode"}
+    assert set(calibrated.act_scales) == {"unet", "unet_cached",
+                                          "vae_encode", "vae_decode"}
     assert all(len(v) > 0 for v in calibrated.act_scales.values())
     out_c = np.asarray(calibrated(jax.random.PRNGKey(9), **kwargs).images)
 
@@ -219,7 +220,7 @@ def test_calibrate_pipeline_cli(tmp_path):
     assert rc == 0
     with open(os.path.join(d, "act_scales.json")) as f:
         scales = json.load(f)
-    assert set(scales) == {"unet", "vae_encode", "vae_decode"}
+    assert set(scales) == {"unet", "unet_cached", "vae_encode", "vae_decode"}
 
     from d3roma_tpu.pipelines import GuidedLatentDiffusionPipeline
 

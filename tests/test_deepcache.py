@@ -1,0 +1,204 @@
+"""DeepCache (Ma et al., CVPR 2024) — deep-feature reuse across denoise
+steps. No reference analog: a TPU-side inference accelerator on top of the
+reference's sampling contract (core/custom_pipelines.py denoise loop).
+
+Covers: the UNet's cached shallow pass (exact when the trunk is same-step),
+the grouped scan's step/RNG equivalence with the plain scan, pipeline
+wiring across the monolithic / split-program / scan-chunk deployments,
+validation errors, and calibration's "unet_cached" scale table.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3roma_tpu.ops import ScheduleConfig
+from d3roma_tpu.pipelines import SamplerSpec, run_sampler
+from tests.test_calibration import _tiny_latent_pipe
+from tests.test_pipelines import SMALL_SCHED
+
+
+def test_unet_cached_pass_exact_with_same_step_trunk():
+    """cached_trunk from a full pass over the SAME (sample, t) must make
+    the shallow pass bit-agree with the full pass: the shallow path reruns
+    exactly conv_in + down block 0 + the last up block + conv_out, and the
+    trunk replaces everything between."""
+    from d3roma_tpu.models import UNet2DCondition
+
+    unet = UNet2DCondition(
+        in_channels=8, out_channels=4, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=8, cross_attention_dim=16,
+        norm_groups=8,
+    )
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 8))
+    ctx = jax.random.normal(jax.random.fold_in(key, 2), (2, 3, 16))
+    t = jnp.array([5, 11])
+    params = jax.jit(unet.init)(key, x, t, ctx)["params"]
+
+    full, trunk = jax.jit(
+        lambda p: unet.apply({"params": p}, x, t, ctx, return_trunk=True)
+    )(params)
+    cached = jax.jit(
+        lambda p, tr: unet.apply({"params": p}, x, t, ctx, cached_trunk=tr)
+    )(params, trunk)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
+                               atol=1e-5)
+    # the trunk enters the last up block at full spatial resolution with
+    # the PENULTIMATE up block's channel width (its upsample output)
+    assert trunk.shape == (2, 8, 8, 32)
+
+
+@pytest.mark.parametrize("kind,steps,interval", [
+    ("my_ddim", 4, 2),   # whole groups
+    ("my_ddim", 5, 2),   # remainder finished with full-model steps
+    ("ddpm", 6, 3),      # stochastic sampler: RNG split pattern must match
+    ("euler", 5, 4),     # remainder longer than one group's tail
+])
+def test_grouped_scan_matches_plain_when_cache_is_exact(kind, steps, interval):
+    """With a cached fn that (artificially) recomputes the full model, the
+    grouped DeepCache scan must reproduce the plain scan bit-for-bit —
+    pinning the group restructuring, the remainder handling, and the
+    per-step RNG split pattern."""
+    tables = SMALL_SCHED.tables()
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(key, (1, 8, 8, 1)) * 0.3
+    x_init = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    conds = jnp.zeros((1, 8, 8, 2))
+
+    def model_fn(model_input, t):
+        x = model_input[..., :1]
+        ab = tables.alphas_cumprod[t]
+        return (x - jnp.sqrt(ab) * x0) / jnp.sqrt(1 - ab)
+
+    spec = SamplerSpec(kind=kind, schedule=SMALL_SCHED)
+    plain_final, plain_stack = run_sampler(
+        model_fn, spec, tables, x_init, conds, key, steps)
+    cached_final, cached_stack = run_sampler(
+        model_fn, spec, tables, x_init, conds, key, steps,
+        cache_interval=interval,
+        model_fn_trunk=lambda mi, t: (model_fn(mi, t), jnp.zeros((1,))),
+        model_fn_cached=lambda mi, t, trunk: model_fn(mi, t),
+    )
+    np.testing.assert_allclose(np.asarray(cached_final),
+                               np.asarray(plain_final), atol=1e-6)
+    assert cached_stack.shape == plain_stack.shape
+    np.testing.assert_allclose(np.asarray(cached_stack),
+                               np.asarray(plain_stack), atol=1e-6)
+
+
+def _cond_arrays():
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(
+        jax.random.normal(jax.random.fold_in(key, 2), (1, 32, 32, 1))) * 0.3
+    return rgb, raw
+
+
+def test_deepcache_pipeline_interval1_is_plain_and_interval2_runs():
+    pipe = _tiny_latent_pipe()
+    rgb, raw = _cond_arrays()
+    kwargs = dict(num_inference_steps=4, num_intermediate_images=2,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+
+    plain = pipe(jax.random.PRNGKey(9), **kwargs)
+    one = pipe.deepcache(1)(jax.random.PRNGKey(9), **kwargs)
+    np.testing.assert_allclose(np.asarray(one.images),
+                               np.asarray(plain.images), atol=1e-6)
+
+    two = pipe.deepcache(2)(jax.random.PRNGKey(9), **kwargs)
+    assert two.images.shape == plain.images.shape
+    assert two.intermediates.shape == plain.intermediates.shape
+    assert np.isfinite(np.asarray(two.images)).all()
+    # the cached steps are an approximation — outputs must differ from the
+    # plain run (equality would mean the cached path never executed)
+    assert not np.allclose(np.asarray(two.images), np.asarray(plain.images))
+
+
+def test_deepcache_split_and_chunk_match_monolithic():
+    """All three deployment modes (monolithic scan / split programs /
+    scan_chunk) must agree under DeepCache — same group pattern, same RNG
+    stream."""
+    pipe = _tiny_latent_pipe().deepcache(2)
+    rgb, raw = _cond_arrays()
+    kwargs = dict(num_inference_steps=4, num_intermediate_images=2,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+
+    mono = pipe(jax.random.PRNGKey(9), **kwargs)
+    split = pipe(jax.random.PRNGKey(9), split_programs=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(split.images),
+                               np.asarray(mono.images), atol=1e-5)
+    chunked = pipe(jax.random.PRNGKey(9), scan_chunk=2, **kwargs)
+    np.testing.assert_allclose(np.asarray(chunked.images),
+                               np.asarray(mono.images), atol=1e-5)
+
+    # chunk length must be a whole number of cache groups
+    with pytest.raises(ValueError, match="multiple of"):
+        pipe(jax.random.PRNGKey(9), scan_chunk=3, **kwargs)
+
+
+def test_deepcache_validations():
+    pipe = _tiny_latent_pipe()
+    with pytest.raises(ValueError, match=">= 1"):
+        pipe.deepcache(0)
+    heun = dc.replace(pipe, spec=SamplerSpec("heun", SMALL_SCHED))
+    with pytest.raises(ValueError, match="heun"):
+        heun.deepcache(2)
+
+    # static int8 + calibrated "unet" table but no "unet_cached" table:
+    # replaying the full-pass scales against the shallow pass's different
+    # call order would silently misassign every per-layer scale
+    stale = dc.replace(
+        pipe, unet=dc.replace(pipe.unet, quant="static"),
+        act_scales={"unet": [0.1, 0.2]}, cache_interval=2)
+    with pytest.raises(ValueError, match="unet_cached"):
+        stale._unet_cache_fns(pipe.unet_params)
+
+
+def test_config_knob_coerces_and_wires():
+    """task.deepcache=N reaches the pipeline as cache_interval (evaluate /
+    inference / distributed_evaluate all apply it after any sampler
+    override)."""
+    from d3roma_tpu.config import compose
+
+    cfg = compose(overrides=["task=eval_ldm", "task.deepcache=3"]).task
+    assert cfg.deepcache == 3 and isinstance(cfg.deepcache, int)
+    pipe = _tiny_latent_pipe().deepcache(cfg.deepcache)
+    assert pipe.cache_interval == 3
+
+
+def test_calibrate_captures_cached_table_and_replays_clean():
+    """calibrate() drives BOTH UNet pass shapes and stores separate scale
+    tables; the calibrated static-int8 DeepCache pipeline then replays
+    without scale-count drift and stays close to the float DeepCache
+    output."""
+    pipe = _tiny_latent_pipe()
+    rgb, raw = _cond_arrays()
+    kwargs = dict(num_inference_steps=4, num_intermediate_images=1,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+
+    static = dc.replace(
+        pipe, unet=dc.replace(pipe.unet, quant="static"),
+        vae=dc.replace(pipe.vae, quant="static"))
+    calibrated = static.calibrate(
+        jax.random.PRNGKey(3), [dict(rgb_images=rgb, sim_disp=raw)],
+        cond_channels="rgb+raw", num_inference_steps=4)
+    assert set(calibrated.act_scales) == {
+        "unet", "unet_cached", "vae_encode", "vae_decode"}
+    assert all(len(v) > 0 for v in calibrated.act_scales.values())
+    # the shallow pass quantizes a strict subset of the full pass's sites
+    assert (len(calibrated.act_scales["unet_cached"])
+            < len(calibrated.act_scales["unet"]))
+
+    out_float = np.asarray(pipe.deepcache(2)(jax.random.PRNGKey(9),
+                                             **kwargs).images)
+    out_cal = np.asarray(calibrated.deepcache(2)(jax.random.PRNGKey(9),
+                                                 **kwargs).images)
+    assert np.isfinite(out_cal).all()
+    scale = np.abs(out_float).mean()
+    assert np.abs(out_cal - out_float).mean() < 0.05 * max(scale, 0.1)
