@@ -72,12 +72,23 @@ def enc_fn(params, r, d):
         "rgb+raw", rgb=r, sim_disp=d)
 
 
+DC = int(os.environ.get("PB_DEEPCACHE", "1"))
+
+
 def scan_fn(params, k, c):
     def unet_apply(mi, t, ctx):
         return unet.apply({"params": params}, mi, t, ctx)
+    kw2 = {}
+    if DC > 1:
+        kw2 = dict(
+            cache_interval=DC,
+            unet_apply_trunk=lambda mi, t, ctx: unet.apply(
+                {"params": params}, mi, t, ctx, return_trunk=True),
+            unet_apply_cached=lambda mi, t, ctx, tr: unet.apply(
+                {"params": params}, mi, t, ctx, cached_trunk=tr))
     return latent_denoise(
         unet_apply, jnp.zeros((1, 2, 1024)), spec, tables, k,
-        STEPS, 1, c, {}, "rgb+raw", noise_dtype=jnp.float32)
+        STEPS, 1, c, {}, "rgb+raw", noise_dtype=jnp.float32, **kw2)
 
 
 def dec_fn(params, z):
@@ -97,7 +108,7 @@ kept0 = jax.random.normal(jax.random.PRNGKey(2),
                           (1, BATCH, H // 8, W // 8, 4), jnp.float32)
 
 print(f"# b1 decomp: {H}x{W} b{BATCH} s{STEPS} kernels={KERNELS} "
-      f"quant={QUANT}", flush=True)
+      f"quant={QUANT} dc={DC}", flush=True)
 
 
 def timed(name, launch, fetch):

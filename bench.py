@@ -224,7 +224,8 @@ def bench_ldm(batch, reps):
     from d3roma_tpu.utils.flops import latent_pipeline_flops_per_frame
 
     flops = latent_pipeline_flops_per_frame(H, W, steps, n_conds=2,
-                                            in_channels=in_ch)
+                                            in_channels=in_ch,
+                                            cache_interval=dc_interval)
     return run, f"ldm_rgb+raw_640x360_ddim{steps}", flops["total"]
 
 

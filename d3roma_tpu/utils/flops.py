@@ -142,6 +142,63 @@ def unet2d_condition_flops(
     return total
 
 
+def unet2d_condition_shallow_flops(
+    h: int, w: int,
+    in_channels: int = 4,
+    out_channels: int = 4,
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block: int = 2,
+    attention_head_dim: int = 64,
+    cross_attention_dim: int = 1024,
+    ctx_len: int = 77,
+) -> int:
+    """FLOPs of the DeepCache shallow (cached-trunk) pass: time embedding
+    + conv_in + down block 0 + the LAST up block (fed the cached trunk at
+    the penultimate up block's width) + conv_out — the exact subgraph of
+    models/unet2d_condition.py's ``cached_trunk`` path."""
+    c0 = block_out_channels[0]
+    temb = 4 * c0
+    total = dense_flops(1, c0, temb) + dense_flops(1, temb, temb)
+    total += conv_flops(h, w, in_channels, c0)
+
+    def inner_for(ch):
+        return max(1, ch // attention_head_dim) * attention_head_dim
+
+    # down block 0 only (no downsample — the cached pass breaks before it)
+    skips = [c0]
+    cur = c0
+    btype, ch = down_block_types[0], block_out_channels[0]
+    for _ in range(layers_per_block):
+        total += resnet_block_flops(h, w, cur, ch, temb)
+        cur = ch
+        if btype == "CrossAttnDownBlock2D":
+            total += transformer2d_flops(h, w, ch, inner_for(ch),
+                                         ctx_len, cross_attention_dim)
+        skips.append(ch)
+
+    # the last up block, entered by the trunk
+    rev = tuple(reversed(block_out_channels))
+    last = len(up_block_types) - 1
+    cur = rev[last - 1] if last >= 1 else block_out_channels[-1]
+    btype, ch = up_block_types[last], rev[last]
+    for _ in range(layers_per_block + 1):
+        skip = skips.pop()
+        total += resnet_block_flops(h, w, cur + skip, ch, temb)
+        cur = ch
+        if btype == "CrossAttnUpBlock2D":
+            total += transformer2d_flops(h, w, ch, inner_for(ch),
+                                         ctx_len, cross_attention_dim)
+
+    total += conv_flops(h, w, block_out_channels[0], out_channels)
+    return total
+
+
 def vae_encoder_flops(
     h: int, w: int,
     in_channels: int = 3,
@@ -198,14 +255,30 @@ def vae_decoder_flops(
 
 def latent_pipeline_flops_per_frame(
     H: int, W: int, steps: int, n_conds: int = 2, in_channels: int = 12,
+    cache_interval: int = 1,
 ) -> dict:
     """Model FLOPs per FRAME of the flagship latent pipeline at image size
     HxW: one VAE encode per condition, `steps` UNet forwards at the /8
-    latent size, one final decode."""
+    latent size, one final decode.
+
+    ``cache_interval=k > 1`` counts the DeepCache step pattern (the FLOPs
+    actually executed): groups of one full pass + (k-1) shallow cached
+    passes, remainder steps full — keeping bench MFU honest under the
+    cached schedule."""
     h, w = H // 8, W // 8
     unet = unet2d_condition_flops(h, w, in_channels=in_channels)
     enc = vae_encoder_flops(H, W)
     dec = vae_decoder_flops(h, w)
-    total = steps * unet + n_conds * enc + dec
-    return {"unet_per_step": unet, "vae_encode": enc, "vae_decode": dec,
-            "total": total}
+    out = {"unet_per_step": unet, "vae_encode": enc, "vae_decode": dec}
+    k = max(1, int(cache_interval))
+    if k > 1:
+        shallow = unet2d_condition_shallow_flops(h, w,
+                                                 in_channels=in_channels)
+        groups, rem = divmod(steps, k)
+        n_full, n_shallow = groups + rem, groups * (k - 1)
+        out["unet_shallow_per_step"] = shallow
+        out["total"] = (n_full * unet + n_shallow * shallow
+                        + n_conds * enc + dec)
+    else:
+        out["total"] = steps * unet + n_conds * enc + dec
+    return out

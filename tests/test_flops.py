@@ -69,6 +69,53 @@ def test_vae_flops_matches_xla():
     assert abs(est_dec - xla_dec) / xla_dec < 0.12
 
 
+def test_shallow_unet_flops_matches_xla():
+    """The DeepCache shallow-pass estimator must track XLA's count of the
+    actual cached_trunk program (same MFU convention as the full pass)."""
+    from d3roma_tpu.utils.flops import unet2d_condition_shallow_flops
+
+    geom = dict(in_channels=8, out_channels=4, block_out_channels=(32, 64),
+                down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                layers_per_block=2, attention_head_dim=8,
+                cross_attention_dim=16)
+    unet = UNet2DCondition(norm_groups=8, **geom)
+    x = jnp.zeros((1, 16, 24, 8))
+    ctx = jnp.zeros((1, 5, 16))
+    t = jnp.zeros((1,), jnp.int32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    # trunk channels = the penultimate up block's width (rev[0] = 64 here)
+    trunk = jnp.zeros((1, 16, 24, 64))
+    f = jax.jit(lambda p, x, t, c, tr: unet.apply(
+        {"params": p}, x, t, c, cached_trunk=tr))
+    xla = _xla_flops(f, params, x, t, ctx, trunk)
+    est = unet2d_condition_shallow_flops(16, 24, ctx_len=5, **geom)
+    assert est <= xla
+    assert abs(est - xla) / xla < 0.12
+
+
+def test_deepcache_pipeline_flops_pattern():
+    """cache_interval=k counts groups of 1 full + (k-1) shallow passes,
+    remainder full — between the all-shallow and all-full bounds and
+    consistent with the hand-computed pattern."""
+    full = latent_pipeline_flops_per_frame(360, 640, steps=10)
+    dc = latent_pipeline_flops_per_frame(360, 640, steps=10,
+                                         cache_interval=2)
+    shallow = dc["unet_shallow_per_step"]
+    unet = dc["unet_per_step"]
+    assert 0 < shallow < unet
+    expect = (5 * unet + 5 * shallow
+              + 2 * dc["vae_encode"] + dc["vae_decode"])
+    assert dc["total"] == expect
+    assert dc["total"] < full["total"]
+    # remainder: 10 steps at k=3 -> 3 groups (3 full + 6 shallow) + 1 full
+    dc3 = latent_pipeline_flops_per_frame(360, 640, steps=10,
+                                          cache_interval=3)
+    expect3 = (4 * unet + 6 * shallow
+               + 2 * dc3["vae_encode"] + dc3["vae_decode"])
+    assert dc3["total"] == expect3
+
+
 def test_flagship_pipeline_flops_magnitude():
     """SD2.1-geometry sanity: the flagship UNet forward at 45x80 latent is
     in the hundreds-of-GFLOPs range per sample, and the 10-step frame
