@@ -468,6 +468,11 @@ def main():
         "ms_per_frame": round(1000.0 * dt / batch, 2),
         "quant": os.environ.get("BENCH_QUANT", DEFAULT_QUANT),
     }
+    dc = os.environ.get("BENCH_DEEPCACHE", "1")
+    if model == "ldm" and dc != "1":
+        # disclose the approximation: this run reuses deep UNet features
+        # across steps (accuracy deltas: docs/PERFORMANCE.md)
+        result["deepcache_interval"] = int(dc)
     if flops_per_frame:
         # analytic model FLOPs (utils/flops.py, XLA-validated): the MFU
         # convention — contraction FLOPs only, no kernel padding waste

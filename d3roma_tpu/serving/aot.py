@@ -207,6 +207,9 @@ def save_serving(pipe, out_dir: str, sig: ServingSignature,
         # program as constants, so bind() must refuse a pipeline whose
         # calibration differs (the program would silently ignore it)
         "act_scales_sha": _act_scales_sha(getattr(pipe, "act_scales", None)),
+        # disclosed so consumers can tell an exact-numerics program from a
+        # DeepCache (deep-trunk reuse) one — the approximation is baked in
+        "deepcache_interval": int(getattr(pipe, "cache_interval", 1) or 1),
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)

@@ -77,6 +77,30 @@ def test_export_roundtrip_latent(tmp_path):
     assert out.intermediates.shape[0] == 1
 
 
+def test_export_deepcache_program_and_manifest(tmp_path):
+    """A DeepCache pipeline exports its grouped serving program; the
+    manifest discloses the interval (1 for exact-numerics exports) so
+    consumers can tell approximation programs apart."""
+    import json
+
+    pipe = _tiny_latent_pipe()
+    d_exact = str(tmp_path / "exact")
+    save_serving(pipe, d_exact, LATENT_SIG)
+    with open(os.path.join(d_exact, "manifest.json")) as f:
+        assert json.load(f)["deepcache_interval"] == 1
+
+    dc = pipe.deepcache(2)
+    rgb, raw = _latent_inputs()
+    ref = np.asarray(dc(jax.random.PRNGKey(9), rgb_images=rgb,
+                        sim_disp=raw, **LATENT_KW).images)
+    d = str(tmp_path / "serving")
+    save_serving(dc, d, LATENT_SIG)
+    prog = load_serving(d)
+    assert prog.manifest["deepcache_interval"] == 2
+    out = prog.bind(dc)(jax.random.PRNGKey(9), rgb_images=rgb, sim_disp=raw)
+    np.testing.assert_allclose(np.asarray(out.images), ref, atol=1e-5)
+
+
 def test_export_params_are_arguments_not_constants(tmp_path):
     """The artifact must carry NO weights: binding different params to the
     same loaded program changes the output."""
