@@ -48,8 +48,15 @@ jax.config.update("jax_enable_x64", False)
 # Parity tests compare against torch fp32; stop the backend from silently
 # dropping matmuls to lower precision.
 jax.config.update("jax_default_matmul_precision", "float32")
-# Cache compiles across test runs.
+# Cache compiles across test runs. Only executables that took real
+# compile time are worth persisting: with min_compile_time 0 every tiny
+# eager-op executable is written too (hundreds per suite run), and that
+# write storm on a cold cache — especially with two pytest processes
+# sharing the directory — has produced rare hard aborts (SIGABRT inside
+# an eager op's compile path; observed twice after an environment reset
+# wiped the cache, never once the cache was warm). 0.5 s keeps the big
+# UNet/pipeline/scan compiles cached and skips the noise.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -52,12 +52,15 @@ def _set_env(records, **env):
 
 
 def _write_records(path, rows):
-    base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",  # ff tracks bench.DEFAULT_FF
+    # ff tracks bench.DEFAULT_FF, deepcache tracks bench.DEFAULT_DEEPCACHE
+    base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",
                 fused_gn="0", wino_fused="", wino_slab="", calib="1",
-                wc="0", ts=0)
+                wc="0", deepcache="5", ts=0)
     with open(path, "w") as f:
         for row in rows:
-            f.write(json.dumps(dict(base, **row)) + "\n")
+            merged = {k: v for k, v in dict(base, **row).items()
+                      if v is not None}  # None = omit (legacy-record rows)
+            f.write(json.dumps(merged) + "\n")
 
 
 def test_autoselect_flips_to_measured_winner(tmp_path):
@@ -165,18 +168,18 @@ def test_autoselect_skips_malformed_records(tmp_path):
 
 def test_autoselect_deepcache_dimension(tmp_path):
     """deepcache is a selectable config dimension like quant/wc: a
-    measured-faster cached config flips the default run; a user-pinned
-    BENCH_DEEPCACHE restricts comparisons to that interval."""
+    measured-faster record at another interval flips the default run; a
+    user-pinned BENCH_DEEPCACHE restricts comparisons to that interval."""
     bench = _load_bench()
     rec = tmp_path / "results.jsonl"
     _write_records(rec, [
-        dict(quant="static", fps=15.3),
-        dict(quant="static", deepcache="2", fps=19.5),
+        dict(quant="static", fps=20.2),                  # default interval
+        dict(quant="static", deepcache="8", fps=24.5),   # measured faster
     ])
     _set_env(rec)
     bench._maybe_autoselect_quant()
     assert os.environ.get("BENCH_QUANT") == "static"
-    assert os.environ.get("BENCH_DEEPCACHE") == "2"
+    assert os.environ.get("BENCH_DEEPCACHE") == "8"
 
     # user pinned the interval: records at other intervals are not
     # comparable, and the pin survives
@@ -190,10 +193,19 @@ def test_autoselect_deepcache_dimension(tmp_path):
     assert os.environ.get("BENCH_QUANT") == "wino_static"
     assert os.environ.get("BENCH_DEEPCACHE") == "2"
 
-    # records without the field predate the feature = interval 1
+    # records without the field predate the feature = interval 1 (exact);
+    # an exact-mode record that beats the default config wins it back
     _write_records(rec, [
         dict(quant="static", fps=15.3),
-        dict(quant="static", deepcache="2", fps=15.4),  # within noise
+        dict(quant="static", fps=30.0, ts=1, deepcache=None),  # legacy row
+    ])
+    _set_env(rec)
+    bench._maybe_autoselect_quant()
+    assert os.environ.get("BENCH_DEEPCACHE") == "1"
+    # within noise of the default config -> no flip
+    _write_records(rec, [
+        dict(quant="static", fps=20.2),
+        dict(quant="static", deepcache="1", fps=20.4),
     ])
     _set_env(rec)
     bench._maybe_autoselect_quant()
@@ -208,6 +220,7 @@ def test_record_result_roundtrip(tmp_path):
     with open(rec) as f:
         row = json.loads(f.read())
     assert row["quant"] == "wino_static" and row["wc"] == "1"
+    assert row["deepcache"] == "5"  # pins bench.DEFAULT_DEEPCACHE
     assert row["fps"] == 18.123
     # a fresh default run sees the single wino record, no static -> no flip
     _set_env(rec)
