@@ -282,6 +282,95 @@ class ETH3D(StereoDataset):
             )
 
 
+class SintelStereo(StereoDataset):
+    """MPI-Sintel stereo: clean/final left-right renders over one shared
+    RGB-packed disparity per scene/frame (reference:
+    data/stereo_datasets.py:264-276). The disparity path is derived from
+    the frame's scene/name — both `clean_left` and `final_left` passes map
+    to the same training/disparities file, which the reference enforces by
+    an assert on a doubled sorted list."""
+
+    def __init__(self, camera=None, aug_params=None,
+                 root="datasets/SintelStereo"):
+        super().__init__(aug_params, sparse=True,
+                         reader=frame_utils.readDispSintelStereo,
+                         camera=camera)
+        for lf in sorted(glob.glob(
+                osp.join(root, "training", "*_left", "*", "frame_*.png"))):
+            scene, frame = lf.split(osp.sep)[-2:]
+            self.image_list.append((lf, lf.replace("_left", "_right")))
+            self.disparity_list.append(
+                osp.join(root, "training", "disparities", scene, frame))
+
+
+class FallingThings(StereoDataset):
+    """NVIDIA FallingThings: filenames.txt lists left JPEGs; right frames
+    and 0.1mm depth PNGs are path-derived (reference:
+    data/stereo_datasets.py:277-292)."""
+
+    def __init__(self, camera=None, aug_params=None,
+                 root="datasets/FallingThings"):
+        super().__init__(aug_params,
+                         reader=frame_utils.readDispFallingThings,
+                         camera=camera)
+        with open(osp.join(root, "filenames.txt")) as f:
+            names = sorted(line.strip() for line in f if line.strip())
+        for name in names:
+            self.image_list.append((osp.join(root, name),
+                                    osp.join(root, name.replace(
+                                        "left.jpg", "right.jpg"))))
+            self.disparity_list.append(
+                osp.join(root, name.replace("left.jpg", "left.depth.png")))
+
+
+class TartanAir(StereoDataset):
+    """TartanAir: tartanair_filenames.txt lists left PNGs; depth .npy is
+    path-derived; `seasonsforest_winter/Easy` is excluded and optional
+    keywords filter the listing (reference:
+    data/stereo_datasets.py:293-310)."""
+
+    def __init__(self, camera=None, aug_params=None, root="datasets",
+                 keywords: Sequence[str] = ()):
+        super().__init__(aug_params, reader=frame_utils.readDispTartanAir,
+                         camera=camera)
+        with open(osp.join(root, "tartanair_filenames.txt")) as f:
+            names = sorted(line.strip() for line in f
+                           if line.strip()
+                           and "seasonsforest_winter/Easy" not in line)
+        for kw in keywords:
+            names = [n for n in names if kw in n.lower()]
+        for name in names:
+            self.image_list.append((osp.join(root, name),
+                                    osp.join(root, name.replace(
+                                        "_left", "_right"))))
+            self.disparity_list.append(osp.join(root, name.replace(
+                "image_left", "depth_left").replace(
+                "left.png", "left_depth.npy")))
+
+
+class KITTIStereo(StereoDataset):
+    """KITTI 2015 stereo pairs + sparse disp_occ_0 GT (reference's stereo
+    KITTI class, data/stereo_datasets.py:311-321 — registered here as
+    `KITTIStereo`: the registry name `KITTI` is taken by the mono-depth
+    reader, matching the reference's own registry at data/data_loader.py:10
+    which also binds `KITTI` to the mono class)."""
+
+    def __init__(self, camera=None, aug_params=None, root="datasets/KITTI",
+                 image_set="training"):
+        super().__init__(aug_params, sparse=True,
+                         reader=frame_utils.readDispKITTI, camera=camera)
+        img1s = sorted(glob.glob(osp.join(root, image_set, "image_2",
+                                          "*_10.png")))
+        # non-training sets have no GT; the reference substitutes one fixed
+        # training disparity as a dummy (stereo_datasets.py:318)
+        dummy = osp.join(root, "training", "disp_occ_0", "000085_10.png")
+        for im0 in img1s:
+            self.image_list.append((im0, im0.replace("image_2", "image_3")))
+            self.disparity_list.append(
+                im0.replace("image_2", "disp_occ_0")
+                if image_set == "training" else dummy)
+
+
 # ---------------------------------------------------------------------- #
 # Active stereo / RGB-D
 # ---------------------------------------------------------------------- #

@@ -25,7 +25,15 @@ from d3roma_tpu.utils import frame_utils
 from d3roma_tpu.utils.camera import Realsense, RGBDCamera
 
 STEREO_DATASETS = ["Dreds", "SceneFlow", "Real", "HISS", "ClearPose",
-                   "SynTODDRgbd", "Gapartnet2", "Middlebury"]
+                   "SynTODDRgbd", "Gapartnet2", "Middlebury",
+                   # the reference's RAFT-heritage readers
+                   # (data/stereo_datasets.py:264-321) — unregistered in the
+                   # reference's own factory (data_loader.py:10); registered
+                   # here so they are reachable from task configs. The
+                   # stereo KITTI class is `KITTIStereo` (`KITTI` names the
+                   # mono reader, as in the reference registry).
+                   "SintelStereo", "FallingThings", "TartanAir",
+                   "KITTIStereo"]
 MONO_DATASETS = ["NYUv2", "ScanNet", "HyperSim", "SceneNet", "ScanNetpp",
                  "VK2", "KITTI", "InStereo2K", "Tartenair", "HRWSI", "SynTODD"]
 
@@ -100,6 +108,20 @@ def create_dataset(config, name: str, split: str):
     if name == "Middlebury":
         camera = Realsense.default_sim()
         return D.Middlebury(camera=camera)
+
+    if name in ("SintelStereo", "FallingThings", "TartanAir", "KITTIStereo"):
+        # RAFT-heritage passive-stereo readers: disparity-space, no device
+        # camera binding (the reference constructs them with aug_params
+        # only); train split gets the RAFT augmentation like SceneFlow
+        aug = None
+        if split == "train" and config.augment is not None:
+            aug = dict(crop_size=image_size,
+                       min_scale=config.augment.min_scale,
+                       max_scale=config.augment.max_scale,
+                       saturation_range=tuple(config.augment.saturation_range),
+                       gamma=tuple(config.augment.gamma),
+                       yjitter=config.augment.yjitter)
+        return getattr(D, name)(aug_params=aug)
 
     if name in MONO_DATASETS:
         cls = getattr(M, name)

@@ -147,6 +147,52 @@ def readDispKITTI(path):
     return disp, disp > 0.0
 
 
+def readDispSintelStereo(path):
+    """MPI-Sintel RGB-packed disparity PNG + sibling occlusion mask
+    (reference: utils_d3roma/frame_utils.py:135-141; encoding per the
+    Sintel SDK: d = R*4 + G/2^6 + B/2^14, occluded where the mask under
+    training/occlusions is nonzero)."""
+    cv2 = _cv2()
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    b, g, r = [img[..., i].astype(np.float32) for i in range(3)]  # BGR
+    disp = r * 4.0 + g / (2 ** 6) + b / (2 ** 14)
+    occ = cv2.imread(path.replace("disparities", "occlusions"),
+                     cv2.IMREAD_GRAYSCALE)
+    valid = (occ == 0) & (disp > 0)
+    return disp, valid
+
+
+def readDispFallingThings(path):
+    """FallingThings 16-bit depth PNG (0.1 mm units) -> disparity via the
+    fx recorded in the scene's _camera_settings.json and the fixed 6 cm
+    stereo baseline (reference: utils_d3roma/frame_utils.py:144-151,
+    per the NVIDIA dataset readme)."""
+    import json as _json
+
+    cv2 = _cv2()
+    depth = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+    if depth is None:
+        raise FileNotFoundError(path)
+    with open(os.path.join(os.path.dirname(path),
+                           "_camera_settings.json")) as f:
+        fx = _json.load(f)["camera_settings"][0]["intrinsic_settings"]["fx"]
+    depth = depth.astype(np.float32)
+    disp = np.where(depth > 0, (fx * 6.0 * 100.0) / np.maximum(depth, 1e-6),
+                    0.0)
+    return disp, disp > 0
+
+
+def readDispTartanAir(path):
+    """TartanAir depth .npy -> disparity: fx*baseline = 320 * 0.25 = 80
+    (reference: utils_d3roma/frame_utils.py:153-158, per the tartanair
+    data_type docs)."""
+    depth = np.load(path).astype(np.float32)
+    disp = np.where(depth > 0, 80.0 / np.maximum(depth, 1e-6), 0.0)
+    return disp, disp > 0
+
+
 # ---------------------------------------------------------------------- #
 # Depth / disparity readers with camera semantics
 # ---------------------------------------------------------------------- #
