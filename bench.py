@@ -38,23 +38,44 @@ Env knobs:
                           MEASURED by prior runs at the same setting
                           (recorded in .bench_cache/results.jsonl, latest
                           record per config), requiring a >2% recorded
-                          win over the latest default-mode run
-  BENCH_DEEPCACHE=N       DeepCache interval (default 5 — the release
-                          serving config, 20.24 fps; 1 = off/exact,
-                          15.39 fps): N > 1 runs the full UNet every
-                          N-th denoise step and a shallow cached pass
-                          between (deep-trunk reuse, Ma et al. CVPR
-                          2024). An approximation — the interval is
-                          disclosed in the output JSON and the accuracy
-                          drift table lives in docs/PERFORMANCE.md.
+                          win over the latest default-mode run; governs
+                          quant/wc only — never the DeepCache interval
+  BENCH_DEEPCACHE=N       DeepCache interval (1 = off/exact): N > 1 runs
+                          the full UNet every N-th denoise step and a
+                          shallow cached pass between (deep-trunk reuse,
+                          Ma et al. CVPR 2024). An approximation — the
+                          interval is disclosed in the output JSON; the
+                          default (DEFAULT_DEEPCACHE) is accuracy-gated
+                          by the measured drift table committed at
+                          docs/deepcache_accuracy.json (see
+                          docs/PERFORMANCE.md for the analysis).
 """
 
+import importlib.util
 import json
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _machine_cache_dir(base):
+    """d3roma_tpu.utils.compile_cache.machine_cache_dir, loaded from the
+    file WITHOUT importing the package: the package import pulls in jax,
+    and jax snapshots JAX_COMPILATION_CACHE_DIR at import — the env var
+    must be set first. Machine-keying prevents the round-3 cross-host
+    poisoning (cpu_aot_loader "machine feature mismatch" on every entry)."""
+    spec = importlib.util.spec_from_file_location(
+        "_d3roma_compile_cache",
+        os.path.join(_HERE, "d3roma_tpu", "utils", "compile_cache.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.machine_cache_dir(base)
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      _machine_cache_dir(os.path.join(_HERE, ".jax_bench_cache")))
 
 import jax
 import jax.numpy as jnp
@@ -72,13 +93,16 @@ def _metric_name():
 
 DEFAULT_QUANT = "static"  # measured best (15.39 fps; wino 12.30, vae8 12.71, bf16 11.73)
 DEFAULT_FF = "1"  # fused GEGLU default; tests/test_bench_select.py tracks this
-# DeepCache interval for the default run: every per-op slice of the exact
-# path runs at its measured-attainable rate (roofline closure in
-# docs/PERFORMANCE.md), so the remaining lever is executing fewer model
-# FLOPs. Measured: k=5 -> 20.24 fps vs exact 15.39. The interval is fully
-# disclosed in the output JSON (deepcache_interval) and the accuracy-drift
-# table lives in docs/PERFORMANCE.md; BENCH_DEEPCACHE=1 runs exact.
-DEFAULT_DEEPCACHE = "5"
+# DeepCache interval for the default run. The default is ACCURACY-GATED:
+# it may only name an interval whose measured end-metric drift (combined
+# with the default int8 path, on the capstone checkpoint — the sweep in
+# scripts/deepcache_accuracy.py, committed at docs/deepcache_accuracy.json)
+# is inside the <1% AbsRel parity bar from BASELINE.md;
+# tests/test_bench_select.py::test_default_deepcache_is_accuracy_gated
+# enforces the coupling. Speed alone never moves this constant, and
+# _maybe_autoselect_quant never escalates past it (accuracy is not a
+# dimension the speed records can see). "1" = exact numerics.
+DEFAULT_DEEPCACHE = "1"
 
 
 def bench_ldm(batch, reps):
@@ -339,27 +363,26 @@ def _maybe_autoselect_quant():
         # the user pinned the chunking env: configs measured under a
         # different wc are not what this run would execute
         latest = {k: v for k, v in latest.items() if k[1] == user_wc}
-    user_dc = os.environ.get("BENCH_DEEPCACHE")
-    if user_dc is not None:
-        latest = {k: v for k, v in latest.items() if k[2] == user_dc}
-    default_dc = user_dc or DEFAULT_DEEPCACHE
+    # deepcache is NOT an autoselect dimension: the interval changes the
+    # model's NUMERICS, and the speed records carry no accuracy — an
+    # unattended measurement campaign must never steer the default run to
+    # a lossier approximation on an fps win alone (advisor r3). Only
+    # records measured at THIS run's interval (pinned or the accuracy-
+    # gated default) are comparable; autoselect governs quant/wc only.
+    run_dc = os.environ.get("BENCH_DEEPCACHE") or DEFAULT_DEEPCACHE
+    latest = {k: v for k, v in latest.items() if k[2] == run_dc}
     static_best = max(
-        (r for (q, _, dcv), r in latest.items()
-         if q == DEFAULT_QUANT and dcv == default_dc),
+        (r for (q, _, _), r in latest.items() if q == DEFAULT_QUANT),
         key=lambda r: r["fps"], default=None)
     best = max(latest.values(), key=lambda r: r["fps"], default=None)
-    if (best and static_best
-            and (best.get("quant"), best.get("deepcache", "1"))
-            != (DEFAULT_QUANT, default_dc)
+    if (best and static_best and best.get("quant") != DEFAULT_QUANT
             and best["fps"] > 1.02 * static_best["fps"]):
         os.environ["BENCH_QUANT"] = best["quant"]
         if user_wc is None:
             os.environ["D3ROMA_WINO_CHUNK"] = best.get("wc", "0")
-        if user_dc is None:
-            os.environ["BENCH_DEEPCACHE"] = best.get("deepcache", "1")
         print(f"# auto-selected quant={best['quant']} wc="
-              f"{os.environ.get('D3ROMA_WINO_CHUNK', '0')} deepcache="
-              f"{os.environ.get('BENCH_DEEPCACHE', '1')} from records "
+              f"{os.environ.get('D3ROMA_WINO_CHUNK', '0')} from records "
+              f"at deepcache={run_dc} "
               f"({best['fps']} vs static {static_best['fps']} fps)",
               file=sys.stderr)
 

@@ -1,0 +1,49 @@
+"""Machine-keyed persistent XLA compile-cache directories.
+
+The JAX persistent compilation cache keys entries by program + compile
+options, NOT by the host CPU's feature set — an XLA:CPU AOT executable
+compiled on a host with e.g. AMX/prefer-no-gather fails to *load* on a
+host without them (``cpu_aot_loader.cc`` "machine feature mismatch"
+errors, observed when `.jax_bench_cache` was shared across machines:
+every cold run paid a load-attempt-and-error per entry). Keying the
+cache directory by a host fingerprint makes cross-machine entries
+invisible instead of poisonous.
+
+Import-light on purpose (os/hashlib/platform only): callers set
+``JAX_COMPILATION_CACHE_DIR`` before any backend initialization.
+"""
+
+import hashlib
+import os
+import platform
+
+
+def machine_fingerprint() -> str:
+    """Short stable id of this host's ISA surface (arch + CPU flags)."""
+    bits = [platform.system(), platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # x86 "flags", aarch64 "Features" — first core is enough
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.split(":", 1)[-1].strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
+
+
+def machine_cache_dir(base: str) -> str:
+    """``base/mc_<fingerprint>``, created; legacy un-keyed cache files at
+    the base root (written before keying existed, possibly by another
+    machine) are purged so a cold run never attempts to load them."""
+    keyed = os.path.join(base, "mc_" + machine_fingerprint())
+    os.makedirs(keyed, exist_ok=True)
+    try:
+        for name in os.listdir(base):
+            path = os.path.join(base, name)
+            if os.path.isfile(path):
+                os.remove(path)
+    except OSError:
+        pass
+    return keyed

@@ -123,6 +123,7 @@ def _tiny_droma(R=1):
     )
 
 
+@pytest.mark.full  # compile-heavy tier (README)
 def test_d3roma_batched_no_cross_frame_mixing():
     """Two frames with very different depth scales: per-frame SSI must
     align each prediction to ITS OWN raw input (order preserved, no

@@ -55,7 +55,7 @@ def _write_records(path, rows):
     # ff tracks bench.DEFAULT_FF, deepcache tracks bench.DEFAULT_DEEPCACHE
     base = dict(model="ldm", batch=16, steps=10, flash="3", ff="1",
                 fused_gn="0", wino_fused="", wino_slab="", calib="1",
-                wc="0", deepcache="5", ts=0)
+                wc="0", deepcache="1", ts=0)
     with open(path, "w") as f:
         for row in rows:
             merged = {k: v for k, v in dict(base, **row).items()
@@ -166,23 +166,27 @@ def test_autoselect_skips_malformed_records(tmp_path):
     assert os.environ.get("BENCH_QUANT") is None
 
 
-def test_autoselect_deepcache_dimension(tmp_path):
-    """deepcache is a selectable config dimension like quant/wc: a
-    measured-faster record at another interval flips the default run; a
-    user-pinned BENCH_DEEPCACHE restricts comparisons to that interval."""
+def test_autoselect_never_escalates_deepcache(tmp_path):
+    """deepcache is NOT an autoselect dimension (advisor r3): the interval
+    changes the model's numerics, and the speed records carry no accuracy
+    — a recorded faster run at a lossier interval must never flip the
+    default run's interval. Only records at THIS run's interval are
+    comparable, and they may govern quant/wc only."""
     bench = _load_bench()
     rec = tmp_path / "results.jsonl"
     _write_records(rec, [
-        dict(quant="static", fps=20.2),                  # default interval
+        dict(quant="static", fps=15.3),                  # default interval
         dict(quant="static", deepcache="8", fps=24.5),   # measured faster
+        dict(quant="wino_static", deepcache="8", fps=30.0),
     ])
     _set_env(rec)
     bench._maybe_autoselect_quant()
-    assert os.environ.get("BENCH_QUANT") == "static"
-    assert os.environ.get("BENCH_DEEPCACHE") == "8"
+    # the k=8 records are invisible: no quant flip, no interval change
+    assert os.environ.get("BENCH_QUANT") is None
+    assert os.environ.get("BENCH_DEEPCACHE") is None
 
-    # user pinned the interval: records at other intervals are not
-    # comparable, and the pin survives
+    # a user-pinned interval restricts comparisons to that interval and
+    # survives; quant autoselect still works within it
     _write_records(rec, [
         dict(quant="static", deepcache="2", fps=19.5),
         dict(quant="static", deepcache="3", fps=25.0),
@@ -193,23 +197,40 @@ def test_autoselect_deepcache_dimension(tmp_path):
     assert os.environ.get("BENCH_QUANT") == "wino_static"
     assert os.environ.get("BENCH_DEEPCACHE") == "2"
 
-    # records without the field predate the feature = interval 1 (exact);
-    # an exact-mode record that beats the default config wins it back
+    # records without the field predate the feature = interval 1 (exact)
+    # and are comparable iff this run's interval is 1
     _write_records(rec, [
         dict(quant="static", fps=15.3),
-        dict(quant="static", fps=30.0, ts=1, deepcache=None),  # legacy row
+        dict(quant="wino_static", fps=30.0, ts=1, deepcache=None),
     ])
-    _set_env(rec)
+    _set_env(rec, BENCH_DEEPCACHE="1")
     bench._maybe_autoselect_quant()
+    assert os.environ.get("BENCH_QUANT") == "wino_static"
     assert os.environ.get("BENCH_DEEPCACHE") == "1"
-    # within noise of the default config -> no flip
-    _write_records(rec, [
-        dict(quant="static", fps=20.2),
-        dict(quant="static", deepcache="1", fps=20.4),
-    ])
-    _set_env(rec)
-    bench._maybe_autoselect_quant()
-    assert os.environ.get("BENCH_DEEPCACHE") is None
+
+
+def test_default_deepcache_is_accuracy_gated():
+    """bench.DEFAULT_DEEPCACHE may only name an interval whose measured
+    drift — on the COMBINED shipped config (DeepCache x the default int8
+    path) — is inside the <1% AbsRel parity bar (BASELINE.md), as
+    committed at docs/deepcache_accuracy.json. Interval 1 (exact) is
+    always admissible. Speed records never move the constant; this test
+    is the coupling the advisor asked for."""
+    bench = _load_bench()
+    k = int(bench.DEFAULT_DEEPCACHE)
+    if k == 1:
+        return  # exact numerics — nothing to gate
+    table_path = os.path.join(_REPO, "docs", "deepcache_accuracy.json")
+    assert os.path.exists(table_path), (
+        f"DEFAULT_DEEPCACHE={k} > 1 requires a committed measured drift "
+        f"table at {table_path}")
+    with open(table_path) as f:
+        doc = json.load(f)
+    rows = doc["combined_int8"] if "combined_int8" in doc else doc["table"]
+    row = rows[str(k)]
+    assert abs(row["depth_rel_drift_pct"]) < 1.0, (
+        f"interval {k} AbsRel drift {row['depth_rel_drift_pct']}% exceeds "
+        f"the 1% parity bar — demote DEFAULT_DEEPCACHE")
 
 
 def test_record_result_roundtrip(tmp_path):
@@ -220,7 +241,7 @@ def test_record_result_roundtrip(tmp_path):
     with open(rec) as f:
         row = json.loads(f.read())
     assert row["quant"] == "wino_static" and row["wc"] == "1"
-    assert row["deepcache"] == "5"  # pins bench.DEFAULT_DEEPCACHE
+    assert row["deepcache"] == bench.DEFAULT_DEEPCACHE
     assert row["fps"] == 18.123
     # a fresh default run sees the single wino record, no static -> no flip
     _set_env(rec)

@@ -119,6 +119,7 @@ def _tiny_latent_pipe():
     )
 
 
+@pytest.mark.full  # compile-heavy tier (README)
 def test_pipeline_calibrate_end_metric_gate(tmp_path):
     """End-metric gate: the calibrated static-int8 pipeline's output must
     stay close to bf16 (delta below the uncalibrated-static delta, and
@@ -264,6 +265,7 @@ def test_capture_forward_is_mosaic_free():
     assert "pallas_call" in str(jaxpr_run)
 
 
+@pytest.mark.full  # compile-heavy tier (README)
 def test_calibrate_matches_wino_routing_at_the_stacked_encode_batch(monkeypatch):
     """Regression (round 3, on-chip): __call__ encodes ALL conditions in
     ONE stacked call (2-4x the frame batch), and wino_static conv routing

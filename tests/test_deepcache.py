@@ -120,6 +120,7 @@ def test_deepcache_pipeline_interval1_is_plain_and_interval2_runs():
     assert not np.allclose(np.asarray(two.images), np.asarray(plain.images))
 
 
+@pytest.mark.full  # compile-heavy tier (README)
 def test_deepcache_split_and_chunk_match_monolithic():
     """All three deployment modes (monolithic scan / split programs /
     scan_chunk) must agree under DeepCache — same group pattern, same RNG

@@ -104,6 +104,7 @@ def test_padded_duplicates_do_not_bias_metrics():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
+@pytest.mark.full  # compile-heavy tier (README)
 def test_tp_sharded_eval_matches_replicated():
     """task.tensor_parallel on the eval side: a pipeline with TP-sharded
     params on a (data, model) mesh reproduces the replicated metrics."""

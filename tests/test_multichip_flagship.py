@@ -1,17 +1,44 @@
 """Flagship LDM on the 8-virtual-device mesh (round-1 judge: the multichip
 dryrun exercised only a toy pixel step; the flagship SPMD program was
 unvalidated). Tests run under XLA_FLAGS=--xla_force_host_platform_device_count=8
-(tests/conftest.py), so the dryrun body executes inline."""
+(tests/conftest.py), so the dryrun body executes inline.
+
+Budget 0 disables the driver-facing wall-clock budget so ALL five stages
+(incl. the beyond-reference TP/SP tier) execute inline here — CI is the
+full-coverage path; the driver run is the wall-bounded one."""
 
 import jax
 import pytest
 
 
+@pytest.mark.full
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
-def test_dryrun_multichip_flagship_inline(capsys):
+def test_dryrun_multichip_flagship_inline(capsys, monkeypatch):
+    monkeypatch.setenv("D3ROMA_DRYRUN_BUDGET_S", "0")
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "LDM train step ok" in out
     assert "sharded eval_batch ok" in out
+    assert "reference-parity stages" in out
+    # budget 0 -> the beyond-reference tier ran inline, not skipped
+    assert "SKIPPED" not in out
+    assert "DeepCache(2) sharded eval ok" in out  # rides the TP stage
+    assert "DP2xTP4 LDM train step + eval ok" in out
+    assert "DP2xSP4 LDM train step ok" in out
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_dryrun_budget_skips_beyond_tier(capsys, monkeypatch):
+    """A tiny budget must never fail the contract: parity stages run,
+    the TP/SP tier prints a skip notice, and the final ok line appears
+    (the round-3 rc-124 regression, restated as a test)."""
+    monkeypatch.setenv("D3ROMA_DRYRUN_BUDGET_S", "0.001")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    out = capsys.readouterr().out
+    assert "reference-parity stages" in out
+    assert "SKIPPED beyond-reference" in out
+    assert ": ok, loss=" in out

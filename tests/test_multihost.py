@@ -13,6 +13,10 @@ import sys
 import numpy as np
 import pytest
 
+# compile-heavy tier: deselected by the default pytest invocation
+# (pyproject addopts); run with `pytest -m full` (README)
+pytestmark = pytest.mark.full
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(ROOT, "tests", "multihost_child.py")
 

@@ -8,6 +8,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# compile-heavy tier: deselected by the default pytest invocation
+# (pyproject addopts); run with `pytest -m full` (README)
+pytestmark = pytest.mark.full
+
 from d3roma_tpu.guidance import FlowGuidance
 from d3roma_tpu.models import UNet2D
 from d3roma_tpu.ops import Normalizer

@@ -15,6 +15,10 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+# compile-heavy tier: deselected by the default pytest invocation
+# (pyproject addopts); run with `pytest -m full` (README)
+pytestmark = pytest.mark.full
+
 from d3roma_tpu.models import AutoencoderKL, UNet2DCondition
 from d3roma_tpu.parallel import (
     batch_sharding,

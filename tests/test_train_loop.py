@@ -133,6 +133,7 @@ def test_lifecycle_train_export_serve(synth_real, monkeypatch):
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+@pytest.mark.full  # compile-heavy tier (README)
 def test_train_tensor_parallel_matches_dp(synth_real, monkeypatch):
     """task.tensor_parallel=2: the 2-D (data, model) mesh run produces
     the same first-step loss as the pure-DP run (same seed/noise stream —

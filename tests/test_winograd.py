@@ -80,6 +80,7 @@ def test_dispatcher_fallback_matches_direct():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.full  # compile-heavy tier (README)
 def test_unet_wino_mode_close_to_bf16():
     """quant='wino' routes every eligible UNet conv through Winograd and
     stays close to the plain bf16 forward."""
@@ -144,6 +145,7 @@ def test_fused_block_tr_selection():
                                     (2, 2), "SAME")
 
 
+@pytest.mark.full  # compile-heavy tier (README)
 def test_wino_static_pipeline_end_metric_gate():
     """End-metric gate for the wino_static mode: the full latent pipeline
     with Winograd convs + calibrated static-int8 denses stays close to
