@@ -427,10 +427,14 @@ class GuidedLatentDiffusionPipeline:
         quant = {"throughput": "static", "wino": "wino_static",
                  "latency": False}[mode]
         pipe = self.half_precision()
+        # remat is a training lever (FLOPs-for-HBM); at inference it only
+        # recomputes, and the calibration capture's scale side channel
+        # cannot escape an nn.remat trace (UnexpectedTracerError when a
+        # train-config UNet reaches calibrate())
         return _dc.replace(
             pipe,
             unet=_dc.replace(pipe.unet, use_flash_attention="pallas-self",
-                             fused_ff=True, quant=quant),
+                             fused_ff=True, quant=quant, remat=False),
             vae=_dc.replace(pipe.vae, quant=quant),
         )
 

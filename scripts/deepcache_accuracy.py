@@ -5,29 +5,57 @@ Measures the end-metric drift of the DeepCache approximation (deep-trunk
 reuse across denoise steps, Ma et al. CVPR 2024) against the exact
 10-step DDIM run, on the capstone-trained flagship LDM checkpoint
 (_scratch/capstone_ldm.py writes it to /tmp/capstone_ldm/run). The
-checkpoint is weakly trained, so ABSOLUTE metrics are poor — the
-k-vs-exact DELTAS are the signal (same eval PRNG keys per k, bf16 exact
-compute, no quantization, isolating the caching approximation).
+checkpoint is weakly trained (procedural data only — no real DREDS
+exists in this environment), so ABSOLUTE metrics are poor; the
+k-vs-exact DELTAS are the signal.
 
-Feeds the accuracy table in docs/PERFORMANCE.md that gates the bench
-default interval (bench.py DEFAULT_DEEPCACHE).
+Two modes per interval (advisor r3: the shipped config must be what is
+measured):
+  bf16  exact bf16 compute per step — isolates the caching approximation
+  int8  the SHIPPED serving config: fast_inference("throughput") =
+        calibrated static-int8 UNet+VAE + whole-row self-attention +
+        fused GEGLU, calibrated once on the first eval batch (scales
+        shared across intervals; calibrate() captures the "unet_cached"
+        shallow-pass table too)
+
+Drift columns: every row reports drift vs the bf16 exact baseline
+(mode=bf16, k=1) — for int8 rows that is the COMBINED
+quantization+caching deviation, the number the <1% AbsRel parity bar
+(BASELINE.md) gates bench.py's DEFAULT_DEEPCACHE on — plus, for int8,
+drift vs the int8 k=1 row (isolating caching under quantization).
+
+Writes the committed gate artifact docs/deepcache_accuracy.json
+(consumed by tests/test_bench_select.py::test_default_deepcache_is_accuracy_gated).
 
 Run (on the TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/deepcache_accuracy.py
 Env:
-  DC_KS=1,3,5        intervals to measure (1 = exact baseline, required)
+  DC_KS=1,2,3,4,5    intervals (1 = exact baseline, required)
+  DC_MODES=bf16,int8 precision modes
+  DC_FRAMES=64       eval frames (generated procedurally if absent)
+  DC_BATCH=8         eval batch size
   DC_RUN=/tmp/capstone_ldm   capstone work dir (datasets/ + run/checkpoints)
+  DC_OUT=docs/deepcache_accuracy.json   output table (repo-relative)
 """
 import json
 import os
 import sys
 import time
 
-KS = [int(k) for k in os.environ.get("DC_KS", "1,3,5").split(",")]
+KS = [int(k) for k in os.environ.get("DC_KS", "1,2,3,4,5").split(",")]
+MODES = os.environ.get("DC_MODES", "bf16,int8").split(",")
+FRAMES = int(os.environ.get("DC_FRAMES", "64"))
+# batch 4 is the RELAY-PROVEN eval compile shape (capstone + r3 sweep);
+# the batch-8 eval program hung the remote compile helper for 30+ min
+BATCH = int(os.environ.get("DC_BATCH", "4"))
 WORK = os.environ.get("DC_RUN", "/tmp/capstone_ldm")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.environ.get("DC_OUT", os.path.join(REPO, "docs",
+                                            "deepcache_accuracy.json"))
 assert 1 in KS, "interval 1 (exact) is the baseline — include it in DC_KS"
+assert "bf16" in MODES, "bf16 (exact-compute) is the baseline mode"
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
 os.chdir(WORK)  # datasets/HISS resolves relative to the capstone work dir
 
 import jax
@@ -44,15 +72,28 @@ from d3roma_tpu.training.train_loop import (
     create_pipeline,
 )
 
-# identical config to _scratch/capstone_ldm.py (the checkpoint's run)
+# ensure a properly-powered eval set (the r3 sweep used 8 frames — too
+# noisy to resolve sub-1% effects; same seed => deterministic superset)
+from d3roma_tpu.synthetic import SceneConfig, generate_dataset
+
+val_dir = os.path.join(WORK, "datasets", "HISS", "val", "scene_0000")
+import glob as _glob
+
+have = len(_glob.glob(os.path.join(val_dir, "*_depth.exr")))
+if have < FRAMES:
+    print(f"# extending val split {have} -> {FRAMES} frames", file=sys.stderr)
+    generate_dataset(os.path.join(WORK, "datasets", "HISS"), FRAMES, "val",
+                     SceneConfig(height=360, width=640), seed=97)
+
+# identical model config to _scratch/capstone_ldm.py (the checkpoint's run)
 base = compose([
     "task=train_ldm_mixed_rgb+raw",
     "task.train_dataset=[HISS]",
     "task.dataset_weight=[16]",
     "task.eval_dataset=[HISS]",
     "task.train_batch_size=8",
-    "task.eval_batch_size=4",
-    "task.eval_num_batch=2",
+    f"task.eval_batch_size={BATCH}",
+    f"task.eval_num_batch={max(1, FRAMES // BATCH)}",
     "task.mixed_precision=bf16",
     "task.optimizer=adafactor",
 ])
@@ -68,7 +109,14 @@ print(f"# loaded checkpoint @ step {counter.global_step}", file=sys.stderr)
 models = {**models, "unet_params": state.params}
 del state, template
 
-pipeline = create_pipeline(config, models).half_precision()
+import dataclasses as _dc
+
+base_pipe = create_pipeline(config, models).half_precision()
+# remat is a training lever; at inference it only bloats the traced
+# program — the k=5 grouped body (5 inlined UNet calls) OOM-killed the
+# host at 130 GB RSS during lowering with remat on
+base_pipe = _dc.replace(base_pipe,
+                        unet=_dc.replace(base_pipe.unet, remat=False))
 normalizer = Normalizer.from_config(config)
 _, val_loaders = fetch_dataloader(config, seed=0)
 loader = val_loaders[0]
@@ -77,31 +125,113 @@ from functools import partial
 
 preprocess = partial(_preprocess_eval, config=config, normalizer=normalizer)
 
-results = {}
-for k in KS:
-    pipe = pipeline.deepcache(k) if k > 1 else pipeline
-    t0 = time.time()
-    # same key per k -> identical noise draws; deltas isolate the caching
-    m, _ = evaluate_dataset(config, pipe, loader, jax.random.PRNGKey(1234),
-                            preprocess=preprocess,
-                            max_batches=config.eval_num_batch,
-                            dataset_name="HISS")
-    results[k] = m
-    print(f"# k={k} done in {time.time() - t0:.0f}s: "
-          f"epe={m['disp']['epe']:.4f} absrel={m['depth']['rel']:.4f}",
-          file=sys.stderr)
 
-base_m = results[1]
-table = {}
-for k in KS:
+def _calibrated_int8(pipe):
+    """The shipped serving config, calibrated on the first eval batch
+    (normalized conditions — exactly what eval_batch feeds __call__).
+    Scales are disk-cached per checkpoint step so a restarted sweep does
+    not repay the ~10 min capture."""
+    import dataclasses as _dc
+
+    pipe = pipe.fast_inference("throughput")
+    cache = os.path.join(WORK, f"dc_act_scales_step{counter.global_step}"
+                               f"_b{BATCH}.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            pipe = _dc.replace(pipe, act_scales=json.load(f))
+        print(f"# calibrated scales loaded from {cache}", file=sys.stderr)
+        return pipe
+    raw = next(iter(loader))
+    b = preprocess(raw)
+    t0 = time.time()
+    pipe = pipe.calibrate(
+        jax.random.PRNGKey(99),
+        [dict(rgb_images=b["normalized_rgb"], sim_disp=b["sim_disp"])],
+        cond_channels=config.cond_channels,
+        num_inference_steps=config.num_inference_timesteps,
+    )
+    with open(cache, "w") as f:
+        json.dump(pipe.act_scales, f)
+    print(f"# int8 calibration done in {time.time() - t0:.0f}s -> {cache}",
+          file=sys.stderr)
+    return pipe
+
+
+pipes = {"bf16": base_pipe}
+if "int8" in MODES:
+    pipes["int8"] = _calibrated_int8(base_pipe)
+
+results = {}
+for mode in MODES:
+    for k in KS:
+        pipe = pipes[mode].deepcache(k) if k > 1 else pipes[mode]
+        for attempt in (1, 2):
+            t0 = time.time()
+            try:
+                # same key per (mode, k) -> identical noise draws; deltas
+                # isolate the numerics change
+                m, _ = evaluate_dataset(config, pipe, loader,
+                                        jax.random.PRNGKey(1234),
+                                        preprocess=preprocess,
+                                        max_batches=config.eval_num_batch,
+                                        dataset_name="HISS")
+                break
+            except Exception as e:  # noqa: BLE001 - relay drops happen
+                print(f"# {mode} k={k} attempt {attempt} failed: "
+                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+                if attempt == 2:
+                    raise
+                time.sleep(30)
+        results[(mode, k)] = m
+        print(f"# {mode} k={k} done in {time.time() - t0:.0f}s: "
+              f"epe={m['disp']['epe']:.4f} absrel={m['depth']['rel']:.4f}",
+              file=sys.stderr)
+        # incremental dump: a crash (relay hang kill, host OOM) must not
+        # lose completed rows
+        with open(os.path.join(WORK, "dc_partial.json"), "w") as f:
+            json.dump({f"{mo},{kk}": results[(mo, kk)]
+                       for (mo, kk) in results}, f, default=float)
+
+exact = results[("bf16", 1)]
+METS = (("disp", "epe"), ("depth", "rel"), ("depth", "rmse"),
+        ("depth", "mae"))
+
+
+def _row(m, baselines):
     row = {}
-    for space, met in (("disp", "epe"), ("depth", "rel"),
-                       ("depth", "rmse"), ("depth", "mae")):
-        v, b = results[k][space][met], base_m[space][met]
-        row[f"{space}_{met}"] = round(float(v), 4)
-        if k != 1 and b:
-            row[f"{space}_{met}_drift_pct"] = round(100.0 * (v - b) / b, 2)
-    table[k] = row
-print(json.dumps({"checkpoint_step": counter.global_step,
-                  "frames": config.eval_batch_size * config.eval_num_batch,
-                  "table": table}, indent=1))
+    for space, met in METS:
+        v = float(m[space][met])
+        row[f"{space}_{met}"] = round(v, 4)
+        for tag, base_m in baselines.items():
+            b = float(base_m[space][met])
+            if base_m is not m and b:
+                row[f"{space}_{met}_drift_pct{tag}"] = round(
+                    100.0 * (v - b) / b, 2)
+    return row
+
+
+doc = {
+    "checkpoint_step": int(counter.global_step),
+    "frames": config.eval_batch_size * config.eval_num_batch,
+    "steps": config.num_inference_timesteps,
+    "note": ("drift_pct = vs bf16 exact (mode=bf16,k=1) — for int8 rows "
+             "this is the COMBINED quantization+caching deviation; "
+             "drift_pct_vs_int8 isolates caching under quantization. "
+             "Procedural HISS val frames on the capstone checkpoint "
+             "(no real DREDS in this environment)."),
+    "bf16": {str(k): _row(results[("bf16", k)], {"": exact})
+             for k in KS if ("bf16", k) in results},
+}
+if "int8" in MODES:
+    int8_base = results[("int8", 1)]
+    doc["combined_int8"] = {
+        str(k): _row(results[("int8", k)],
+                     {"": exact, "_vs_int8": int8_base})
+        for k in KS if ("int8", k) in results
+    }
+# the gate key the CI test reads: depth_rel_drift_pct (vs bf16 exact)
+print(json.dumps(doc, indent=1))
+os.makedirs(os.path.dirname(OUT), exist_ok=True)
+with open(OUT, "w") as f:
+    json.dump(doc, f, indent=1)
+print(f"# wrote {OUT}", file=sys.stderr)
