@@ -15,8 +15,8 @@ measured):
   int8  the SHIPPED serving config: fast_inference("throughput") =
         calibrated static-int8 UNet+VAE + whole-row self-attention +
         fused GEGLU, calibrated once on the first eval batch (scales
-        shared across intervals; calibrate() captures the "unet_cached"
-        shallow-pass table too)
+        disk-cached and shared across intervals; calibrate() captures
+        the "unet_cached" shallow-pass table too)
 
 Drift columns: every row reports drift vs the bf16 exact baseline
 (mode=bf16, k=1) — for int8 rows that is the COMBINED
@@ -24,29 +24,36 @@ quantization+caching deviation, the number the <1% AbsRel parity bar
 (BASELINE.md) gates bench.py's DEFAULT_DEEPCACHE on — plus, for int8,
 drift vs the int8 k=1 row (isolating caching under quantization).
 
+Process architecture: each flagship eval program retains ~28 GB of host
+RSS that survives jax.clear_caches() (third-party client state), so the
+parent spawns a SUBPROCESS per row-group (DC_ROWS_PER_CHILD rows each,
+default 2) and each row lands in WORK/dc_row_<mode>_<k>.json — crashed
+or killed sweeps resume from completed row files. Two full-sweep OOM
+kills at 130 GB RSS motivated this.
+
 Writes the committed gate artifact docs/deepcache_accuracy.json
 (consumed by tests/test_bench_select.py::test_default_deepcache_is_accuracy_gated).
 
 Run (on the TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/deepcache_accuracy.py
 Env:
-  DC_KS=1,2,3,4,5    intervals (1 = exact baseline, required)
+  DC_KS=1,2,3,5      intervals (1 = exact baseline, required)
   DC_MODES=bf16,int8 precision modes
   DC_FRAMES=64       eval frames (generated procedurally if absent)
-  DC_BATCH=8         eval batch size
+  DC_BATCH=4         eval batch size — the RELAY-PROVEN compile shape
+                     (batch 8 hangs the remote compile helper)
   DC_RUN=/tmp/capstone_ldm   capstone work dir (datasets/ + run/checkpoints)
   DC_OUT=docs/deepcache_accuracy.json   output table (repo-relative)
+  DC_ROWS=mode:k,... (internal) child marker: evaluate exactly these rows
 """
 import json
 import os
 import sys
 import time
 
-KS = [int(k) for k in os.environ.get("DC_KS", "1,2,3,4,5").split(",")]
+KS = [int(k) for k in os.environ.get("DC_KS", "1,2,3,5").split(",")]
 MODES = os.environ.get("DC_MODES", "bf16,int8").split(",")
 FRAMES = int(os.environ.get("DC_FRAMES", "64"))
-# batch 4 is the RELAY-PROVEN eval compile shape (capstone + r3 sweep);
-# the batch-8 eval program hung the remote compile helper for 30+ min
 BATCH = int(os.environ.get("DC_BATCH", "4"))
 WORK = os.environ.get("DC_RUN", "/tmp/capstone_ldm")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -56,143 +63,14 @@ assert 1 in KS, "interval 1 (exact) is the baseline — include it in DC_KS"
 assert "bf16" in MODES, "bf16 (exact-compute) is the baseline mode"
 
 sys.path.insert(0, REPO)
+os.makedirs(WORK, exist_ok=True)
 os.chdir(WORK)  # datasets/HISS resolves relative to the capstone work dir
 
-import jax
 
-from d3roma_tpu.config import compose
-from d3roma_tpu.data import fetch_dataloader
-from d3roma_tpu.evaluation import evaluate_dataset
-from d3roma_tpu.ops import Normalizer
-from d3roma_tpu.training.checkpoint import load_state
-from d3roma_tpu.training.state import create_train_state
-from d3roma_tpu.training.train_loop import (
-    _preprocess_eval,
-    build_models,
-    create_pipeline,
-)
-
-# ensure a properly-powered eval set (the r3 sweep used 8 frames — too
-# noisy to resolve sub-1% effects; same seed => deterministic superset)
-from d3roma_tpu.synthetic import SceneConfig, generate_dataset
-
-val_dir = os.path.join(WORK, "datasets", "HISS", "val", "scene_0000")
-import glob as _glob
-
-have = len(_glob.glob(os.path.join(val_dir, "*_depth.exr")))
-if have < FRAMES:
-    print(f"# extending val split {have} -> {FRAMES} frames", file=sys.stderr)
-    generate_dataset(os.path.join(WORK, "datasets", "HISS"), FRAMES, "val",
-                     SceneConfig(height=360, width=640), seed=97)
-
-# identical model config to _scratch/capstone_ldm.py (the checkpoint's run)
-base = compose([
-    "task=train_ldm_mixed_rgb+raw",
-    "task.train_dataset=[HISS]",
-    "task.dataset_weight=[16]",
-    "task.eval_dataset=[HISS]",
-    "task.train_batch_size=8",
-    f"task.eval_batch_size={BATCH}",
-    f"task.eval_num_batch={max(1, FRAMES // BATCH)}",
-    "task.mixed_precision=bf16",
-    "task.optimizer=adafactor",
-])
-config = base.task
-
-ckpt = os.path.join(WORK, "run", "checkpoints", "last")
-assert os.path.isdir(ckpt), f"no capstone checkpoint at {ckpt} — run _scratch/capstone_ldm.py first"
-
-models = build_models(config, jax.random.PRNGKey(0))
-template = create_train_state(config, models["unet_params"], steps_per_epoch=128)
-state, counter = load_state(ckpt, template)
-print(f"# loaded checkpoint @ step {counter.global_step}", file=sys.stderr)
-models = {**models, "unet_params": state.params}
-del state, template
-
-import dataclasses as _dc
-
-base_pipe = create_pipeline(config, models).half_precision()
-# remat is a training lever; at inference it only bloats the traced
-# program — the k=5 grouped body (5 inlined UNet calls) OOM-killed the
-# host at 130 GB RSS during lowering with remat on
-base_pipe = _dc.replace(base_pipe,
-                        unet=_dc.replace(base_pipe.unet, remat=False))
-normalizer = Normalizer.from_config(config)
-_, val_loaders = fetch_dataloader(config, seed=0)
-loader = val_loaders[0]
-
-from functools import partial
-
-preprocess = partial(_preprocess_eval, config=config, normalizer=normalizer)
+def _row_path(mode, k):
+    return os.path.join(WORK, f"dc_row_{mode}_{k}.json")
 
 
-def _calibrated_int8(pipe):
-    """The shipped serving config, calibrated on the first eval batch
-    (normalized conditions — exactly what eval_batch feeds __call__).
-    Scales are disk-cached per checkpoint step so a restarted sweep does
-    not repay the ~10 min capture."""
-    import dataclasses as _dc
-
-    pipe = pipe.fast_inference("throughput")
-    cache = os.path.join(WORK, f"dc_act_scales_step{counter.global_step}"
-                               f"_b{BATCH}.json")
-    if os.path.exists(cache):
-        with open(cache) as f:
-            pipe = _dc.replace(pipe, act_scales=json.load(f))
-        print(f"# calibrated scales loaded from {cache}", file=sys.stderr)
-        return pipe
-    raw = next(iter(loader))
-    b = preprocess(raw)
-    t0 = time.time()
-    pipe = pipe.calibrate(
-        jax.random.PRNGKey(99),
-        [dict(rgb_images=b["normalized_rgb"], sim_disp=b["sim_disp"])],
-        cond_channels=config.cond_channels,
-        num_inference_steps=config.num_inference_timesteps,
-    )
-    with open(cache, "w") as f:
-        json.dump(pipe.act_scales, f)
-    print(f"# int8 calibration done in {time.time() - t0:.0f}s -> {cache}",
-          file=sys.stderr)
-    return pipe
-
-
-pipes = {"bf16": base_pipe}
-if "int8" in MODES:
-    pipes["int8"] = _calibrated_int8(base_pipe)
-
-results = {}
-for mode in MODES:
-    for k in KS:
-        pipe = pipes[mode].deepcache(k) if k > 1 else pipes[mode]
-        for attempt in (1, 2):
-            t0 = time.time()
-            try:
-                # same key per (mode, k) -> identical noise draws; deltas
-                # isolate the numerics change
-                m, _ = evaluate_dataset(config, pipe, loader,
-                                        jax.random.PRNGKey(1234),
-                                        preprocess=preprocess,
-                                        max_batches=config.eval_num_batch,
-                                        dataset_name="HISS")
-                break
-            except Exception as e:  # noqa: BLE001 - relay drops happen
-                print(f"# {mode} k={k} attempt {attempt} failed: "
-                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
-                if attempt == 2:
-                    raise
-                time.sleep(30)
-        results[(mode, k)] = m
-        print(f"# {mode} k={k} done in {time.time() - t0:.0f}s: "
-              f"epe={m['disp']['epe']:.4f} absrel={m['depth']['rel']:.4f}",
-              file=sys.stderr)
-        # incremental dump: a crash (relay hang kill, host OOM) must not
-        # lose completed rows
-        with open(os.path.join(WORK, "dc_partial.json"), "w") as f:
-            json.dump({f"{mo},{kk}": results[(mo, kk)]
-                       for (mo, kk) in results}, f, default=float)
-
-exact = results[("bf16", 1)]
 METS = (("disp", "epe"), ("depth", "rel"), ("depth", "rmse"),
         ("depth", "mae"))
 
@@ -210,28 +88,204 @@ def _row(m, baselines):
     return row
 
 
-doc = {
-    "checkpoint_step": int(counter.global_step),
-    "frames": config.eval_batch_size * config.eval_num_batch,
-    "steps": config.num_inference_timesteps,
-    "note": ("drift_pct = vs bf16 exact (mode=bf16,k=1) — for int8 rows "
-             "this is the COMBINED quantization+caching deviation; "
-             "drift_pct_vs_int8 isolates caching under quantization. "
-             "Procedural HISS val frames on the capstone checkpoint "
-             "(no real DREDS in this environment)."),
-    "bf16": {str(k): _row(results[("bf16", k)], {"": exact})
-             for k in KS if ("bf16", k) in results},
-}
-if "int8" in MODES:
-    int8_base = results[("int8", 1)]
-    doc["combined_int8"] = {
-        str(k): _row(results[("int8", k)],
-                     {"": exact, "_vs_int8": int8_base})
-        for k in KS if ("int8", k) in results
+def parent():
+    import subprocess
+
+    wanted = [(m, k) for m in MODES for k in KS]
+    missing = [(m, k) for (m, k) in wanted
+               if not os.path.exists(_row_path(m, k))]
+    group_n = int(os.environ.get("DC_ROWS_PER_CHILD", "2"))
+    for i in range(0, len(missing), group_n):
+        grp = missing[i:i + group_n]
+        spec = ",".join(f"{m}:{k}" for m, k in grp)
+        env = dict(os.environ, DC_ROWS=spec)
+        for attempt in (1, 2):
+            print(f"# spawning row child [{spec}] (attempt {attempt})",
+                  file=sys.stderr, flush=True)
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env)
+            if r.returncode == 0:
+                break
+            print(f"# row child [{spec}] failed rc={r.returncode}",
+                  file=sys.stderr, flush=True)
+            if attempt == 2:
+                sys.exit(1)
+            time.sleep(30)
+
+    results = {(m, k): json.load(open(_row_path(m, k))) for m, k in wanted}
+    exact = results[("bf16", 1)]
+    doc = {
+        "checkpoint_step": results[("bf16", 1)].get("_checkpoint_step"),
+        "frames": FRAMES,
+        "steps": 10,
+        "note": ("drift_pct = vs bf16 exact (mode=bf16,k=1) — for int8 "
+                 "rows this is the COMBINED quantization+caching "
+                 "deviation; drift_pct_vs_int8 isolates caching under "
+                 "quantization. Procedural HISS val frames on the "
+                 "capstone checkpoint (no real DREDS in this "
+                 "environment)."),
+        "bf16": {str(k): _row(results[("bf16", k)], {"": exact})
+                 for k in KS},
     }
-# the gate key the CI test reads: depth_rel_drift_pct (vs bf16 exact)
-print(json.dumps(doc, indent=1))
-os.makedirs(os.path.dirname(OUT), exist_ok=True)
-with open(OUT, "w") as f:
-    json.dump(doc, f, indent=1)
-print(f"# wrote {OUT}", file=sys.stderr)
+    if "int8" in MODES:
+        int8_base = results[("int8", 1)]
+        doc["combined_int8"] = {
+            str(k): _row(results[("int8", k)],
+                         {"": exact, "_vs_int8": int8_base})
+            for k in KS
+        }
+    print(json.dumps(doc, indent=1))
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"# wrote {OUT}", file=sys.stderr)
+
+
+def child(rows):
+    import jax
+
+    from d3roma_tpu.config import compose
+    from d3roma_tpu.data import fetch_dataloader
+    from d3roma_tpu.evaluation import evaluate_dataset
+    from d3roma_tpu.ops import Normalizer
+    from d3roma_tpu.synthetic import SceneConfig, generate_dataset
+    from d3roma_tpu.training.checkpoint import load_state
+    from d3roma_tpu.training.state import create_train_state
+    from d3roma_tpu.training.train_loop import (
+        _preprocess_eval,
+        build_models,
+        create_pipeline,
+    )
+
+    # ensure a properly-powered eval set (the r3 sweep used 8 frames —
+    # too noisy for sub-1% effects; same seed => deterministic superset)
+    import glob as _glob
+
+    val_dir = os.path.join(WORK, "datasets", "HISS", "val", "scene_0000")
+    have = len(_glob.glob(os.path.join(val_dir, "*_depth.exr")))
+    if have < FRAMES:
+        print(f"# extending val split {have} -> {FRAMES} frames",
+              file=sys.stderr)
+        generate_dataset(os.path.join(WORK, "datasets", "HISS"), FRAMES,
+                         "val", SceneConfig(height=360, width=640), seed=97)
+
+    # identical model config to _scratch/capstone_ldm.py (the ckpt's run)
+    base = compose([
+        "task=train_ldm_mixed_rgb+raw",
+        "task.train_dataset=[HISS]",
+        "task.dataset_weight=[16]",
+        "task.eval_dataset=[HISS]",
+        "task.train_batch_size=8",
+        f"task.eval_batch_size={BATCH}",
+        f"task.eval_num_batch={max(1, FRAMES // BATCH)}",
+        "task.mixed_precision=bf16",
+        "task.optimizer=adafactor",
+    ])
+    config = base.task
+
+    ckpt = os.path.join(WORK, "run", "checkpoints", "last")
+    assert os.path.isdir(ckpt), (
+        f"no capstone checkpoint at {ckpt} — run _scratch/capstone_ldm.py")
+
+    models = build_models(config, jax.random.PRNGKey(0))
+    template = create_train_state(config, models["unet_params"],
+                                  steps_per_epoch=128)
+    state, counter = load_state(ckpt, template)
+    print(f"# loaded checkpoint @ step {counter.global_step}",
+          file=sys.stderr)
+    models = {**models, "unet_params": state.params}
+    del state, template
+
+    import dataclasses as _dc
+    from functools import partial
+
+    base_pipe = create_pipeline(config, models).half_precision()
+    # remat is a training lever; at inference it only bloats the traced
+    # program (a remat-laden k=5 grouped body OOM'd the host at lowering)
+    base_pipe = _dc.replace(base_pipe,
+                            unet=_dc.replace(base_pipe.unet, remat=False))
+    normalizer = Normalizer.from_config(config)
+    _, val_loaders = fetch_dataloader(config, seed=0)
+    loader = val_loaders[0]
+    preprocess = partial(_preprocess_eval, config=config,
+                         normalizer=normalizer)
+
+    def calibrated_int8(k):
+        """The shipped serving config at interval k, calibrated on the
+        first eval batch (normalized conditions — exactly what eval_batch
+        feeds __call__). k > 1 calibrates ALONG THE DEPLOYED DeepCache
+        schedule (stale trunks — pipeline.calibrate drives the grouped
+        trajectory when cache_interval > 1). Scales disk-cached per
+        (checkpoint step, batch, k)."""
+        pipe = base_pipe.fast_inference("throughput")
+        if k > 1:
+            pipe = pipe.deepcache(k)
+        cache = os.path.join(WORK, f"dc_act_scales_step"
+                                   f"{counter.global_step}_b{BATCH}"
+                                   f"_k{k}.json")
+        if k == 1:  # pre-rework capture file (same schedule for k=1)
+            legacy = os.path.join(WORK, f"dc_act_scales_step"
+                                        f"{counter.global_step}_b{BATCH}.json")
+            if not os.path.exists(cache) and os.path.exists(legacy):
+                cache = legacy
+        if os.path.exists(cache):
+            with open(cache) as f:
+                pipe = _dc.replace(pipe, act_scales=json.load(f))
+            print(f"# calibrated scales loaded from {cache}",
+                  file=sys.stderr)
+            return pipe
+        raw = next(iter(loader))
+        b = preprocess(raw)
+        t0 = time.time()
+        pipe = pipe.calibrate(
+            jax.random.PRNGKey(99),
+            [dict(rgb_images=b["normalized_rgb"], sim_disp=b["sim_disp"])],
+            cond_channels=config.cond_channels,
+            num_inference_steps=config.num_inference_timesteps,
+        )
+        with open(cache, "w") as f:
+            json.dump(pipe.act_scales, f)
+        print(f"# int8 k={k} calibration done in {time.time() - t0:.0f}s "
+              f"-> {cache}", file=sys.stderr)
+        return pipe
+
+    for mode, k in rows:
+        if mode == "int8":
+            pipe = calibrated_int8(k)
+        else:
+            pipe = base_pipe.deepcache(k) if k > 1 else base_pipe
+        for attempt in (1, 2):
+            t0 = time.time()
+            try:
+                # same key per (mode, k) -> identical noise draws; deltas
+                # isolate the numerics change
+                m, _ = evaluate_dataset(config, pipe, loader,
+                                        jax.random.PRNGKey(1234),
+                                        preprocess=preprocess,
+                                        max_batches=config.eval_num_batch,
+                                        dataset_name="HISS")
+                break
+            except Exception as e:  # noqa: BLE001 - relay drops happen
+                print(f"# {mode} k={k} attempt {attempt} failed: "
+                      f"{type(e).__name__}: {str(e)[:300]}",
+                      file=sys.stderr)
+                if attempt == 2:
+                    raise
+                time.sleep(30)
+        m = {s: {kk: float(v) for kk, v in d.items()}
+             if isinstance(d, dict) else d for s, d in m.items()}
+        m["_checkpoint_step"] = int(counter.global_step)
+        with open(_row_path(mode, k), "w") as f:
+            json.dump(m, f, default=float)
+        print(f"# {mode} k={k} done in {time.time() - t0:.0f}s: "
+              f"epe={m['disp']['epe']:.4f} absrel={m['depth']['rel']:.4f}",
+              file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    spec = os.environ.get("DC_ROWS")
+    if spec:
+        child([(m, int(k)) for m, k in
+               (item.split(":") for item in spec.split(","))])
+    else:
+        parent()

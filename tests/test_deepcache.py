@@ -203,3 +203,35 @@ def test_calibrate_captures_cached_table_and_replays_clean():
     assert np.isfinite(out_cal).all()
     scale = np.abs(out_float).mean()
     assert np.abs(out_cal - out_float).mean() < 0.05 * max(scale, 0.1)
+
+
+def test_calibrate_on_deepcached_pipe_follows_deployed_schedule():
+    """Calibrating a pipe with cache_interval > 1 captures along the
+    DEPLOYED grouped trajectory (stale trunks on shallow steps) — the
+    shallow-pass scale table must come from the distribution it will
+    replay against (exact-trunk capture under-scales it; measured +0.88%
+    vs +0.50% AbsRel caching drift at k=2 on the flagship). The
+    calibrated pipe replays without scale-count drift and tracks the
+    float DeepCache output."""
+    pipe = _tiny_latent_pipe()
+    rgb, raw = _cond_arrays()
+    kwargs = dict(num_inference_steps=4, num_intermediate_images=1,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+
+    static_dc = dc.replace(
+        pipe, unet=dc.replace(pipe.unet, quant="static"),
+        vae=dc.replace(pipe.vae, quant="static")).deepcache(2)
+    calibrated = static_dc.calibrate(
+        jax.random.PRNGKey(3), [dict(rgb_images=rgb, sim_disp=raw)],
+        cond_channels="rgb+raw", num_inference_steps=4)
+    assert set(calibrated.act_scales) == {
+        "unet", "unet_cached", "vae_encode", "vae_decode"}
+    assert (len(calibrated.act_scales["unet_cached"])
+            < len(calibrated.act_scales["unet"]))
+
+    out_float = np.asarray(pipe.deepcache(2)(jax.random.PRNGKey(9),
+                                             **kwargs).images)
+    out_cal = np.asarray(calibrated(jax.random.PRNGKey(9), **kwargs).images)
+    assert np.isfinite(out_cal).all()
+    scale = np.abs(out_float).mean()
+    assert np.abs(out_cal - out_float).mean() < 0.05 * max(scale, 0.1)
