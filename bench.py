@@ -169,6 +169,14 @@ def bench_ldm(batch, reps):
 
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
+    # DeepCache BEFORE calibration: with an interval > 1 the capture
+    # follows the deployed grouped schedule (stale trunks on shallow
+    # steps — pipelines/pipeline.py::calibrate), which is what the
+    # quantized program replays against
+    dc_interval = int(os.environ.get("BENCH_DEEPCACHE", DEFAULT_DEEPCACHE))
+    if dc_interval > 1:
+        pipe = pipe.deepcache(dc_interval)
+
     if (quant in ("static", "mxu", "halo", "wino_static", "vae8")
             # "1" = calibrate (cached); "force" = recapture ignoring the
             # disk cache; anything else disables calibration
@@ -193,12 +201,14 @@ def bench_ldm(batch, reps):
         wc = os.environ.get("D3ROMA_WINO_CHUNK", "0")
         ff = os.environ.get("BENCH_FF", DEFAULT_FF)
         fl = os.environ.get("BENCH_FLASH", "3")
-        # "act_scales2": the table set grew a "unet_cached" entry (the
-        # DeepCache shallow pass) — round-2 cache files lack it
+        # "act_scales3": capture now follows the deployed DeepCache
+        # schedule when an interval is set (stale-trunk statistics for
+        # the "unet_cached" table), so scales are keyed by the interval
+        # too; act_scales2 (exact-trunk capture) files are superseded
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache",
-                             f"act_scales2_{quant}_b{batch}_s{steps}"
-                             f"_ff{ff}_fl{fl}"
+                             f"act_scales3_{quant}_b{batch}_s{steps}"
+                             f"_ff{ff}_fl{fl}_dc{dc_interval}"
                              + (f"_wc{wc}" if quant == "wino_static" else "")
                              + ".json")
         if os.path.exists(cache) and os.environ.get("BENCH_CALIB") != "force":
@@ -232,10 +242,6 @@ def bench_ldm(batch, reps):
                     print(f"# calibration at batch {cb} w/{w_step} failed: "
                           f"{type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
                     time.sleep(20)
-
-    dc_interval = int(os.environ.get("BENCH_DEEPCACHE", DEFAULT_DEEPCACHE))
-    if dc_interval > 1:
-        pipe = pipe.deepcache(dc_interval)
 
     # Run-unique key base: with a fixed base, two bench PROCESSES at the
     # same config enqueue byte-identical (program, input) dispatches, and
