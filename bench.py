@@ -40,15 +40,25 @@ Env knobs:
                           record per config), requiring a >2% recorded
                           win over the latest default-mode run; governs
                           quant/wc only — never the DeepCache interval
-  BENCH_DEEPCACHE=N       DeepCache interval (1 = off/exact): N > 1 runs
-                          the full UNet every N-th denoise step and a
-                          shallow cached pass between (deep-trunk reuse,
-                          Ma et al. CVPR 2024). An approximation — the
-                          interval is disclosed in the output JSON; the
-                          default (DEFAULT_DEEPCACHE) is accuracy-gated
-                          by the measured drift table committed at
+  BENCH_DEEPCACHE=N|pat   DeepCache (1 = off/exact): an interval N > 1
+                          runs the full UNet every N-th denoise step and
+                          a shallow cached pass between (deep-trunk
+                          reuse, Ma et al. CVPR 2024); an F/S pattern
+                          string (e.g. FSFSFSFSFF) selects a NON-UNIFORM
+                          schedule (full steps where drift accrues).
+                          An approximation — the schedule is disclosed
+                          in the output JSON; the default
+                          (DEFAULT_DEEPCACHE) is accuracy-gated by the
+                          measured drift table committed at
                           docs/deepcache_accuracy.json (see
                           docs/PERFORMANCE.md for the analysis).
+  BENCH_DEEPCACHE_DEPTH=D shallow-pass depth (default 1): 2 = medium
+                          split (also refreshes down block 1 + up block
+                          2, ~2/3 of step FLOPs, lower drift)
+  BENCH_CLIP_PCT=p        calibrate with |act| quantile recording and
+                          clip activation scales at percentile p (e.g.
+                          0.999) instead of absmax (PTQ outlier
+                          clipping); default absmax
 """
 
 import importlib.util
@@ -74,8 +84,12 @@ def _machine_cache_dir(base):
     return mod.machine_cache_dir(base)
 
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      _machine_cache_dir(os.path.join(_HERE, ".jax_bench_cache")))
+# guarded (not setdefault): _machine_cache_dir has side effects (mkdir +
+# legacy purge) that must not run when the user already pointed
+# JAX_COMPILATION_CACHE_DIR elsewhere
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _machine_cache_dir(
+        os.path.join(_HERE, ".jax_bench_cache"))
 
 import jax
 import jax.numpy as jnp
@@ -169,13 +183,18 @@ def bench_ldm(batch, reps):
 
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
-    # DeepCache BEFORE calibration: with an interval > 1 the capture
-    # follows the deployed grouped schedule (stale trunks on shallow
+    # DeepCache BEFORE calibration: with a cached schedule the capture
+    # follows the deployed grouped trajectory (stale trunks on shallow
     # steps — pipelines/pipeline.py::calibrate), which is what the
     # quantized program replays against
-    dc_interval = int(os.environ.get("BENCH_DEEPCACHE", DEFAULT_DEEPCACHE))
-    if dc_interval > 1:
-        pipe = pipe.deepcache(dc_interval)
+    dc_raw = os.environ.get("BENCH_DEEPCACHE", DEFAULT_DEEPCACHE)
+    dc_depth = int(os.environ.get("BENCH_DEEPCACHE_DEPTH", "1"))
+    dc_is_pattern = not dc_raw.isdigit()
+    dc_interval = 1 if dc_is_pattern else int(dc_raw)
+    if dc_is_pattern:
+        pipe = pipe.deepcache(dc_raw, depth=dc_depth)
+    elif dc_interval > 1 or dc_depth != 1:
+        pipe = pipe.deepcache(dc_interval, depth=dc_depth)
 
     if (quant in ("static", "mxu", "halo", "wino_static", "vae8")
             # "1" = calibrate (cached); "force" = recapture ignoring the
@@ -201,6 +220,8 @@ def bench_ldm(batch, reps):
         wc = os.environ.get("D3ROMA_WINO_CHUNK", "0")
         ff = os.environ.get("BENCH_FF", DEFAULT_FF)
         fl = os.environ.get("BENCH_FLASH", "3")
+        clip_pct = os.environ.get("BENCH_CLIP_PCT", "")
+        dc_key = dc_raw + (f"d{dc_depth}" if dc_depth != 1 else "")
         # "act_scales3": capture now follows the deployed DeepCache
         # schedule when an interval is set (stale-trunk statistics for
         # the "unet_cached" table), so scales are keyed by the interval
@@ -208,12 +229,15 @@ def bench_ldm(batch, reps):
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache",
                              f"act_scales3_{quant}_b{batch}_s{steps}"
-                             f"_ff{ff}_fl{fl}_dc{dc_interval}"
+                             f"_ff{ff}_fl{fl}_dc{dc_key}"
+                             + (f"_q{clip_pct}" if clip_pct else "")
                              + (f"_wc{wc}" if quant == "wino_static" else "")
                              + ".json")
         if os.path.exists(cache) and os.environ.get("BENCH_CALIB") != "force":
             with open(cache) as f:
                 pipe = _dc.replace(pipe, act_scales=json.load(f))
+            if clip_pct:
+                pipe = pipe.with_act_clipping(percentile=float(clip_pct))
             print(f"# calibrated scales loaded from {cache}", file=sys.stderr)
         else:
             # The relay can drop mid-calibration (the batch-16 capture
@@ -231,7 +255,12 @@ def bench_ldm(batch, reps):
                         [dict(rgb_images=rgb[:cb, :, ::w_step],
                               sim_disp=raw[:cb, :, ::w_step])],
                         cond_channels="rgb+raw", num_inference_steps=steps,
+                        quantiles=((float(clip_pct),) if clip_pct
+                                   else None),
                     )
+                    if clip_pct:
+                        pipe = pipe.with_act_clipping(
+                            percentile=float(clip_pct))
                     os.makedirs(os.path.dirname(cache), exist_ok=True)
                     with open(cache, "w") as f:
                         json.dump(pipe.act_scales, f)
@@ -263,9 +292,11 @@ def bench_ldm(batch, reps):
 
     from d3roma_tpu.utils.flops import latent_pipeline_flops_per_frame
 
-    flops = latent_pipeline_flops_per_frame(H, W, steps, n_conds=2,
-                                            in_channels=in_ch,
-                                            cache_interval=dc_interval)
+    flops = latent_pipeline_flops_per_frame(
+        H, W, steps, n_conds=2, in_channels=in_ch,
+        cache_interval=dc_interval,
+        cache_schedule=dc_raw if dc_is_pattern else None,
+        cache_depth=dc_depth)
     return run, f"ldm_rgb+raw_640x360_ddim{steps}", flops["total"]
 
 
@@ -322,6 +353,20 @@ def _bench_setting():
     }
 
 
+def _deepcache_key():
+    """The full DeepCache identity of this run (schedule + depth + act
+    clipping) — results.jsonl records and autoselect comparability key."""
+    dc = os.environ.get("BENCH_DEEPCACHE", DEFAULT_DEEPCACHE)
+    depth = os.environ.get("BENCH_DEEPCACHE_DEPTH", "1")
+    clip = os.environ.get("BENCH_CLIP_PCT", "")
+    key = dc
+    if depth != "1":
+        key += f"d{depth}"
+    if clip:
+        key += f"q{clip}"
+    return key
+
+
 def _records_path():
     return os.environ.get("BENCH_RECORDS") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -375,7 +420,7 @@ def _maybe_autoselect_quant():
     # a lossier approximation on an fps win alone (advisor r3). Only
     # records measured at THIS run's interval (pinned or the accuracy-
     # gated default) are comparable; autoselect governs quant/wc only.
-    run_dc = os.environ.get("BENCH_DEEPCACHE") or DEFAULT_DEEPCACHE
+    run_dc = _deepcache_key()
     latest = {k: v for k, v in latest.items() if k[2] == run_dc}
     static_best = max(
         (r for (q, _, _), r in latest.items() if q == DEFAULT_QUANT),
@@ -397,7 +442,7 @@ def _record_result(fps):
     rec = dict(_bench_setting(),
                quant=os.environ.get("BENCH_QUANT", DEFAULT_QUANT),
                wc=os.environ.get("D3ROMA_WINO_CHUNK", "0"),
-               deepcache=os.environ.get("BENCH_DEEPCACHE", DEFAULT_DEEPCACHE),
+               deepcache=_deepcache_key(),
                fps=round(fps, 3), ts=int(time.time()))
     try:
         os.makedirs(os.path.dirname(_records_path()), exist_ok=True)
@@ -512,7 +557,15 @@ def main():
     if model == "ldm" and dc != "1":
         # disclose the approximation: this run reuses deep UNet features
         # across steps (accuracy deltas: docs/PERFORMANCE.md)
-        result["deepcache_interval"] = int(dc)
+        if dc.isdigit():
+            result["deepcache_interval"] = int(dc)
+        else:
+            result["deepcache_schedule"] = dc
+        depth = int(os.environ.get("BENCH_DEEPCACHE_DEPTH", "1"))
+        if depth != 1:
+            result["deepcache_depth"] = depth
+    if model == "ldm" and os.environ.get("BENCH_CLIP_PCT"):
+        result["act_clip_pct"] = float(os.environ["BENCH_CLIP_PCT"])
     if flops_per_frame:
         # analytic model FLOPs (utils/flops.py, XLA-validated): the MFU
         # convention — contraction FLOPs only, no kernel padding waste

@@ -73,17 +73,25 @@ class TrainingConfig:
     # "off" = plain XLA; "throughput" = measured-best batch config on v5e
     # (bf16 + whole-row Pallas self-attention + fused GEGLU FF + static
     # int8 MXU); "latency" = the batch-1/streaming config (same kernels,
-    # no int8 — quantization is latency-bound at batch 1); "wino" =
+    # no int8 — quantization is latency-bound at batch 1); "dense" =
+    # latency kernels + dynamic int8 on the dense projections only (the
+    # fastest COMPILABLE batch-1 config when the relay rejects the bf16
+    # program — streaming/probe.py auto-selects it); "wino" =
     # throughput kernels with stride-1 3x3 convs on Winograd F(2x2,3x3)
     # (on-chip measurement pending). Numbers: docs/PERFORMANCE.md.
     fast_inference: str = "off"
 
-    # DeepCache interval for latent-pipeline inference (Ma et al., CVPR
-    # 2024): 1 = off; k > 1 runs the full UNet on every k-th denoise step
-    # and a shallow cached pass (deep-trunk reuse) between — an
-    # accuracy/throughput trade measured in docs/PERFORMANCE.md. Applies
-    # to inference/evaluate CLIs; heun is unsupported.
-    deepcache: int = 1
+    # DeepCache for latent-pipeline inference (Ma et al., CVPR 2024):
+    # 1 = off; an interval k > 1 runs the full UNet on every k-th denoise
+    # step and a shallow cached pass (deep-trunk reuse) between; an F/S
+    # pattern STRING (e.g. "FSFSFSFSFF") selects a non-uniform schedule —
+    # an accuracy/throughput trade measured in docs/PERFORMANCE.md.
+    # Applies to inference/evaluate CLIs; heun is unsupported.
+    deepcache: Any = 1
+    # DeepCache shallow-pass depth: 1 = classic shallowest split; 2 =
+    # medium split (also refreshes down block 1 + up block 2 — ~2/3 of
+    # step FLOPs, lower drift). See models/unet2d_condition.py.
+    deepcache_depth: int = 1
 
     # Run the latent pipeline as three jitted programs (VAE encode /
     # denoise scan / VAE decode) instead of one. Same math and steady-state
@@ -283,6 +291,14 @@ def set_debug(config: TrainingConfig) -> None:
 # ---------------------------------------------------------------------- #
 # YAML preset loading + dotted overrides (the Hydra-equivalent surface)
 # ---------------------------------------------------------------------- #
+
+
+def deepcache_active(dc) -> bool:
+    """True when a task.deepcache value enables cached steps: an interval
+    > 1 or a pattern string containing a shallow (S) step."""
+    if isinstance(dc, str):
+        return "S" in dc.upper()
+    return int(dc) > 1
 
 
 def _coerce(value: str) -> Any:

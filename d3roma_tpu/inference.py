@@ -136,9 +136,15 @@ class D3RoMa:
         if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
             pipeline = pipeline.fast_inference(config.fast_inference)
             logger.info("fast_inference=%s kernels enabled", config.fast_inference)
-        if config.deepcache > 1 and hasattr(pipeline, "deepcache"):
-            pipeline = pipeline.deepcache(config.deepcache)
-            logger.info("deepcache interval=%d enabled", config.deepcache)
+        from d3roma_tpu.config import deepcache_active
+
+        if ((deepcache_active(config.deepcache)
+             or config.deepcache_depth != 1)
+                and hasattr(pipeline, "deepcache")):
+            pipeline = pipeline.deepcache(config.deepcache,
+                                          depth=config.deepcache_depth)
+            logger.info("deepcache schedule=%s depth=%d enabled",
+                        config.deepcache, config.deepcache_depth)
         return pipeline
 
     # ------------------------------------------------------------------ #

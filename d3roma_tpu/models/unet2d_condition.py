@@ -49,6 +49,13 @@ class UNet2DCondition(nn.Module):
     quant: bool = False  # int8 MXU path for inference (ops/quant.py)
     fused_norm: bool = False  # fused Pallas GroupNorm+SiLU (ops/pallas/)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
+    # DeepCache shallow-pass depth: how many TRAILING up blocks (and the
+    # matching leading down blocks) the cached pass refreshes. 1 = the
+    # classic shallowest split (conv_in + down block 0 + last up block,
+    # ~36% of step FLOPs at the flagship shape); 2 = a medium split that
+    # also refreshes down block 1 + up block 2 (~2/3 of step FLOPs) for
+    # lower cross-step drift. The trunk tensor's shape depends on this.
+    cache_depth: int = 1
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     dtype: jnp.dtype = jnp.float32
@@ -103,6 +110,18 @@ class UNet2DCondition(nn.Module):
         # stack (not GN-normalized) and its FLOPs share is negligible
         x = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
 
+        n_up = len(self.up_block_types)
+        depth = int(self.cache_depth)
+        if not (1 <= depth <= n_up - 1):
+            raise ValueError(
+                f"cache_depth must be in [1, {n_up - 1}] (the mid block "
+                f"is always part of the cached trunk), got {depth}")
+        # first up block the shallow (cached) pass refreshes; the trunk is
+        # the feature entering it. Up block i consumes the skips of down
+        # block (n_up-1-i), so the shallow pass runs down blocks
+        # [0, depth) — with their downsamples except the last one's.
+        refresh_from = n_up - depth
+
         # ---- down ----
         skips = [x]
         for i, (btype, ch) in enumerate(zip(self.down_block_types, self.block_out_channels)):
@@ -120,10 +139,10 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
-            if cached_trunk is not None:
-                # shallow (cached) pass: block 0's skips are all the last
-                # up block consumes — the downsample and every deeper
-                # level are replaced by the cached trunk
+            if cached_trunk is not None and i == depth - 1:
+                # shallow pass: the skips gathered so far are exactly what
+                # the refreshed up blocks consume — everything deeper is
+                # replaced by the cached trunk
                 break
             if not is_last:
                 x = Downsample2D(ch, quant=self.quant, dtype=self.dtype,
@@ -131,7 +150,6 @@ class UNet2DCondition(nn.Module):
                 skips.append(x)
 
         rev = tuple(reversed(self.block_out_channels))
-        last_up = len(self.up_block_types) - 1
 
         if cached_trunk is None:
             # ---- mid (UNetMidBlock2DCrossAttn) ----
@@ -148,8 +166,8 @@ class UNet2DCondition(nn.Module):
                               fused_norm=self.fused_norm,
                               dtype=self.dtype, name="mid_res_1")(x, t_emb)
 
-            # ---- up (all but the last block) ----
-            for i in range(last_up):
+            # ---- up (the blocks the cached pass does NOT refresh) ----
+            for i in range(refresh_from):
                 btype = self.up_block_types[i]
                 ch = rev[i]
                 for j in range(self.layers_per_block + 1):
@@ -175,23 +193,29 @@ class UNet2DCondition(nn.Module):
             trunk = cached_trunk.astype(self.dtype)
             x = trunk
 
-        # ---- the last up block (shared by full and cached passes) ----
-        btype = self.up_block_types[last_up]
-        ch = rev[last_up]
-        for j in range(self.layers_per_block + 1):
-            skip = skips.pop()
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = ResBlock(ch, groups=self.norm_groups, quant=self.quant,
-                              fused_norm=self.fused_norm,
-                              dtype=self.dtype, name=f"up_{last_up}_res_{j}")(x, t_emb)
-            if btype == "CrossAttnUpBlock2D":
-                x = AttnBlock(
-                    ch, heads_for(ch), self.attention_head_dim,
-                    self.cross_attention_dim, groups=self.norm_groups,
-                    use_flash=self.use_flash_attention, quant=self.quant,
-                    fused_ff=self.fused_ff,
-                    dtype=self.dtype, name=f"up_{last_up}_attn_{j}",
-                )(x, context)
+        # ---- the refreshed tail up blocks (shared by full and cached) ----
+        for i in range(refresh_from, n_up):
+            btype = self.up_block_types[i]
+            ch = rev[i]
+            for j in range(self.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResBlock(ch, groups=self.norm_groups, quant=self.quant,
+                                  fused_norm=self.fused_norm,
+                                  dtype=self.dtype, name=f"up_{i}_res_{j}")(x, t_emb)
+                if btype == "CrossAttnUpBlock2D":
+                    x = AttnBlock(
+                        ch, heads_for(ch), self.attention_head_dim,
+                        self.cross_attention_dim, groups=self.norm_groups,
+                        use_flash=self.use_flash_attention, quant=self.quant,
+                        fused_ff=self.fused_ff,
+                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                    )(x, context)
+            if i < n_up - 1:
+                x = Upsample2D(ch, quant=self.quant, dtype=self.dtype,
+                               name=f"up_{i}_upsample")(
+                    x, out_hw=skips[-1].shape[1:3]
+                )
 
         from d3roma_tpu.models.layers import GroupNormSiLU
 

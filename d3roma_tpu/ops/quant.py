@@ -95,8 +95,16 @@ class _ActScaleCtx(threading.local):
       "capture" — every call *records* a tracer of absmax(x)/127 into
                   `taps` and computes in float (calibration pass; the taps
                   become jit outputs, see calibration.capture_scales).
+                  With `quantiles` set, each tap is a VECTOR
+                  [absmax, q_1, ..., q_n]/127 (the listed |x| quantiles
+                  alongside the max) so one capture pass serves several
+                  clipping strategies (percentile clipping is a standard
+                  PTQ lever against absmax-outlier scale inflation).
       "replay"  — every call consumes the next calibrated scale (a python
                   float, i.e. a compile-time constant: zero runtime cost).
+                  Call indices in `pins` run UNQUANTIZED (bf16 pinning of
+                  drift-sensitive layers) while still consuming their
+                  index, keeping the call-order contract intact.
     """
 
     def __init__(self):
@@ -104,23 +112,29 @@ class _ActScaleCtx(threading.local):
         self.taps = None
         self.scales = None
         self.idx = 0
+        self.quantiles = None
+        self.pins = frozenset()
 
 
 _ACTX = _ActScaleCtx()
 
 
 class _ScaleCtxManager:
-    def __init__(self, mode, payload):
+    def __init__(self, mode, payload, quantiles=None, pins=()):
         self.mode, self.payload = mode, payload
+        self.quantiles, self.pins = quantiles, pins
 
     def __enter__(self):
         assert _ACTX.mode is None, "nested act-scale contexts"
         _ACTX.mode = self.mode
         if self.mode == "capture":
             _ACTX.taps = self.payload
+            _ACTX.quantiles = (tuple(self.quantiles)
+                               if self.quantiles else None)
         else:
             _ACTX.scales = list(self.payload)
             _ACTX.idx = 0
+            _ACTX.pins = frozenset(self.pins or ())
         return self.payload
 
     def __exit__(self, *exc):
@@ -129,6 +143,8 @@ class _ScaleCtxManager:
         _ACTX.taps = None
         _ACTX.scales = None
         _ACTX.idx = 0
+        _ACTX.quantiles = None
+        _ACTX.pins = frozenset()
         if self.mode == "replay" and exc[0] is None:
             # idx == 0 means the jit cache was hit (no tracing happened);
             # anything else but full consumption is a call-order drift.
@@ -152,15 +168,19 @@ def act_ctx_mode():
     return _ACTX.mode
 
 
-def capture_act_scales(taps: list):
+def capture_act_scales(taps: list, quantiles=None):
     """Context: static int8 ops record absmax(x)/127 tracers into `taps`
-    and compute in float (the calibration forward)."""
-    return _ScaleCtxManager("capture", taps)
+    and compute in float (the calibration forward). With `quantiles`
+    (e.g. (0.9995, 0.999)), each tap is [absmax, q...]/127 instead of a
+    scalar — see _ActScaleCtx."""
+    return _ScaleCtxManager("capture", taps, quantiles=quantiles)
 
 
-def replay_act_scales(scales):
-    """Context: static int8 ops consume `scales` (floats) in call order."""
-    return _ScaleCtxManager("replay", scales)
+def replay_act_scales(scales, pins=()):
+    """Context: static int8 ops consume `scales` (floats) in call order;
+    call indices in `pins` run unquantized (bf16-pinned) but still
+    consume their index."""
+    return _ScaleCtxManager("replay", scales, pins=pins)
 
 
 def consume_act_scale(x):
@@ -168,11 +188,18 @@ def consume_act_scale(x):
 
     Returns ("float", None) in capture mode (after recording the tap) —
     the caller must run the unquantized op; otherwise ("int8", scale)
-    where scale is a python float (replay) or STATIC_ACT_SCALE.
+    where scale is a python float (replay) or STATIC_ACT_SCALE, or
+    ("float", None) for a bf16-pinned replay index.
     """
     if _ACTX.mode == "capture":
-        _ACTX.taps.append(
-            jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0)
+        ax = jnp.abs(x.astype(jnp.float32))
+        if _ACTX.quantiles:
+            qs = jnp.quantile(ax.reshape(-1),
+                              jnp.asarray(_ACTX.quantiles, jnp.float32))
+            _ACTX.taps.append(
+                jnp.concatenate([jnp.max(ax)[None], qs]) / 127.0)
+        else:
+            _ACTX.taps.append(jnp.max(ax) / 127.0)
         return "float", None
     if _ACTX.mode == "replay":
         if _ACTX.idx >= len(_ACTX.scales):
@@ -183,9 +210,11 @@ def consume_act_scale(x):
                 "With wino_static, conv eligibility depends on batch "
                 "size and the D3ROMA_WINO_* env: calibrate at the "
                 "deployment batch size and env settings.")
-        s = float(_ACTX.scales[_ACTX.idx])
+        i = _ACTX.idx
         _ACTX.idx += 1
-        return "int8", s
+        if i in _ACTX.pins:
+            return "float", None  # bf16-pinned layer
+        return "int8", float(_ACTX.scales[i])
     return "int8", STATIC_ACT_SCALE
 
 

@@ -271,6 +271,12 @@ class GuidedLatentDiffusionPipeline:
     # (conv_in + down block 0 + last up block + conv_out, reusing the
     # deep trunk feature) on the k-1 steps between. See deepcache().
     cache_interval: int = 1
+    # Non-uniform DeepCache step pattern (overrides cache_interval): a
+    # string over {F, S} of length num_inference_steps — F = full pass,
+    # S = shallow cached pass. E.g. "FSFSFSFSFF" spends the saved FLOPs
+    # on exact steps at the end of the trajectory, where caching drift
+    # accrues fastest. See deepcache() / sampling.parse_cache_schedule.
+    cache_schedule: Optional[str] = None
     # compiled-executable cache (serving/aot.py); None = plain jit
     aot_cache_dir: Optional[str] = None
     aot_cache_token: str = ""
@@ -320,7 +326,7 @@ class GuidedLatentDiffusionPipeline:
         parts = [repr(self.unet), repr(self.vae), repr(self.spec),
                  repr(self.guidance), repr(self.normalizer),
                  json.dumps(self.act_scales or {}, sort_keys=True),
-                 str(self.cache_interval),
+                 str(self.cache_interval), str(self.cache_schedule),
                  self.aot_cache_token, repr(sig_stable)]
         return "ldm_" + hashlib.sha256(
             "|".join(parts).encode()).hexdigest()[:24]
@@ -358,7 +364,8 @@ class GuidedLatentDiffusionPipeline:
             vae=_dc.replace(self.vae, fused_norm=True),
         )
 
-    def deepcache(self, interval: int = 2) -> "GuidedLatentDiffusionPipeline":
+    def deepcache(self, interval=2,
+                  depth: Optional[int] = None) -> "GuidedLatentDiffusionPipeline":
         """Enable DeepCache deep-feature reuse (Ma et al., CVPR 2024; no
         reference analog — a TPU-side inference accelerator): each group
         of `interval` denoise steps runs ONE full UNet pass (also emitting
@@ -367,13 +374,42 @@ class GuidedLatentDiffusionPipeline:
         shape). An approximation — gate on end metrics before deploying
         (tests/test_deepcache.py + the on-chip accuracy sweep in
         docs/PERFORMANCE.md). heun is unsupported (its second model
-        evaluation has no cached analog)."""
+        evaluation has no cached analog).
+
+        `interval` may instead be an F/S pattern STRING (e.g.
+        "FSFSFSFSFF") selecting a NON-UNIFORM schedule — full steps where
+        drift accrues fastest (sampling.parse_cache_schedule). `depth`
+        (default: keep the unet's current cache_depth) selects the
+        shallow pass's depth: 1 = classic shallowest split, 2 = medium
+        split that also refreshes down block 1 + up block 2 (~2/3 of step
+        FLOPs, lower drift). Calibrated static-int8 scale tables are
+        schedule- and depth-specific — re-run calibrate() after changing
+        either."""
+        if depth is not None:
+            import dataclasses as _dc
+
+            self = dataclasses.replace(
+                self, unet=_dc.replace(self.unet, cache_depth=int(depth)))
+        if isinstance(interval, str):
+            s = interval.strip().upper()
+            if not s or set(s) - {"F", "S"} or s[0] != "F":
+                raise ValueError(
+                    f"cache schedule must be a nonempty F/S string "
+                    f"starting with F, got {interval!r}")
+            if "S" in s and self.spec.kind == "heun":
+                raise ValueError(
+                    "deepcache does not support the heun sampler")
+            # the length-vs-num_inference_steps check happens at call time
+            # (parse_cache_schedule), where the step count is known
+            return dataclasses.replace(self, cache_schedule=s,
+                                       cache_interval=1)
         interval = int(interval)
         if interval < 1:
             raise ValueError(f"cache_interval must be >= 1, got {interval}")
         if interval > 1 and self.spec.kind == "heun":
             raise ValueError("deepcache does not support the heun sampler")
-        return dataclasses.replace(self, cache_interval=interval)
+        return dataclasses.replace(self, cache_interval=interval,
+                                   cache_schedule=None)
 
     def _unet_cache_fns(self, unet_params):
         """(trunk_apply, cached_apply) for the DeepCache sampling path —
@@ -381,7 +417,7 @@ class GuidedLatentDiffusionPipeline:
         replays its OWN calibrated scale table ("unet" for the full/trunk
         pass — identical call order to the plain pass — and "unet_cached"
         for the shallow pass, whose call-site subsequence differs)."""
-        if self.cache_interval <= 1:
+        if not self.cache_active:
             return None, None
         static_modes = ("static", "mxu", "halo", "wino_static")
         if (self.act_scales and self.act_scales.get("unet")
@@ -405,6 +441,12 @@ class GuidedLatentDiffusionPipeline:
         return (self._replayed(trunk_apply, "unet"),
                 self._replayed(cached_apply, "unet_cached"))
 
+    @property
+    def cache_active(self) -> bool:
+        """True when any denoise step runs the shallow cached pass."""
+        return self.cache_interval > 1 or bool(
+            self.cache_schedule and "S" in self.cache_schedule.upper())
+
     def fast_inference(self, mode: str = "throughput") -> "GuidedLatentDiffusionPipeline":
         """Apply the measured-best TPU inference configuration
         (docs/PERFORMANCE.md): bf16 params, whole-row Pallas
@@ -413,6 +455,10 @@ class GuidedLatentDiffusionPipeline:
         UNet+VAE (15.39 fps at the release setting). "latency"
         (batch-1/streaming) skips int8, which is latency-bound there
         (static int8 measured 242 ms/frame at batch 1 vs bf16's 106).
+        "dense" = latency kernels + dynamic int8 on the dense
+        projections only (118 ms at batch 1) — the fastest batch-1
+        config that COMPILES when the relay rejects the bf16 program
+        (streaming/probe.py auto-selects).
         "wino" routes stride-1 3x3 convs through Winograd F(2x2,3x3)
         (fused Pallas kernel where pick_config admits the shape, static
         int8 elsewhere — ops/winograd.py); measured SLOWER end-to-end
@@ -422,10 +468,10 @@ class GuidedLatentDiffusionPipeline:
 
         if mode in ("off", "", None):
             return self
-        if mode not in ("throughput", "latency", "wino"):
+        if mode not in ("throughput", "latency", "dense", "wino"):
             raise ValueError(f"unknown fast_inference mode {mode!r}")
         quant = {"throughput": "static", "wino": "wino_static",
-                 "latency": False}[mode]
+                 "latency": False, "dense": "dense"}[mode]
         pipe = self.half_precision()
         # remat is a training lever (FLOPs-for-HBM); at inference it only
         # recomputes, and the calibration capture's scale side channel
@@ -445,6 +491,7 @@ class GuidedLatentDiffusionPipeline:
         cond_channels: str = "rgb+raw",
         num_inference_steps: int = 10,
         margin: float = 1.25,
+        quantiles=None,
     ) -> "GuidedLatentDiffusionPipeline":
         """Post-training calibration of the static int8 activation scales.
 
@@ -461,6 +508,15 @@ class GuidedLatentDiffusionPipeline:
 
         `batches` is a list of dicts with the __call__ condition arrays
         (rgb_images/left_images/right_images/sim_disp as appropriate).
+
+        `quantiles` (e.g. (0.9995, 0.999, 0.995)): additionally record
+        those |activation| quantiles per call site alongside the absmax.
+        The flat replay tables stay absmax-based (identical to the
+        default); the raw per-call [absmax, q...] vectors are kept under
+        "<table>@q" keys so `with_act_clipping` can re-derive
+        percentile-clipped tables WITHOUT re-running the capture
+        (percentile clipping trades tail clipping for finer rounding —
+        a standard PTQ lever against absmax outlier inflation).
         """
         import dataclasses as _dc
 
@@ -483,10 +539,12 @@ class GuidedLatentDiffusionPipeline:
             # -> relay connection-refused for every later program).
             def fn(params, *args):
                 taps = []  # fresh per trace: retraces cannot leak tracers
-                with capture_act_scales(taps):
+                with capture_act_scales(taps, quantiles=quantiles):
                     out = apply_fn(params, *args)
+                width = 1 + len(quantiles or ())
+                empty = ((0,) if width == 1 else (0, width))
                 stacked = (jnp.stack(taps) if taps
-                           else jnp.zeros((0,), jnp.float32))
+                           else jnp.zeros(empty, jnp.float32))
                 return out, stacked
             return jax.jit(fn)
 
@@ -577,14 +635,30 @@ class GuidedLatentDiffusionPipeline:
             # generic fallback for pipes cached after calibration).
             x = jax.random.normal(bkey, conds.shape[:-1] + (4,))
             x0 = x
-            k_int = max(1, int(pipe.cache_interval))
-            n_grouped = (len(ts) // k_int) * k_int
+            # The deployed full/shallow step pattern (uniform interval or
+            # an explicit cache_schedule). When it contains NO shallow
+            # step (k == 1, or k > len(ts) so no group ever completes) no
+            # "unet_cached" statistics would be captured, yet
+            # _unet_cache_fns requires the table — fall back to the dual
+            # capture, recording the shallow pass per step with exact
+            # same-step trunks (conservative: no stale trunk exists).
+            from d3roma_tpu.pipelines.sampling import (
+                parse_cache_schedule,
+                uniform_cache_schedule,
+            )
+
+            if pipe.cache_schedule is not None:
+                parse_cache_schedule(pipe.cache_schedule, len(ts))
+                pattern = pipe.cache_schedule.upper()
+            else:
+                pattern = uniform_cache_schedule(
+                    max(1, int(pipe.cache_interval)), len(ts))
+            dual_capture = "S" not in pattern
             trunk = None
             for i, t in enumerate(ts):
                 tt = jnp.full((x.shape[0],), int(t), jnp.int32)
                 model_input = jnp.concatenate([x, conds], axis=-1)
-                shallow = k_int > 1 and i < n_grouped and i % k_int != 0
-                if shallow:
+                if pattern[i] == "S":
                     # deployed shallow step: stale trunk from the group's
                     # full step; its output drives the trajectory
                     out, s = unet_cached_fn(pipe.unet_params, model_input,
@@ -594,7 +668,7 @@ class GuidedLatentDiffusionPipeline:
                     (out, trunk), s = unet_fn(pipe.unet_params,
                                               model_input, tt)
                     acc("unet", s)
-                    if k_int == 1:
+                    if dual_capture:
                         _, s = unet_cached_fn(pipe.unet_params,
                                               model_input, tt, trunk)
                         acc("unet_cached", s)
@@ -606,11 +680,56 @@ class GuidedLatentDiffusionPipeline:
                 _, s = dec_fn(pipe.vae_params, lat_parts["raw"])
                 acc("vae_decode", s)
 
-        act_scales = {
-            k: [float(max(v * margin, 1e-8)) for v in tab]
-            for k, tab in tabs.items() if tab is not None and tab.size
-        }
+        act_scales = {}
+        for k, tab in tabs.items():
+            if tab is None or not tab.size:
+                continue
+            if quantiles:
+                # column 0 = absmax; keep the raw per-call vectors for
+                # with_act_clipping re-selection without recapture
+                act_scales[k] = [float(max(v * margin, 1e-8))
+                                 for v in tab[:, 0]]
+                act_scales[k + "@q"] = [[float(x) for x in row]
+                                        for row in tab]
+            else:
+                act_scales[k] = [float(max(v * margin, 1e-8)) for v in tab]
+        if quantiles:
+            act_scales["@quantiles"] = [float(q) for q in quantiles]
         return _dc.replace(pipe, act_scales=act_scales)
+
+    def with_act_clipping(self, percentile=None, margin: float = 1.25,
+                          pins=None) -> "GuidedLatentDiffusionPipeline":
+        """Re-derive the flat static-int8 replay tables from a
+        quantile-recording calibration (calibrate(quantiles=...)) —
+        no recapture needed.
+
+        percentile: one of the captured quantiles (e.g. 0.999) to clip
+        activation scales at, or None for absmax (the default strategy).
+        margin: scale widening, as in calibrate().
+        pins: {table_name: [call indices]} to run UNQUANTIZED (bf16) at
+        replay — for pinning measured drift-sensitive layers; indices
+        refer to the static-quant call order of that table.
+        """
+        import dataclasses as _dc
+
+        assert self.act_scales, "calibrate() first"
+        new = {k: v for k, v in self.act_scales.items()
+               if not k.endswith("@pins")}
+        if percentile is not None:
+            qlist = list(self.act_scales.get("@quantiles") or ())
+            if float(percentile) not in [float(q) for q in qlist]:
+                raise ValueError(
+                    f"percentile {percentile} not captured; available: "
+                    f"{qlist} (re-run calibrate(quantiles=...))")
+            col = 1 + [float(q) for q in qlist].index(float(percentile))
+            for k in list(new):
+                if k.endswith("@q"):
+                    new[k[:-2]] = [float(max(row[col] * margin, 1e-8))
+                                   for row in new[k]]
+        for name, idx in (pins or {}).items():
+            if new.get(name):
+                new[name + "@pins"] = sorted(int(i) for i in idx)
+        return _dc.replace(self, act_scales=new)
 
     # vae helpers bound to params
     def _vae_apply(self, params):
@@ -624,10 +743,11 @@ class GuidedLatentDiffusionPipeline:
         scales = (self.act_scales or {}).get(table_name)
         if not scales:
             return fn
+        pins = (self.act_scales or {}).get(table_name + "@pins") or ()
         from d3roma_tpu.ops.quant import replay_act_scales
 
         def wrapped(*args):
-            with replay_act_scales(scales):
+            with replay_act_scales(scales, pins=pins):
                 return fn(*args)
         return wrapped
 
@@ -713,6 +833,7 @@ class GuidedLatentDiffusionPipeline:
                 cache_interval=self.cache_interval,
                 unet_apply_trunk=trunk_apply,
                 unet_apply_cached=cached_apply,
+                cache_schedule=self.cache_schedule,
             )
         return fn
 
@@ -803,6 +924,15 @@ class GuidedLatentDiffusionPipeline:
         ref = next(x for x in (rgb_images, left_images, right_images,
                                sim_disp) if x is not None)
         noise_dtype = ref.dtype
+        if scan_chunk and self.cache_schedule is not None:
+            # each equal-length chunk shares ONE compiled program; a
+            # non-uniform pattern would need a different step pattern per
+            # chunk (a different program each), defeating the mode's
+            # purpose. Use split_programs without scan_chunk instead.
+            raise ValueError(
+                "scan_chunk is not supported with a non-uniform "
+                "cache_schedule; use split_programs=True without "
+                "scan_chunk, or a uniform deepcache(interval)")
         if scan_chunk and self.cache_interval > 1 \
                 and scan_chunk % self.cache_interval != 0:
             # each non-tail chunk restarts the group pattern (a full pass
@@ -837,7 +967,8 @@ class GuidedLatentDiffusionPipeline:
                     add_noise_rgb=add_noise_rgb, noise_dtype=noise_dtype,
                     cache_interval=self.cache_interval,
                     unet_apply_trunk=trunk_apply,
-                    unet_apply_cached=cached_apply)
+                    unet_apply_cached=cached_apply,
+                    cache_schedule=self.cache_schedule)
 
             def dec_fn(vae_params, kept):
                 vapply = self._vae_apply(vae_params)
@@ -888,7 +1019,7 @@ class GuidedLatentDiffusionPipeline:
                     noise_rgb_cfg = {"rgb": lat["rgb"],
                                      "slice": (0, lat["rgb"].shape[-1])}
                 mf_trunk = mf_cached = None
-                if self.cache_interval > 1:
+                if self.cache_active:
                     t_apply, c_apply = self._unet_cache_fns(unet_params)
                     mf_trunk = lambda mi, t: t_apply(mi, t, text_embed)
                     mf_cached = (lambda mi, t, trunk:

@@ -133,6 +133,7 @@ def run_sampler(
     cache_interval: int = 1,
     model_fn_trunk=None,
     model_fn_cached=None,
+    cache_schedule: Optional[str] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Core scan. model_fn(model_input, t) -> model output (same shape as
     x_init). Returns (final prev_sample, per-step x_hat0 stack [T, ...]) —
@@ -146,13 +147,15 @@ def run_sampler(
     (custom_pipelines.py:343-350).
 
     cache_interval > 1 enables DeepCache-style deep-feature reuse (see
-    run_sampler_steps).
+    run_sampler_steps); cache_schedule generalizes it to arbitrary
+    full/shallow step patterns (see parse_cache_schedule).
     """
     ts, prev_ts = _timestep_arrays(spec.schedule, num_inference_steps)
     x_final, _, x0_stack = run_sampler_steps(
         model_fn, spec, tables, x_init, conds, key, ts, prev_ts,
         guidance_fn, noise_rgb_cfg, cache_interval=cache_interval,
         model_fn_trunk=model_fn_trunk, model_fn_cached=model_fn_cached,
+        cache_schedule=cache_schedule,
     )
     return x_final, x0_stack
 
@@ -196,6 +199,46 @@ def _scheduler_apply(spec, tables, model_output, t, prev_t, x, k_noise,
     raise ValueError(f"unknown sampler kind {spec.kind!r}")
 
 
+def parse_cache_schedule(schedule: str, num_steps: int) -> tuple:
+    """Validate + canonicalize a DeepCache step pattern.
+
+    `schedule` is a string over {F, S} (case-insensitive): F = full UNet
+    pass (refreshes the cached trunk), S = shallow cached pass (reuses
+    the trunk of the most recent F). It must start with F (an S with no
+    trunk to reuse is meaningless) and match `num_steps` in length.
+    Returns a tuple of segment lengths: each segment is one F plus its
+    trailing S run — e.g. "FSFSFF" -> (2, 2, 1, 1). A uniform interval k
+    over N steps is the pattern ("F"+"S"*(k-1)) * (N//k) + "F"*(N%k).
+    """
+    s = schedule.strip().upper()
+    if not s or set(s) - {"F", "S"}:
+        raise ValueError(
+            f"cache_schedule must be a nonempty string over F/S, got "
+            f"{schedule!r}")
+    if s[0] != "F":
+        raise ValueError(
+            f"cache_schedule must start with F (a shallow step needs a "
+            f"prior full step's trunk), got {schedule!r}")
+    if len(s) != num_steps:
+        raise ValueError(
+            f"cache_schedule length {len(s)} != num_inference_steps "
+            f"{num_steps}: {schedule!r}")
+    segs = []
+    for c in s:
+        if c == "F":
+            segs.append(1)
+        else:
+            segs[-1] += 1
+    return tuple(segs)
+
+
+def uniform_cache_schedule(interval: int, num_steps: int) -> str:
+    """The pattern string equivalent of the uniform DeepCache interval."""
+    k = max(1, int(interval))
+    groups, rem = divmod(num_steps, k)
+    return ("F" + "S" * (k - 1)) * groups + "F" * rem
+
+
 def run_sampler_steps(
     model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     spec: SamplerSpec,
@@ -210,6 +253,7 @@ def run_sampler_steps(
     cache_interval: int = 1,
     model_fn_trunk=None,
     model_fn_cached=None,
+    cache_schedule: Optional[str] = None,
 ) -> tuple[jnp.ndarray, jax.Array, jnp.ndarray]:
     """run_sampler over an explicit (ts, prev_ts) slice, returning the
     carry key too: `(x_final, key_final, x0_stack)`. The timestep arrays
@@ -226,8 +270,29 @@ def run_sampler_steps(
     cached trunk in). The scan runs over whole groups; a remainder of
     len(ts) % k steps is finished with full-model steps. The per-step RNG
     split pattern is identical to the uncached scan. heun is not
-    supported (its second model evaluation has no cached analog)."""
-    if cache_interval and cache_interval > 1:
+    supported (its second model evaluation has no cached analog).
+
+    ``cache_schedule`` (a full/shallow pattern string, see
+    parse_cache_schedule) generalizes the uniform interval to
+    NON-UNIFORM schedules — e.g. "FSFSFSFSFF" concentrates full steps at
+    the trajectory's end, where caching drift accrues fastest (measured:
+    docs/deepcache_accuracy.json). It overrides cache_interval. Runs of
+    equal-length segments share one compiled scan body, so program size
+    stays bounded by the number of DISTINCT segment lengths, not the
+    step count."""
+    if cache_schedule is not None:
+        segs = parse_cache_schedule(cache_schedule, int(ts.shape[0]))
+        if any(n > 1 for n in segs):
+            assert spec.kind != "heun", (
+                "cache_schedule does not support heun")
+            assert model_fn_trunk is not None and model_fn_cached is not None, (
+                "cache_schedule needs model_fn_trunk and model_fn_cached")
+            return _run_pattern_steps(
+                model_fn, spec, tables, x_init, conds, key, ts, prev_ts,
+                guidance_fn, noise_rgb_cfg, segs,
+                model_fn_trunk, model_fn_cached)
+        # all-F pattern == the plain scan
+    elif cache_interval and cache_interval > 1:
         assert spec.kind != "heun", "cache_interval>1 does not support heun"
         assert model_fn_trunk is not None and model_fn_cached is not None, (
             "cache_interval>1 needs model_fn_trunk and model_fn_cached")
@@ -272,12 +337,11 @@ def run_sampler_steps(
     return x_final, key_final, x0_stack
 
 
-def _run_cached_steps(model_fn, spec, tables, x_init, conds, key, ts,
-                      prev_ts, guidance_fn, noise_rgb_cfg, interval,
-                      model_fn_trunk, model_fn_cached):
-    """The DeepCache grouped scan (see run_sampler_steps)."""
-    num_steps = int(ts.shape[0])
-    groups, rem = divmod(num_steps, interval)
+def _scan_cached_groups(spec, tables, conds, guidance_fn, noise_rgb_cfg,
+                        carry, ts_run, prev_run, interval, n_groups,
+                        x_dtype, model_fn_trunk, model_fn_cached):
+    """One `lax.scan` over `n_groups` DeepCache groups of `interval` steps
+    each (1 full + interval-1 shallow). Returns (carry, x0_stack)."""
 
     def gbody(carry, step_in):
         x, k = carry
@@ -295,17 +359,31 @@ def _run_cached_steps(model_fn, spec, tables, x_init, conds, key, ts,
                 model_output = model_fn_cached(model_input, t, trunk)
             out = _scheduler_apply(spec, tables, model_output, t, prev_t,
                                    x, k_noise, guidance_fn)
-            x = out.prev_sample.astype(x_init.dtype)
+            x = out.prev_sample.astype(x_dtype)
             x0s.append(out.perturbed_original_sample)
         return (x, k), jnp.stack(x0s)
+
+    gts = ts_run.reshape(n_groups, interval)
+    gprev = prev_run.reshape(n_groups, interval)
+    carry, ys = jax.lax.scan(gbody, carry, (gts, gprev))
+    return carry, ys.reshape((n_groups * interval,) + ys.shape[2:])
+
+
+def _run_cached_steps(model_fn, spec, tables, x_init, conds, key, ts,
+                      prev_ts, guidance_fn, noise_rgb_cfg, interval,
+                      model_fn_trunk, model_fn_cached):
+    """The uniform DeepCache grouped scan (see run_sampler_steps)."""
+    num_steps = int(ts.shape[0])
+    groups, rem = divmod(num_steps, interval)
 
     carry = (x_init, key)
     stacks = []
     if groups:
-        gts = ts[: groups * interval].reshape(groups, interval)
-        gprev = prev_ts[: groups * interval].reshape(groups, interval)
-        carry, ys = jax.lax.scan(gbody, carry, (gts, gprev))
-        stacks.append(ys.reshape((groups * interval,) + ys.shape[2:]))
+        carry, ys = _scan_cached_groups(
+            spec, tables, conds, guidance_fn, noise_rgb_cfg, carry,
+            ts[: groups * interval], prev_ts[: groups * interval],
+            interval, groups, x_init.dtype, model_fn_trunk, model_fn_cached)
+        stacks.append(ys)
     if rem:
         # finish the remainder with full-model steps (same RNG pattern)
         x_f, key_f, tail = run_sampler_steps(
@@ -314,6 +392,46 @@ def _run_cached_steps(model_fn, spec, tables, x_init, conds, key, ts,
             guidance_fn, noise_rgb_cfg)
         carry = (x_f, key_f)
         stacks.append(tail)
+    x0_stack = stacks[0] if len(stacks) == 1 else jnp.concatenate(stacks, 0)
+    return carry[0], carry[1], x0_stack
+
+
+def _run_pattern_steps(model_fn, spec, tables, x_init, conds, key, ts,
+                       prev_ts, guidance_fn, noise_rgb_cfg, segs,
+                       model_fn_trunk, model_fn_cached):
+    """The non-uniform DeepCache runner: `segs` is the tuple of segment
+    lengths from parse_cache_schedule (each segment = 1 full step +
+    seg_len-1 shallow steps). Consecutive equal-length segments share one
+    scan body; length-1 runs (consecutive full steps) reuse the PLAIN
+    scan body — for the uniform-equivalent pattern this compiles the
+    exact same two program bodies as _run_cached_steps."""
+    runs = []  # [seg_len, count], consecutive equal seg_lens merged
+    for n in segs:
+        if runs and runs[-1][0] == n:
+            runs[-1][1] += 1
+        else:
+            runs.append([n, 1])
+
+    carry = (x_init, key)
+    stacks = []
+    pos = 0
+    for seg_len, count in runs:
+        n_steps = seg_len * count
+        ts_r = ts[pos:pos + n_steps]
+        prev_r = prev_ts[pos:pos + n_steps]
+        if seg_len == 1:
+            x_f, key_f, tail = run_sampler_steps(
+                model_fn, spec, tables, carry[0], conds, carry[1],
+                ts_r, prev_r, guidance_fn, noise_rgb_cfg)
+            carry = (x_f, key_f)
+            stacks.append(tail)
+        else:
+            carry, ys = _scan_cached_groups(
+                spec, tables, conds, guidance_fn, noise_rgb_cfg, carry,
+                ts_r, prev_r, seg_len, count, x_init.dtype,
+                model_fn_trunk, model_fn_cached)
+            stacks.append(ys)
+        pos += n_steps
     x0_stack = stacks[0] if len(stacks) == 1 else jnp.concatenate(stacks, 0)
     return carry[0], carry[1], x0_stack
 
@@ -413,6 +531,7 @@ def latent_pipeline(
     cache_interval: int = 1,
     unet_apply_trunk=None,
     unet_apply_cached=None,
+    cache_schedule: Optional[str] = None,
 ) -> PipelineOutput:
     """Latent-space sampling (reference: custom_pipelines.py:208-462).
 
@@ -449,6 +568,7 @@ def latent_pipeline(
         noise_dtype=ref.dtype, cache_interval=cache_interval,
         unet_apply_trunk=unet_apply_trunk,
         unet_apply_cached=unet_apply_cached,
+        cache_schedule=cache_schedule,
     )
     return latent_decode_images(vae_decode, kept)
 
@@ -502,6 +622,7 @@ def latent_denoise(
     cache_interval: int = 1,
     unet_apply_trunk=None,
     unet_apply_cached=None,
+    cache_schedule: Optional[str] = None,
 ) -> jnp.ndarray:
     """Stage 2: latent-noise init + the T-step denoise scan. Returns the
     kept x_hat0 latents [S, B, h, w, 4] (last kept index = final step).
@@ -524,7 +645,8 @@ def latent_denoise(
         return unet_apply(model_input, t, text_embed)
 
     model_fn_trunk = model_fn_cached = None
-    if cache_interval and cache_interval > 1:
+    if (cache_interval and cache_interval > 1) or (
+            cache_schedule is not None and "S" in cache_schedule.upper()):
         def model_fn_trunk(model_input, t):
             return unet_apply_trunk(model_input, t, text_embed)
 
@@ -539,7 +661,7 @@ def latent_denoise(
         model_fn, spec, tables, x_init, conds, key,
         num_inference_steps, guidance_fn, noise_rgb_cfg,
         cache_interval=cache_interval, model_fn_trunk=model_fn_trunk,
-        model_fn_cached=model_fn_cached,
+        model_fn_cached=model_fn_cached, cache_schedule=cache_schedule,
     )
     return x0_stack[_kept_indices(num_inference_steps, num_intermediate_images)]
 

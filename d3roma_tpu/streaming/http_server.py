@@ -151,6 +151,7 @@ class InferenceHTTPServer:
         port: int = 0,
         request_timeout_s: Optional[float] = 300.0,
         warmup_input: Optional[tuple] = None,
+        probe_info: Optional[dict] = None,
     ):
         """`request_timeout_s` bounds how long a request waits on the
         model (a stalled device otherwise blocks every handler thread
@@ -166,6 +167,9 @@ class InferenceHTTPServer:
         self._port = port
         self._timeout_s = request_timeout_s
         self._warmup_input = warmup_input
+        # startup compile-probe outcome (streaming/probe.py) — surfaced
+        # in /metrics so deployments can see which config is serving
+        self._probe_info = probe_info
         self._ready = threading.Event()
         self._warmup_error: Optional[str] = None
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -292,4 +296,7 @@ class InferenceHTTPServer:
 
     @property
     def metrics(self) -> dict:
-        return self._metrics.snapshot(self._batcher)
+        m = self._metrics.snapshot(self._batcher)
+        if self._probe_info is not None:
+            m["streaming_probe"] = self._probe_info
+        return m

@@ -39,11 +39,26 @@ def machine_cache_dir(base: str) -> str:
     machine) are purged so a cold run never attempts to load them."""
     keyed = os.path.join(base, "mc_" + machine_fingerprint())
     os.makedirs(keyed, exist_ok=True)
-    try:
-        for name in os.listdir(base):
+    # purge once per base dir, behind a marker: repeated calls (and valid
+    # same-machine pre-keying entries) must not pay a full purge each time
+    marker = os.path.join(base, ".legacy_purged")
+    if not os.path.exists(marker):
+        try:
+            names = os.listdir(base)
+        except OSError:
+            names = []
+        for name in names:
             path = os.path.join(base, name)
-            if os.path.isfile(path):
-                os.remove(path)
-    except OSError:
-        pass
+            try:
+                if os.path.isfile(path):
+                    os.remove(path)
+            except OSError:
+                # a concurrent process may have removed it already; keep
+                # purging the rest instead of aborting the loop
+                continue
+        try:
+            with open(marker, "w"):
+                pass
+        except OSError:
+            pass
     return keyed

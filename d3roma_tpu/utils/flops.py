@@ -157,11 +157,13 @@ def unet2d_condition_shallow_flops(
     attention_head_dim: int = 64,
     cross_attention_dim: int = 1024,
     ctx_len: int = 77,
+    cache_depth: int = 1,
 ) -> int:
-    """FLOPs of the DeepCache shallow (cached-trunk) pass: time embedding
-    + conv_in + down block 0 + the LAST up block (fed the cached trunk at
-    the penultimate up block's width) + conv_out — the exact subgraph of
-    models/unet2d_condition.py's ``cached_trunk`` path."""
+    """FLOPs of the DeepCache shallow (cached-trunk) pass at the given
+    ``cache_depth``: time embedding + conv_in + down blocks [0, depth)
+    (with their downsamples except the last's) + the trailing `depth` up
+    blocks (the first entered by the cached trunk) + conv_out — the exact
+    subgraph of models/unet2d_condition.py's ``cached_trunk`` path."""
     c0 = block_out_channels[0]
     temb = 4 * c0
     total = dense_flops(1, c0, temb) + dense_flops(1, temb, temb)
@@ -170,30 +172,44 @@ def unet2d_condition_shallow_flops(
     def inner_for(ch):
         return max(1, ch // attention_head_dim) * attention_head_dim
 
-    # down block 0 only (no downsample — the cached pass breaks before it)
-    skips = [c0]
-    cur = c0
-    btype, ch = down_block_types[0], block_out_channels[0]
-    for _ in range(layers_per_block):
-        total += resnet_block_flops(h, w, cur, ch, temb)
-        cur = ch
-        if btype == "CrossAttnDownBlock2D":
-            total += transformer2d_flops(h, w, ch, inner_for(ch),
-                                         ctx_len, cross_attention_dim)
-        skips.append(ch)
+    depth = int(cache_depth)
+    n_up = len(up_block_types)
+    assert 1 <= depth <= n_up - 1, depth
 
-    # the last up block, entered by the trunk
+    # down blocks [0, depth); downsample after all but the last of them
+    skips = [(c0, h, w)]
+    cur = c0
+    for i in range(depth):
+        btype, ch = down_block_types[i], block_out_channels[i]
+        for _ in range(layers_per_block):
+            total += resnet_block_flops(h, w, cur, ch, temb)
+            cur = ch
+            if btype == "CrossAttnDownBlock2D":
+                total += transformer2d_flops(h, w, ch, inner_for(ch),
+                                             ctx_len, cross_attention_dim)
+            skips.append((ch, h, w))
+        if i < depth - 1:
+            total += conv_flops((h + 1) // 2, (w + 1) // 2, ch, ch)
+            h, w = (h + 1) // 2, (w + 1) // 2
+            skips.append((ch, h, w))
+
+    # the trailing `depth` up blocks, the first entered by the trunk
     rev = tuple(reversed(block_out_channels))
-    last = len(up_block_types) - 1
-    cur = rev[last - 1] if last >= 1 else block_out_channels[-1]
-    btype, ch = up_block_types[last], rev[last]
-    for _ in range(layers_per_block + 1):
-        skip = skips.pop()
-        total += resnet_block_flops(h, w, cur + skip, ch, temb)
-        cur = ch
-        if btype == "CrossAttnUpBlock2D":
-            total += transformer2d_flops(h, w, ch, inner_for(ch),
-                                         ctx_len, cross_attention_dim)
+    refresh_from = n_up - depth
+    h, w = skips[-1][1], skips[-1][2]  # trunk is at the deepest skip's size
+    cur = rev[refresh_from - 1] if refresh_from >= 1 else block_out_channels[-1]
+    for i in range(refresh_from, n_up):
+        btype, ch = up_block_types[i], rev[i]
+        for _ in range(layers_per_block + 1):
+            skip, h, w = skips.pop()
+            total += resnet_block_flops(h, w, cur + skip, ch, temb)
+            cur = ch
+            if btype == "CrossAttnUpBlock2D":
+                total += transformer2d_flops(h, w, ch, inner_for(ch),
+                                             ctx_len, cross_attention_dim)
+        if i < n_up - 1:
+            h, w = skips[-1][1], skips[-1][2]
+            total += conv_flops(h, w, ch, ch)  # Upsample2D conv after resize
 
     total += conv_flops(h, w, block_out_channels[0], out_channels)
     return total
@@ -255,7 +271,8 @@ def vae_decoder_flops(
 
 def latent_pipeline_flops_per_frame(
     H: int, W: int, steps: int, n_conds: int = 2, in_channels: int = 12,
-    cache_interval: int = 1,
+    cache_interval: int = 1, cache_schedule: str = None,
+    cache_depth: int = 1,
 ) -> dict:
     """Model FLOPs per FRAME of the flagship latent pipeline at image size
     HxW: one VAE encode per condition, `steps` UNet forwards at the /8
@@ -264,18 +281,27 @@ def latent_pipeline_flops_per_frame(
     ``cache_interval=k > 1`` counts the DeepCache step pattern (the FLOPs
     actually executed): groups of one full pass + (k-1) shallow cached
     passes, remainder steps full — keeping bench MFU honest under the
-    cached schedule."""
+    cached schedule. ``cache_schedule`` (an F/S pattern string,
+    pipelines/sampling.parse_cache_schedule) overrides the uniform
+    interval; ``cache_depth`` selects the shallow pass's depth."""
     h, w = H // 8, W // 8
     unet = unet2d_condition_flops(h, w, in_channels=in_channels)
     enc = vae_encoder_flops(H, W)
     dec = vae_decoder_flops(h, w)
     out = {"unet_per_step": unet, "vae_encode": enc, "vae_decode": dec}
-    k = max(1, int(cache_interval))
-    if k > 1:
-        shallow = unet2d_condition_shallow_flops(h, w,
-                                                 in_channels=in_channels)
+    if cache_schedule is not None:
+        pattern = cache_schedule.strip().upper()
+        assert len(pattern) == steps and not set(pattern) - {"F", "S"}, \
+            cache_schedule
+        n_shallow = pattern.count("S")
+        n_full = steps - n_shallow
+    else:
+        k = max(1, int(cache_interval))
         groups, rem = divmod(steps, k)
         n_full, n_shallow = groups + rem, groups * (k - 1)
+    if n_shallow:
+        shallow = unet2d_condition_shallow_flops(
+            h, w, in_channels=in_channels, cache_depth=cache_depth)
         out["unet_shallow_per_step"] = shallow
         out["total"] = (n_full * unet + n_shallow * shallow
                         + n_conds * enc + dec)

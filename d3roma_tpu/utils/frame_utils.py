@@ -158,8 +158,11 @@ def readDispSintelStereo(path):
         raise FileNotFoundError(path)
     b, g, r = [img[..., i].astype(np.float32) for i in range(3)]  # BGR
     disp = r * 4.0 + g / (2 ** 6) + b / (2 ** 14)
-    occ = cv2.imread(path.replace("disparities", "occlusions"),
-                     cv2.IMREAD_GRAYSCALE)
+    occ_path = path.replace("disparities", "occlusions")
+    occ = cv2.imread(occ_path, cv2.IMREAD_GRAYSCALE)
+    if occ is None:
+        # (None == 0) would silently yield an all-False valid mask
+        raise FileNotFoundError(occ_path)
     valid = (occ == 0) & (disp > 0)
     return disp, valid
 

@@ -44,8 +44,12 @@ def main(argv):
     pipeline = pipeline.replace_sampler(create_sampler_spec(config, train=False))
     if config.fast_inference != "off" and hasattr(pipeline, "fast_inference"):
         pipeline = pipeline.fast_inference(config.fast_inference)
-    if config.deepcache > 1 and hasattr(pipeline, "deepcache"):
-        pipeline = pipeline.deepcache(config.deepcache)
+    from d3roma_tpu.config import deepcache_active
+
+    if ((deepcache_active(config.deepcache) or config.deepcache_depth != 1)
+            and hasattr(pipeline, "deepcache")):
+        pipeline = pipeline.deepcache(config.deepcache,
+                                      depth=config.deepcache_depth)
 
     out_dir = config.eval_output or os.path.join(
         get_output_dir(base), f"eval_{config.eval_split}"

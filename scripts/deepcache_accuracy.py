@@ -37,7 +37,15 @@ Writes the committed gate artifact docs/deepcache_accuracy.json
 Run (on the TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/deepcache_accuracy.py
 Env:
-  DC_KS=1,2,3,5      intervals (1 = exact baseline, required)
+  DC_KS=1,2,3,5      DeepCache configs (1 = exact baseline, required).
+                     Each entry is <schedule>[d<depth>][q<pct>]:
+                       schedule = uniform interval int OR an F/S pattern
+                                  string (e.g. FSFSFSFSFF)
+                       d<depth> = shallow-pass depth (default 1; 2 =
+                                  medium split, ~2/3 step FLOPs)
+                       q<pct>   = int8 activation-scale percentile
+                                  clipping (e.g. q0.999; int8 rows only)
+                     e.g. DC_KS=1,2,FSFSFSFSFF,2d2,1q0.999
   DC_MODES=bf16,int8 precision modes
   DC_FRAMES=64       eval frames (generated procedurally if absent)
   DC_BATCH=4         eval batch size — the RELAY-PROVEN compile shape
@@ -51,7 +59,28 @@ import os
 import sys
 import time
 
-KS = [int(k) for k in os.environ.get("DC_KS", "1,2,3,5").split(",")]
+import re
+
+
+def parse_cfg(cfg):
+    """"2" | "2d2" | "FSFSFSFSFF" | "FSFSFSFSFFd2" | "1q0.999" ->
+    (schedule: int|str, depth: int, clip_pct: float|None)."""
+    m = re.fullmatch(
+        r"([0-9]+|[FSfs]+)(?:d([0-9]+))?(?:q(0\.[0-9]+))?", cfg)
+    assert m, f"bad DC_KS entry {cfg!r}"
+    sched = m.group(1)
+    if sched.isdigit():
+        sched = int(sched)
+    else:
+        sched = sched.upper()
+    depth = int(m.group(2) or 1)
+    clip = float(m.group(3)) if m.group(3) else None
+    return sched, depth, clip
+
+
+KS = os.environ.get("DC_KS", "1,2,3,5").split(",")
+for _k in KS:
+    parse_cfg(_k)  # validate early
 MODES = os.environ.get("DC_MODES", "bf16,int8").split(",")
 FRAMES = int(os.environ.get("DC_FRAMES", "64"))
 BATCH = int(os.environ.get("DC_BATCH", "4"))
@@ -59,7 +88,7 @@ WORK = os.environ.get("DC_RUN", "/tmp/capstone_ldm")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.environ.get("DC_OUT", os.path.join(REPO, "docs",
                                             "deepcache_accuracy.json"))
-assert 1 in KS, "interval 1 (exact) is the baseline — include it in DC_KS"
+assert "1" in KS, "config 1 (exact) is the baseline — include it in DC_KS"
 assert "bf16" in MODES, "bf16 (exact-compute) is the baseline mode"
 
 sys.path.insert(0, REPO)
@@ -91,7 +120,8 @@ def _row(m, baselines):
 def parent():
     import subprocess
 
-    wanted = [(m, k) for m in MODES for k in KS]
+    wanted = [(m, k) for m in MODES for k in KS
+              if not (m == "bf16" and "q" in k)]  # clipping is int8-only
     missing = [(m, k) for (m, k) in wanted
                if not os.path.exists(_row_path(m, k))]
     group_n = int(os.environ.get("DC_ROWS_PER_CHILD", "2"))
@@ -113,7 +143,7 @@ def parent():
             time.sleep(30)
 
     results = {(m, k): json.load(open(_row_path(m, k))) for m, k in wanted}
-    exact = results[("bf16", 1)]
+    exact = results[("bf16", "1")]
     doc = {
         "checkpoint_step": results[("bf16", 1)].get("_checkpoint_step"),
         "frames": FRAMES,
@@ -124,14 +154,14 @@ def parent():
                  "quantization. Procedural HISS val frames on the "
                  "capstone checkpoint (no real DREDS in this "
                  "environment)."),
-        "bf16": {str(k): _row(results[("bf16", k)], {"": exact})
-                 for k in KS},
+        "bf16": {k: _row(results[("bf16", k)], {"": exact})
+                 for k in KS if ("bf16", k) in results},
     }
     if "int8" in MODES:
-        int8_base = results[("int8", 1)]
+        int8_base = results[("int8", "1")]
         doc["combined_int8"] = {
-            str(k): _row(results[("int8", k)],
-                         {"": exact, "_vs_int8": int8_base})
+            k: _row(results[("int8", k)],
+                    {"": exact, "_vs_int8": int8_base})
             for k in KS
         }
     print(json.dumps(doc, indent=1))
@@ -210,50 +240,65 @@ def child(rows):
     preprocess = partial(_preprocess_eval, config=config,
                          normalizer=normalizer)
 
-    def calibrated_int8(k):
-        """The shipped serving config at interval k, calibrated on the
-        first eval batch (normalized conditions — exactly what eval_batch
-        feeds __call__). k > 1 calibrates ALONG THE DEPLOYED DeepCache
-        schedule (stale trunks — pipeline.calibrate drives the grouped
-        trajectory when cache_interval > 1). Scales disk-cached per
-        (checkpoint step, batch, k)."""
-        pipe = base_pipe.fast_inference("throughput")
-        if k > 1:
-            pipe = pipe.deepcache(k)
+    def apply_deepcache(pipe, sched, depth):
+        if isinstance(sched, str) or sched > 1 or depth != 1:
+            return pipe.deepcache(sched, depth=depth)
+        return pipe
+
+    def calibrated_int8(cfg):
+        """The shipped serving config at DeepCache config `cfg`,
+        calibrated on the first eval batch (normalized conditions —
+        exactly what eval_batch feeds __call__). A cached schedule
+        calibrates ALONG THE DEPLOYED trajectory (stale trunks —
+        pipeline.calibrate drives the pattern). Scales disk-cached per
+        (checkpoint step, batch, cfg); q<pct> configs capture quantiles
+        and clip (with_act_clipping) after loading."""
+        sched, depth, clip = parse_cfg(cfg)
+        pipe = apply_deepcache(base_pipe.fast_inference("throughput"),
+                               sched, depth)
+        tag = cfg.replace(".", "p")
         cache = os.path.join(WORK, f"dc_act_scales_step"
                                    f"{counter.global_step}_b{BATCH}"
-                                   f"_k{k}.json")
-        if k == 1:  # pre-rework capture file (same schedule for k=1)
-            legacy = os.path.join(WORK, f"dc_act_scales_step"
-                                        f"{counter.global_step}_b{BATCH}.json")
-            if not os.path.exists(cache) and os.path.exists(legacy):
-                cache = legacy
+                                   f"_k{tag}.json")
+        if cfg == "1":  # pre-rework capture file (same schedule for k=1)
+            for legacy in (
+                    os.path.join(WORK, f"dc_act_scales_step"
+                                       f"{counter.global_step}_b{BATCH}_k1.json"),
+                    os.path.join(WORK, f"dc_act_scales_step"
+                                       f"{counter.global_step}_b{BATCH}.json")):
+                if not os.path.exists(cache) and os.path.exists(legacy):
+                    cache = legacy
         if os.path.exists(cache):
             with open(cache) as f:
                 pipe = _dc.replace(pipe, act_scales=json.load(f))
             print(f"# calibrated scales loaded from {cache}",
                   file=sys.stderr)
-            return pipe
-        raw = next(iter(loader))
-        b = preprocess(raw)
-        t0 = time.time()
-        pipe = pipe.calibrate(
-            jax.random.PRNGKey(99),
-            [dict(rgb_images=b["normalized_rgb"], sim_disp=b["sim_disp"])],
-            cond_channels=config.cond_channels,
-            num_inference_steps=config.num_inference_timesteps,
-        )
-        with open(cache, "w") as f:
-            json.dump(pipe.act_scales, f)
-        print(f"# int8 k={k} calibration done in {time.time() - t0:.0f}s "
-              f"-> {cache}", file=sys.stderr)
+        else:
+            raw = next(iter(loader))
+            b = preprocess(raw)
+            t0 = time.time()
+            pipe = pipe.calibrate(
+                jax.random.PRNGKey(99),
+                [dict(rgb_images=b["normalized_rgb"],
+                      sim_disp=b["sim_disp"])],
+                cond_channels=config.cond_channels,
+                num_inference_steps=config.num_inference_timesteps,
+                quantiles=((clip,) if clip else None),
+            )
+            with open(cache, "w") as f:
+                json.dump(pipe.act_scales, f)
+            print(f"# int8 {cfg} calibration done in "
+                  f"{time.time() - t0:.0f}s -> {cache}", file=sys.stderr)
+        if clip:
+            pipe = pipe.with_act_clipping(percentile=clip)
         return pipe
 
     for mode, k in rows:
         if mode == "int8":
             pipe = calibrated_int8(k)
         else:
-            pipe = base_pipe.deepcache(k) if k > 1 else base_pipe
+            sched, depth, _ = parse_cfg(k)
+            pipe = apply_deepcache(base_pipe, sched, depth)
         for attempt in (1, 2):
             t0 = time.time()
             try:
@@ -285,7 +330,7 @@ def child(rows):
 if __name__ == "__main__":
     spec = os.environ.get("DC_ROWS")
     if spec:
-        child([(m, int(k)) for m, k in
+        child([(m, k) for m, k in
                (item.split(":") for item in spec.split(","))])
     else:
         parent()

@@ -58,7 +58,27 @@ def main(argv=None):
                    help="HxW override (e.g. 64x96) for small smoke runs")
     p.add_argument("--steps", type=int, default=None,
                    help="num_inference_timesteps override")
+    p.add_argument("--pipeline-dir", default=None,
+                   help="an already-imported/exported pipeline dir "
+                        "(from_pretrained format) — skips the reference "
+                        "import; used by CI to exercise the golden "
+                        "harness on a synthetic checkpoint")
+    p.add_argument("--golden-dump", default=None, metavar="DIR",
+                   help="save per-stage intermediates (VAE latents, UNet "
+                        "output at fixed t, scheduler step, decode) to "
+                        "DIR and exit — the divergence-localization "
+                        "artifact for the day real released weights "
+                        "appear (evaluation/golden.py)")
+    p.add_argument("--golden-compare", default=None, metavar="DIR",
+                   help="recompute the stages and diff against a prior "
+                        "--golden-dump; prints the FIRST divergent stage "
+                        "and exits nonzero when any stage is off")
+    p.add_argument("--golden-size", default="64x96",
+                   help="HxW of the golden probe frame")
     args = p.parse_args(argv)
+
+    if (args.golden_dump or args.golden_compare) and args.pipeline_dir:
+        return _golden_main(args)
 
     if not _is_diffusers_dir(args.ref_dir):
         print(f"PARITY SKIP: no reference checkpoint at {args.ref_dir!r} "
@@ -76,6 +96,10 @@ def main(argv=None):
         os.path.join(args.out_dir, "imported_pipeline"))
     print(f"[1/3] importing {args.ref_dir} -> {imported}")
     import_main([args.ref_dir, imported, "--cond-channels", args.cond_channels])
+
+    if args.golden_dump or args.golden_compare:
+        args.pipeline_dir = imported
+        return _golden_main(args)
 
     print("[2/3] evaluating the imported pipeline on procedural frames")
     from functools import partial
@@ -151,6 +175,31 @@ def main(argv=None):
         json.dump(result, f, indent=2)
     print(f"wrote {path}")
     return 0 if result["pass"] in (True, None) else 1
+
+
+def _golden_main(args):
+    """--golden-dump / --golden-compare on a from_pretrained pipeline."""
+    import json as _json
+
+    from d3roma_tpu.evaluation import golden
+    from d3roma_tpu.pipelines import GuidedLatentDiffusionPipeline
+
+    pipe = GuidedLatentDiffusionPipeline.from_pretrained(args.pipeline_dir)
+    h, w = (int(v) for v in args.golden_size.split("x"))
+    if args.golden_dump:
+        npz = golden.dump(pipe, args.golden_dump, H=h, W=w, seed=args.seed,
+                          cond_channels=args.cond_channels)
+        print(f"GOLDEN DUMP: wrote {npz}")
+        return 0
+    report = golden.compare(pipe, args.golden_compare)
+    print(_json.dumps(report, indent=1))
+    bad = [k for k, v in report.items() if not v.get("ok")]
+    if bad:
+        print(f"GOLDEN COMPARE: FIRST divergent stage = {bad[0]} "
+              f"(all: {bad})")
+        return 1
+    print("GOLDEN COMPARE: all stages match")
+    return 0
 
 
 if __name__ == "__main__":

@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("--auto-mode", action="store_true",
+                    help="compile-probe the streaming configs "
+                         "(latency > dense > throughput) in a killable "
+                         "child and serve the fastest one that compiles "
+                         "(the bf16 batch-1 program is not always "
+                         "compilable on this platform — "
+                         "docs/PERFORMANCE.md); probe outcome lands in "
+                         "/metrics")
+    ap.add_argument("--probe-timeout", type=float, default=2400.0)
     ap.add_argument("overrides", nargs="*",
                     help="config overrides (task=..., task.*=...)")
     args = ap.parse_args()
@@ -41,7 +50,23 @@ def main():
 
     import numpy as np
 
-    droma = D3RoMa(args.overrides, Realsense.default_real("fxm"),
+    overrides = list(args.overrides)
+    probe_info = None
+    if args.auto_mode:
+        from d3roma_tpu.streaming.probe import select_streaming_mode
+
+        sel = select_streaming_mode(overrides, batch=args.max_batch,
+                                    timeout_s=args.probe_timeout)
+        probe_info = sel
+        if sel["mode"] is None:
+            print("# streaming probe: NO candidate compiled; serving the "
+                  "caller's config as-is", flush=True)
+        else:
+            print(f"# streaming probe selected mode={sel['mode']}",
+                  flush=True)
+            overrides = sel["overrides"]
+
+    droma = D3RoMa(overrides, Realsense.default_real("fxm"),
                    variant="rgb+raw")
     # one synthetic frame drives the cold trace+compile before /healthz
     # reports ready (any HxW works — the server resizes on ingest)
@@ -50,7 +75,7 @@ def main():
     server = InferenceHTTPServer(
         droma.infer_with_rgb_raw_batch, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, host=args.host, port=args.port,
-        warmup_input=warm)
+        warmup_input=warm, probe_info=probe_info)
     port = server.start()
     print(f"serving on http://{args.host}:{port} "
           f"(POST /v1/infer_rgb_raw, GET /healthz /metrics)", flush=True)

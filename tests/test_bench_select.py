@@ -19,6 +19,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _ENV_KEYS = ("BENCH_QUANT", "BENCH_MODEL", "BENCH_BATCH", "BENCH_STEPS",
              "BENCH_FLASH", "BENCH_FF", "BENCH_FUSED_GN", "BENCH_AUTOSELECT",
              "BENCH_CALIB", "BENCH_RECORDS", "BENCH_DEEPCACHE",
+             "BENCH_DEEPCACHE_DEPTH", "BENCH_CLIP_PCT",
              "D3ROMA_WINO_CHUNK", "D3ROMA_WINO_FUSED", "D3ROMA_WINO_SLAB_MB")
 
 

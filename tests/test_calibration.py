@@ -301,3 +301,102 @@ def test_calibrate_matches_wino_routing_at_the_stacked_encode_batch(monkeypatch)
               num_intermediate_images=1, cond_channels="rgb+raw",
               rgb_images=rgb, sim_disp=raw)
     assert np.all(np.isfinite(np.asarray(out.images, np.float32)))
+
+
+def test_calibrate_interval_beyond_steps_still_captures_cached_table():
+    """cache_interval > num_inference_steps: the deployed schedule has no
+    shallow step, so without the dual-capture fallback calibrate() would
+    produce no 'unet_cached' table and _unet_cache_fns would reject the
+    calibrated pipe on first call (advisor r4)."""
+    import dataclasses as _dc
+
+    pipe = _tiny_latent_pipe()
+    static = _dc.replace(
+        pipe, unet=_dc.replace(pipe.unet, quant="static"),
+        vae=_dc.replace(pipe.vae, quant="static")).deepcache(5)
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2),
+                                    (1, 32, 32, 1))) * 0.3
+
+    cal = static.calibrate(jax.random.PRNGKey(3),
+                           [dict(rgb_images=rgb, sim_disp=raw)],
+                           cond_channels="rgb+raw", num_inference_steps=2)
+    assert len(cal.act_scales.get("unet_cached", [])) > 0
+    # the calibrated pipe must run (interval 5 > 2 steps -> all-full tail)
+    out = cal(jax.random.PRNGKey(9), num_inference_steps=2,
+              num_intermediate_images=1, cond_channels="rgb+raw",
+              rgb_images=rgb, sim_disp=raw)
+    assert np.all(np.isfinite(np.asarray(out.images, np.float32)))
+
+
+def test_capture_quantiles_and_with_act_clipping():
+    """calibrate(quantiles=...) records [absmax, q...] per call; the flat
+    tables stay absmax-based; with_act_clipping re-derives percentile
+    tables and registers bf16 pins without recapture."""
+    import dataclasses as _dc
+
+    pipe = _tiny_latent_pipe()
+    static = _dc.replace(
+        pipe, unet=_dc.replace(pipe.unet, quant="static"),
+        vae=_dc.replace(pipe.vae, quant="static"))
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(jax.random.fold_in(key, 1), (1, 32, 32, 3)) * 0.3
+    raw = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2),
+                                    (1, 32, 32, 1))) * 0.3
+
+    cal = static.calibrate(jax.random.PRNGKey(3),
+                           [dict(rgb_images=rgb, sim_disp=raw)],
+                           cond_channels="rgb+raw", num_inference_steps=2,
+                           quantiles=(0.999, 0.99))
+    assert cal.act_scales["@quantiles"] == [0.999, 0.99]
+    n = len(cal.act_scales["unet"])
+    assert len(cal.act_scales["unet@q"]) == n
+    assert all(len(row) == 3 for row in cal.act_scales["unet@q"])
+    # flat table == absmax column * margin (default strategy unchanged)
+    import numpy as _np
+
+    _np.testing.assert_allclose(
+        cal.act_scales["unet"],
+        [max(r[0] * 1.25, 1e-8) for r in cal.act_scales["unet@q"]],
+        rtol=1e-6)
+    # quantiles are <= absmax per call
+    for row in cal.act_scales["unet@q"]:
+        assert row[1] <= row[0] + 1e-9 and row[2] <= row[1] + 1e-9
+
+    clipped = cal.with_act_clipping(percentile=0.99)
+    assert all(a <= b + 1e-9 for a, b in zip(clipped.act_scales["unet"],
+                                             cal.act_scales["unet"]))
+    with pytest.raises(ValueError, match="not captured"):
+        cal.with_act_clipping(percentile=0.5)
+
+    # pins: pinned program still runs and matches the unpinned shapes
+    pinned = cal.with_act_clipping(pins={"unet": [0, 1]})
+    assert pinned.act_scales["unet@pins"] == [0, 1]
+    kwargs = dict(num_inference_steps=2, num_intermediate_images=1,
+                  cond_channels="rgb+raw", rgb_images=rgb, sim_disp=raw)
+    out_cal = np.asarray(cal(jax.random.PRNGKey(9), **kwargs).images)
+    out_pin = np.asarray(pinned(jax.random.PRNGKey(9), **kwargs).images)
+    assert out_pin.shape == out_cal.shape
+    assert np.all(np.isfinite(out_pin))
+    # pinning layers 0,1 changes the program numerics (they ran in float)
+    assert not np.allclose(out_pin, out_cal)
+
+
+def test_replay_pins_run_float_and_keep_call_order():
+    """ops/quant.py: a pinned index runs the float op but still consumes
+    its slot, so subsequent calls get their own scales."""
+    from d3roma_tpu.ops.quant import (
+        int8_dot_general_static,
+        replay_act_scales,
+    )
+
+    x = jnp.array([[0.5, -1.0, 2.0]], jnp.float32)
+    w = jnp.eye(3, dtype=jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    with replay_act_scales([0.004, 0.004], pins=[0]):
+        out0 = int8_dot_general_static(x, w, dn)  # pinned -> exact
+        out1 = int8_dot_general_static(x, w, dn)  # quantized at 0.004
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=1e-7)
+    # 2.0 / 0.004 = 500 > 127 -> clipped to 127*0.004 = 0.508
+    assert abs(float(out1[0, 2]) - 0.508) < 1e-6

@@ -24,9 +24,9 @@ def test_dryrun_multichip_flagship_inline(capsys, monkeypatch):
     assert "reference-parity stages" in out
     # budget 0 -> the beyond-reference tier ran inline, not skipped
     assert "SKIPPED" not in out
-    assert "DeepCache(2) sharded eval ok" in out  # rides the TP stage
     assert "DP2xTP4 LDM train step + eval ok" in out
     assert "DP2xSP4 LDM train step ok" in out
+    assert "DP2xTP4 DeepCache sharded eval ok" in out  # its own stage (r5)
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")

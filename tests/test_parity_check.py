@@ -95,3 +95,41 @@ def test_parity_harness_runs_exact_numerics(tmp_path):
     assert not pipe.unet.quant, "int8 quantization must be OFF for parity"
     assert not pipe.vae.quant
     assert pipe.act_scales is None
+
+
+def test_golden_dump_compare_roundtrip(tmp_path, capsys):
+    """--golden-dump then --golden-compare on the same synthetic
+    checkpoint must match at every stage; a perturbed UNet must FAIL at
+    unet_out first (divergence localization — VERDICT r4 #8)."""
+    ref = _synthetic_ckpt(tmp_path)
+    out = str(tmp_path / "out")
+    from scripts.import_reference_pipeline import main as import_main
+
+    imported = os.path.join(out, "imported_pipeline")
+    import_main([ref, imported, "--cond-channels", "rgb+raw"])
+
+    gdir = str(tmp_path / "golden")
+    rc = parity_main(["--pipeline-dir", imported, "--golden-dump", gdir,
+                      "--golden-size", "32x32"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(gdir, "golden_stages.npz"))
+    assert os.path.exists(os.path.join(gdir, "golden_manifest.json"))
+
+    rc = parity_main(["--pipeline-dir", imported,
+                      "--golden-compare", gdir])
+    assert rc == 0
+    assert "all stages match" in capsys.readouterr().out
+
+    # perturb the UNet weights -> compare must fail AT the unet stage
+    # (inputs/latents before it still match)
+    from d3roma_tpu.evaluation import golden
+    from d3roma_tpu.pipelines import GuidedLatentDiffusionPipeline
+    import dataclasses as _dc
+    import jax
+
+    pipe = GuidedLatentDiffusionPipeline.from_pretrained(imported)
+    bad_params = jax.tree.map(lambda x: x * 1.5, pipe.unet_params)
+    bad = _dc.replace(pipe, unet_params=bad_params)
+    report = golden.compare(bad, gdir)
+    assert report["lat_rgb"]["ok"] and report["x_t"]["ok"]
+    assert not report["unet_out"]["ok"]
