@@ -68,16 +68,10 @@ class D3RoMa:
             # passed pipeline honors the override too.
             from d3roma_tpu.parallel import shard_pipeline_tp
 
-            if config.fast_inference != "off":
-                # Pallas-kernel modes are unvalidated under a
-                # model-sharded mesh (pallas_call needs shard_map, not
-                # GSPMD); keep the XLA path, which GSPMD partitions fully
-                logger.warning(
-                    "tensor_parallel=%d: fast_inference=%s kernels are "
-                    "not TP-validated; using the XLA path", tp,
-                    config.fast_inference)
-                if hasattr(self.pipeline, "fast_inference"):
-                    self.pipeline = self.pipeline.fast_inference("off")
+            # fast_inference kernels compose with TP via their shard_map
+            # wrappers (shard_pipeline_tp sets tp_mesh on the modules;
+            # mesh-ineligible sites fall back to the XLA path). The
+            # round-4 gate that forced fast_inference off here is gone.
             self.pipeline, _ = shard_pipeline_tp(self.pipeline, tp, logger)
         if getattr(config, "aot_cache", "") and hasattr(self.pipeline,
                                                         "with_aot_cache"):

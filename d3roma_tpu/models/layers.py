@@ -10,11 +10,23 @@ transposes from the reference's NCHW.
 from __future__ import annotations
 
 import math
-from typing import Optional
+import os
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+def _pallas_backend():
+    """Where Pallas kernels may run: "tpu" (Mosaic), "interpret" (forced
+    via D3ROMA_PALLAS_INTERPRET=1 — CPU equality tests of the kernel
+    paths, incl. the shard_map TP composition), or None (XLA fallback)."""
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    if os.environ.get("D3ROMA_PALLAS_INTERPRET") == "1":
+        return "interpret"
+    return None
+
 
 from d3roma_tpu.ops.quant import (
     STATIC_ACT_SCALE,
@@ -237,6 +249,7 @@ class SelfAttention2D(nn.Module):
     rescale_output_factor: float = 1.0
     quant: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_mesh: Any = None  # see CrossAttention.tp_mesh
 
     @nn.compact
     def __call__(self, x):
@@ -251,7 +264,8 @@ class SelfAttention2D(nn.Module):
         k = k.reshape(B, H * W, num_heads, C // num_heads)
         v = v.reshape(B, H * W, num_heads, C // num_heads)
         attn = None
-        if (jax.default_backend() == "tpu"
+        backend = _pallas_backend()
+        if (backend
                 and self.quant in (True, "all", "static", "mxu", "halo", "wino_static")
                 and act_ctx_mode() != "capture"
                 and H * W >= 512 and C // num_heads >= 64):
@@ -261,7 +275,20 @@ class SelfAttention2D(nn.Module):
             # whole-row kernel on the int8 MXU: 3.1 vs 7.8 ms/call at
             # batch 16 vs the XLA score-matrix path (docs/PERFORMANCE.md)
             if mha_supported(H * W, C // num_heads, itemsize=1):
-                attn = mha_attention(q, k, v, quant="int8")
+                interp = backend == "interpret"
+                if self.tp_mesh is not None:
+                    from d3roma_tpu.ops.pallas import (
+                        mha_attention_tp,
+                        tp_attention_ok,
+                    )
+
+                    if tp_attention_ok(self.tp_mesh, B, H * W):
+                        attn = mha_attention_tp(q, k, v, self.tp_mesh,
+                                                quant="int8",
+                                                interpret=interp)
+                else:
+                    attn = mha_attention(q, k, v, quant="int8",
+                                         interpret=interp)
         if attn is None:
             attn = jax.nn.dot_product_attention(q, k, v)
         attn = attn.reshape(B, H * W, C)
@@ -300,6 +327,11 @@ class CrossAttention(nn.Module):
     flash_min_seq: int = 1024
     quant: bool = False
     dtype: jnp.dtype = jnp.float32
+    # (data, model) Mesh: route Pallas kernels through their shard_map TP
+    # composition (ops/pallas: mha_attention_tp / geglu_ff_tp). A bare
+    # pallas_call is not GSPMD-partitionable, so with a mesh set, kernel
+    # sites either shard_map or fall back to XLA — never the bare kernel.
+    tp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -309,7 +341,7 @@ class CrossAttention(nn.Module):
         B, N, _ = x.shape
         M = context.shape[1]
         dq = _dense_q(self.quant)
-        if self.use_flash == "fused" and is_self:
+        if self.use_flash == "fused" and is_self and self.tp_mesh is None:
             from d3roma_tpu.ops.pallas import (
                 fused_attention_supported,
                 fused_self_attention,
@@ -360,11 +392,11 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, N, self.heads, self.head_dim)
         k = k.reshape(B, M, self.heads, self.head_dim)
         v = v.reshape(B, M, self.heads, self.head_dim)
-        on_tpu = jax.default_backend() == "tpu"
+        backend = _pallas_backend()
         use_pallas = self.use_flash == "pallas" or (
             self.use_flash == "pallas-self" and is_self
         )
-        if use_pallas and on_tpu:
+        if use_pallas and backend:
             from d3roma_tpu.ops.pallas import mha_attention, mha_supported
 
             # below ~512 tokens the kernel's fixed cost (layout transposes,
@@ -378,10 +410,29 @@ class CrossAttention(nn.Module):
             if (mha_supported(M, self.head_dim) and M >= 512
                     and act_ctx_mode() != "capture"):
                 aq = "int8" if self.quant in (True, "all", "static", "mxu", "halo", "wino_static") else None
-                attn = mha_attention(q, k, v, quant=aq).reshape(B, N, inner)
-                return nn.Dense(self.query_dim, dtype=self.dtype,
-                                name="to_out", **dq)(attn)
-        if self.use_flash and on_tpu and is_self and N >= self.flash_min_seq:
+                interp = backend == "interpret"
+                if self.tp_mesh is not None:
+                    from d3roma_tpu.ops.pallas import (
+                        mha_attention_tp,
+                        tp_attention_ok,
+                    )
+
+                    if tp_attention_ok(self.tp_mesh, B, N):
+                        attn = mha_attention_tp(
+                            q, k, v, self.tp_mesh, quant=aq,
+                            interpret=interp).reshape(B, N, inner)
+                        return nn.Dense(self.query_dim, dtype=self.dtype,
+                                        name="to_out", **dq)(attn)
+                    # ineligible under this mesh -> XLA path below (a
+                    # bare pallas_call cannot be GSPMD-partitioned)
+                else:
+                    attn = mha_attention(
+                        q, k, v, quant=aq,
+                        interpret=interp).reshape(B, N, inner)
+                    return nn.Dense(self.query_dim, dtype=self.dtype,
+                                    name="to_out", **dq)(attn)
+        if (self.use_flash and backend == "tpu" and is_self
+                and N >= self.flash_min_seq and self.tp_mesh is None):
             attn = flash_self_attention(q, k, v).reshape(B, N, inner)
         else:
             attn = jax.nn.dot_product_attention(q, k, v).reshape(B, N, inner)
@@ -438,6 +489,7 @@ class FeedForward(nn.Module):
     quant: bool = False
     fused: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_mesh: Any = None  # see CrossAttention.tp_mesh
 
     @nn.compact
     def __call__(self, x):
@@ -447,9 +499,21 @@ class FeedForward(nn.Module):
         q = "static" if self.quant in ("static", "mxu", "halo", "wino_static") else None
         from d3roma_tpu.ops.pallas.geglu import geglu_supported
 
+        tp_ok = True
+        if self.tp_mesh is not None:
+            from d3roma_tpu.ops.pallas.geglu import tp_geglu_ok
+
+            # under a TP mesh the fused kernel runs only via its
+            # shard_map split (a bare pallas_call is not
+            # GSPMD-partitionable); an ineligible shape (F/tp not
+            # lane-aligned) takes the unfused GSPMD path. NOTE the gate
+            # changes the static-int8 scale call order vs an un-meshed
+            # pipeline — calibrate() with tp_mesh already set (the gates
+            # then match between capture and replay).
+            tp_ok = tp_geglu_ok(self.tp_mesh, x.shape[-1], f, x.shape[0])
         # gate BEFORE consume_act_scale: shape-deterministic, so the
         # capture/replay scale call-order stays consistent either way
-        if (self.fused and (q or not self.quant)
+        if (self.fused and (q or not self.quant) and tp_ok
                 and geglu_supported(x.shape[-1], f)):
             from d3roma_tpu.ops.pallas import geglu_ff
 
@@ -468,9 +532,17 @@ class FeedForward(nn.Module):
                 ascale = s
             # interpret mode keeps the fused path usable (and its param
             # tree testable) on non-TPU backends
+            interp = _pallas_backend() != "tpu"
+            if self.tp_mesh is not None:
+                from d3roma_tpu.ops.pallas.geglu import geglu_ff_tp
+
+                return geglu_ff_tp(
+                    x.astype(self.dtype), k1[:, :f], k1[:, f:], k2,
+                    b1[:f], b1[f:], b2, self.tp_mesh, quant=q,
+                    act_scale=ascale, interpret=interp)
             return geglu_ff(x.astype(self.dtype), k1[:, :f], k1[:, f:], k2,
                             b1[:f], b1[f:], b2, quant=q, act_scale=ascale,
-                            interpret=jax.default_backend() != "tpu")
+                            interpret=interp)
         x = GEGLU(f, quant=self.quant, dtype=self.dtype, name="net_0")(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2",
                         **_dense_q(self.quant))(x)
@@ -488,23 +560,26 @@ class BasicTransformerBlock(nn.Module):
     quant: bool = False
     fused_ff: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_mesh: Any = None  # see CrossAttention.tp_mesh
 
     @nn.compact
     def __call__(self, x, context):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, use_flash=self.use_flash,
-            quant=self.quant, dtype=self.dtype, name="attn1"
+            quant=self.quant, dtype=self.dtype, tp_mesh=self.tp_mesh,
+            name="attn1"
         )(h)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, self.context_dim,
             use_flash=self.use_flash, quant=self.quant, dtype=self.dtype,
-            name="attn2",
+            tp_mesh=self.tp_mesh, name="attn2",
         )(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, quant=self.quant, fused=self.fused_ff,
-                            dtype=self.dtype, name="ff")(h)
+                            dtype=self.dtype, tp_mesh=self.tp_mesh,
+                            name="ff")(h)
         return x
 
 
@@ -522,6 +597,7 @@ class Transformer2D(nn.Module):
     quant: bool = False
     fused_ff: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_mesh: Any = None  # see CrossAttention.tp_mesh
 
     @nn.compact
     def __call__(self, x, context):
@@ -536,7 +612,7 @@ class Transformer2D(nn.Module):
                 self.heads * self.head_dim, self.heads, self.head_dim,
                 self.context_dim, use_flash=self.use_flash, quant=self.quant,
                 fused_ff=self.fused_ff, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
+                tp_mesh=self.tp_mesh, name=f"transformer_blocks_{i}",
             )(h, context)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out",
                      **_dense_q(self.quant))(h)

@@ -49,6 +49,9 @@ class UNet2DCondition(nn.Module):
     quant: bool = False  # int8 MXU path for inference (ops/quant.py)
     fused_norm: bool = False  # fused Pallas GroupNorm+SiLU (ops/pallas/)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
+    # (data, model) Mesh enabling the shard_map TP composition of the
+    # Pallas kernels (models/layers.py::CrossAttention.tp_mesh)
+    tp_mesh: object = None
     # DeepCache shallow-pass depth: how many TRAILING up blocks (and the
     # matching leading down blocks) the cached pass refreshes. 1 = the
     # classic shallowest split (conv_in + down block 0 + last up block,
@@ -135,7 +138,7 @@ class UNet2DCondition(nn.Module):
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
                         use_flash=self.use_flash_attention, quant=self.quant,
-                        fused_ff=self.fused_ff,
+                        fused_ff=self.fused_ff, tp_mesh=self.tp_mesh,
                         dtype=self.dtype, name=f"down_{i}_attn_{j}",
                     )(x, context)
                 skips.append(x)
@@ -160,7 +163,7 @@ class UNet2DCondition(nn.Module):
             x = AttnBlock(mid_ch, heads_for(mid_ch), self.attention_head_dim,
                               self.cross_attention_dim, groups=self.norm_groups,
                               use_flash=self.use_flash_attention, quant=self.quant,
-                              fused_ff=self.fused_ff,
+                              fused_ff=self.fused_ff, tp_mesh=self.tp_mesh,
                               dtype=self.dtype, name="mid_attn")(x, context)
             x = ResBlock(mid_ch, groups=self.norm_groups, quant=self.quant,
                               fused_norm=self.fused_norm,
@@ -181,7 +184,7 @@ class UNet2DCondition(nn.Module):
                             ch, heads_for(ch), self.attention_head_dim,
                             self.cross_attention_dim, groups=self.norm_groups,
                             use_flash=self.use_flash_attention, quant=self.quant,
-                            fused_ff=self.fused_ff,
+                            fused_ff=self.fused_ff, tp_mesh=self.tp_mesh,
                             dtype=self.dtype, name=f"up_{i}_attn_{j}",
                         )(x, context)
                 x = Upsample2D(ch, quant=self.quant, dtype=self.dtype,
@@ -208,7 +211,7 @@ class UNet2DCondition(nn.Module):
                         ch, heads_for(ch), self.attention_head_dim,
                         self.cross_attention_dim, groups=self.norm_groups,
                         use_flash=self.use_flash_attention, quant=self.quant,
-                        fused_ff=self.fused_ff,
+                        fused_ff=self.fused_ff, tp_mesh=self.tp_mesh,
                         dtype=self.dtype, name=f"up_{i}_attn_{j}",
                     )(x, context)
             if i < n_up - 1:

@@ -33,6 +33,7 @@ class Encoder(nn.Module):
     quant: bool = False
     fused_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_mesh: object = None  # layers.py::CrossAttention.tp_mesh
 
     @nn.compact
     def __call__(self, x):
@@ -55,6 +56,7 @@ class Encoder(nn.Module):
                           eps=1e-6, quant=self.quant, fused_norm=self.fused_norm,
                           dtype=self.dtype, name="mid_res_0")(x)
         x = SelfAttention2D(ch, head_dim=ch, groups=self.norm_groups,
+                            tp_mesh=self.tp_mesh,
                             eps=1e-6, quant=self.quant, dtype=self.dtype,
                             name="mid_attn")(x)
         x = ResnetBlock2D(ch, use_time_emb=False, groups=self.norm_groups,
@@ -75,6 +77,7 @@ class Decoder(nn.Module):
     quant: bool = False
     fused_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_mesh: object = None  # layers.py::CrossAttention.tp_mesh
 
     @nn.compact
     def __call__(self, z):
@@ -85,6 +88,7 @@ class Decoder(nn.Module):
                           eps=1e-6, quant=self.quant, fused_norm=self.fused_norm,
                           dtype=self.dtype, name="mid_res_0")(x)
         x = SelfAttention2D(rev[0], head_dim=rev[0], groups=self.norm_groups,
+                            tp_mesh=self.tp_mesh,
                             eps=1e-6, quant=self.quant, dtype=self.dtype,
                             name="mid_attn")(x)
         x = ResnetBlock2D(rev[0], use_time_emb=False, groups=self.norm_groups,
@@ -128,17 +132,20 @@ class AutoencoderKL(nn.Module):
     quant: bool = False
     fused_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_mesh: object = None  # layers.py::CrossAttention.tp_mesh
 
     def setup(self):
         self.encoder = Encoder(
             self.latent_channels, self.block_out_channels,
             norm_groups=self.norm_groups, quant=self.quant,
             fused_norm=self.fused_norm, dtype=self.dtype,
+            tp_mesh=self.tp_mesh,
         )
         self.decoder = Decoder(
             self.out_channels, self.block_out_channels,
             norm_groups=self.norm_groups, quant=self.quant,
             fused_norm=self.fused_norm, dtype=self.dtype,
+            tp_mesh=self.tp_mesh,
         )
         # 1x1 convs around the latent (diffusers quant_conv/post_quant_conv)
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1), name="quant_conv")

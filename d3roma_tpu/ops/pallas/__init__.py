@@ -20,7 +20,9 @@
 
 from d3roma_tpu.ops.pallas.attention import (  # noqa: F401
     mha_attention,
+    mha_attention_tp,
     mha_supported,
+    tp_attention_ok,
 )
 from d3roma_tpu.ops.pallas.attention_fused import (  # noqa: F401
     fused_attention_supported,
@@ -30,7 +32,11 @@ from d3roma_tpu.ops.pallas.conv2d import (  # noqa: F401
     conv3x3_flat,
     conv3x3_supported,
 )
-from d3roma_tpu.ops.pallas.geglu import geglu_ff  # noqa: F401
+from d3roma_tpu.ops.pallas.geglu import (  # noqa: F401
+    geglu_ff,
+    geglu_ff_tp,
+    tp_geglu_ok,
+)
 from d3roma_tpu.ops.pallas.groupnorm import (  # noqa: F401
     fused_group_norm_silu,
     group_norm_silu_supported,

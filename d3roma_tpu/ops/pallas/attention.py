@@ -196,3 +196,57 @@ def mha_attention(q, k, v, *, quant: str | None = None,
         )(qp, kp, vp)
 
     return jnp.swapaxes(out[:, :, :n], 1, 2)
+
+
+# ---------------------------------------------------------------------- #
+# Tensor-parallel composition (round 5)
+# ---------------------------------------------------------------------- #
+
+
+def tp_attention_ok(mesh, B: int, N: int) -> bool:
+    """Can mha_attention run under `mesh` via shard_map? The q TOKEN dim
+    shards over the model axis (works for ANY head count — the flagship's
+    5-head level does not divide tp, so head-sharding would be a dead
+    end), so N must divide tp; the batch must divide the data axis."""
+    from d3roma_tpu.parallel.mesh import DATA_AXIS
+    from d3roma_tpu.parallel.tensor import MODEL_AXIS
+
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tp = axes.get(MODEL_AXIS, 1)
+    dp = axes.get(DATA_AXIS, 1)
+    return tp > 1 and N % tp == 0 and B % dp == 0
+
+
+def mha_attention_tp(q, k, v, mesh, *, quant: str | None = None,
+                     sm_scale: float | None = None, block_q: int = 256,
+                     interpret: bool = False):
+    """mha_attention under a ``(data, model)`` mesh via ``shard_map``.
+
+    A bare ``pallas_call`` is not GSPMD-partitionable, which is why the
+    kernels were gated off under tensor parallelism through round 4
+    (docs/PARALLELISM.md). Composition strategy: shard the q TOKEN dim
+    over the model axis and replicate K/V — each device runs the
+    unchanged whole-row kernel on its token rows against the full K/V
+    (whole-row attention needs full K/V regardless). Per-shard score rows
+    are exact, so the result is bit-identical to the unsharded kernel up
+    to the kernel's own padding behavior. Costs one q/K/V reshard on
+    entry (activations are MBs — ICI noise at batch-1 latency shapes,
+    where TP is the lever); the ``(b, h)``-absmax int8 scales see the
+    full K/V and the full q rows of the local shard, matching the
+    unsharded kernel's scales for K/V exactly and for q per token-slice
+    (q scales are per-(batch, head) absmax over the local rows — an int8
+    ROUNDING-level difference only)."""
+    from d3roma_tpu.parallel.mesh import DATA_AXIS
+    from d3roma_tpu.parallel.tensor import MODEL_AXIS
+
+    shard_map = jax.shard_map
+    assert tp_attention_ok(mesh, q.shape[0], q.shape[1])
+    q_spec = jax.sharding.PartitionSpec(DATA_AXIS, MODEL_AXIS, None, None)
+    kv_spec = jax.sharding.PartitionSpec(DATA_AXIS, None, None, None)
+
+    def f(q_, k_, v_):
+        return mha_attention(q_, k_, v_, quant=quant, sm_scale=sm_scale,
+                             block_q=block_q, interpret=interpret)
+
+    return shard_map(f, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
+                     out_specs=q_spec, check_vma=False)(q, k, v)

@@ -242,3 +242,57 @@ def geglu_ff(x, w1h, w1g, w2, b1h=None, b1g=None, b2=None, *, quant=None,
           w2.astype(x.dtype), b1h, b1g, b2r)
 
     return out[:rows].reshape(b, n, c)
+
+
+# ---------------------------------------------------------------------- #
+# Tensor-parallel composition (round 5)
+# ---------------------------------------------------------------------- #
+
+
+def tp_geglu_ok(mesh, c: int, f: int, batch: int) -> bool:
+    """Can the fused GEGLU run under `mesh` via shard_map? Megatron
+    column+row split over the hidden F axis: each device's F-chunk must
+    itself satisfy geglu_supported (f/tp % 128 — at tp=4 the C=320 level's
+    F=1280 chunks to 320 and falls back to the unfused GSPMD path)."""
+    from d3roma_tpu.parallel.mesh import DATA_AXIS
+    from d3roma_tpu.parallel.tensor import MODEL_AXIS
+
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tp = axes.get(MODEL_AXIS, 1)
+    dp = axes.get(DATA_AXIS, 1)
+    return (tp > 1 and f % tp == 0 and geglu_supported(c, f // tp)
+            and batch % dp == 0)
+
+
+def geglu_ff_tp(x, w1h, w1g, w2, b1h, b1g, b2, mesh, *, quant=None,
+                act_scale: float = STATIC_ACT_SCALE,
+                interpret: bool = False):
+    """geglu_ff under a ``(data, model)`` mesh via ``shard_map`` —
+    Megatron-style column-parallel W1 + row-parallel W2 over the hidden F
+    axis: each device runs the unchanged fused kernel on its F-chunk
+    (producing a partial [rows, C] output), a single ``psum`` over the
+    model axis combines the partials, and the output bias is added once
+    after the reduction. Weight resharding on entry is loop-invariant in
+    a denoise scan, so XLA hoists it out of the hot loop; the int8 path's
+    numerics differ from the unsharded kernel only in the per-(row-block,
+    chunk) requantization boundaries of the gated intermediate."""
+    from d3roma_tpu.parallel.mesh import DATA_AXIS
+    from d3roma_tpu.parallel.tensor import MODEL_AXIS
+
+    P = jax.sharding.PartitionSpec
+    assert tp_geglu_ok(mesh, x.shape[-1], w1h.shape[1], x.shape[0])
+
+    def f(x_, w1h_, w1g_, w2_, b1h_, b1g_):
+        part = geglu_ff(x_, w1h_, w1g_, w2_, b1h_, b1g_, None, quant=quant,
+                        act_scale=act_scale, interpret=interpret)
+        return jax.lax.psum(part, MODEL_AXIS)
+
+    out = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(None, MODEL_AXIS),
+                  P(None, MODEL_AXIS), P(MODEL_AXIS, None), P(MODEL_AXIS),
+                  P(MODEL_AXIS)),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )(x, w1h, w1g, w2, b1h, b1g)
+    return out + b2.astype(out.dtype)

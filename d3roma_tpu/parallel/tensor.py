@@ -114,10 +114,16 @@ def shard_pipeline_tp(pipeline, tp: int, log=None):
 
     Builds the (data, model) mesh, checks the rules actually engage
     (`tp_shard_count` — silently-replicated "TP" is the failure mode the
-    diagnostic exists for), and returns (pipeline, mesh). Pallas-kernel
-    fast_inference modes are not validated under a model-sharded mesh
-    (GSPMD cannot partition a pallas_call; that needs shard_map) — gate
-    them off before calling this."""
+    diagnostic exists for), and returns (pipeline, mesh).
+
+    Pallas-kernel modes COMPOSE with TP since round 5: the mesh is set as
+    ``tp_mesh`` on the UNet/VAE modules, which routes each kernel site
+    through its shard_map composition (ops/pallas: mha_attention_tp /
+    geglu_ff_tp — a bare pallas_call is not GSPMD-partitionable) and
+    falls back to the XLA path at mesh-ineligible shapes. NOTE: with
+    calibrated static int8, calibrate() must run on the TP-meshed
+    pipeline (this function's result) — the kernel gates decide the scale
+    call order, and they consult the mesh."""
     import dataclasses
 
     assert jax.device_count() % tp == 0, (
@@ -128,6 +134,12 @@ def shard_pipeline_tp(pipeline, tp: int, log=None):
     repl = {"unet_params": shard_params_tp(pipeline.unet_params, mesh)}
     if getattr(pipeline, "vae_params", None) is not None:
         repl["vae_params"] = shard_params_tp(pipeline.vae_params, mesh)
+    # route Pallas kernel sites through their shard_map TP composition
+    if getattr(pipeline.unet, "tp_mesh", "missing") is None:
+        repl["unet"] = dataclasses.replace(pipeline.unet, tp_mesh=mesh)
+    if (getattr(pipeline, "vae", None) is not None
+            and getattr(pipeline.vae, "tp_mesh", "missing") is None):
+        repl["vae"] = dataclasses.replace(pipeline.vae, tp_mesh=mesh)
     if log is not None:
         log.info("mesh: DP%d x TP%d", jax.device_count() // tp, tp)
     return dataclasses.replace(pipeline, **repl), mesh

@@ -165,3 +165,90 @@ def test_tp_specs_shapes_divide():
         return tree
 
     jax.tree_util.tree_map_with_path(check, params)
+
+
+# ---------------------------------------------------------------------- #
+# Pallas kernels under TP via shard_map (round 5 — VERDICT r4 #4)
+# ---------------------------------------------------------------------- #
+
+
+def _kernel_unet():
+    """Tokens >= 512 at head_dim 64 so the whole-row attention gate opens;
+    C=128 so the fused GEGLU's F=512 chunks to 128 under tp=4."""
+    unet = UNet2DCondition(
+        in_channels=12, out_channels=4, block_out_channels=(128, 128),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, attention_head_dim=64, cross_attention_dim=16,
+        norm_groups=4, use_flash_attention="pallas-self", fused_ff=True,
+    )
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 12)) * 0.3
+    t = jnp.array([3, 5])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 16)) * 0.3
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat[:1], t[:1],
+                                ctx[:1])["params"]
+    return unet, params, (lat, t, ctx)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_unet_pallas_kernels_tp_match_replicated(monkeypatch):
+    """fast-kernel UNet (whole-row attention + fused GEGLU, interpret
+    mode) under DP2xTP4 == the replicated kernel run. This is the
+    composition round 4 gated off (docs/PARALLELISM.md: 'a pallas_call is
+    not GSPMD-partitionable') — now routed through shard_map
+    (ops/pallas::mha_attention_tp / geglu_ff_tp)."""
+    import dataclasses as _dc
+
+    monkeypatch.setenv("D3ROMA_PALLAS_INTERPRET", "1")
+    unet, params, (lat, t, ctx) = _kernel_unet()
+
+    ref = jax.jit(lambda p, x, tt, cc: unet.apply({"params": p}, x, tt, cc)
+                  )(params, lat, t, ctx)
+
+    mesh = make_mesh_dp_tp(2, 4)
+    unet_tp = _dc.replace(unet, tp_mesh=mesh)
+    # the gates actually open on the flagship-like level: token count 512
+    from d3roma_tpu.ops.pallas import tp_attention_ok, tp_geglu_ok
+
+    assert tp_attention_ok(mesh, 2, 16 * 32)
+    assert tp_geglu_ok(mesh, 128, 512, 2)
+
+    p_tp = shard_params_tp(params, mesh)
+    args = jax.device_put((lat, t, ctx), batch_sharding(mesh))
+    out = jax.jit(
+        lambda p, x, tt, cc: unet_tp.apply({"params": p}, x, tt, cc),
+        out_shardings=batch_sharding(mesh))(p_tp, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_vae_pallas_attention_tp_matches_replicated(monkeypatch):
+    """VAE mid-attention through the whole-row kernel under TP (int8 —
+    the only mode the wide-head kernel supports): shard_map path vs the
+    replicated kernel, same quantization. Rounding boundaries differ
+    (per-shard q absmax), so tolerance is int8-scale, not fp."""
+    import dataclasses as _dc
+
+    monkeypatch.setenv("D3ROMA_PALLAS_INTERPRET", "1")
+    # 256x128 input -> 32x16 = 512 tokens at the mid attention (the
+    # kernel gate needs >= 512) with a 64-dim single head
+    vae = AutoencoderKL(block_out_channels=(8, 8, 16, 64),
+                        latent_channels=4, norm_groups=4, quant="static")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 128, 3)) * 0.3
+    params = jax.jit(vae.init)(jax.random.PRNGKey(0), x[:1])["params"]
+
+    def apply(v):
+        def f(p, xx):
+            return v.apply({"params": p}, xx, method=v.encode).mean
+        return f
+
+    ref = jax.jit(apply(vae))(params, x)
+    mesh = make_mesh_dp_tp(2, 4)
+    vae_tp = _dc.replace(vae, tp_mesh=mesh)
+    p_tp = shard_params_tp(params, mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    out = jax.jit(apply(vae_tp))(p_tp, xs)
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=max(2e-2 * scale, 2e-2))
