@@ -11,6 +11,10 @@ matter this round:
   PB_WHAT=b32enc     batch-32 wino VAE encode (needs D3ROMA_WINO_CHUNK=1)
   PB_WHAT=b1wino     batch-1 5-step wino denoise scan
   PB_WHAT=tp4        flagship bf16 UNet step, TP4 over the 2x2 topology
+  PB_WHAT=tp4fast    flagship fast-kernel UNet step (whole-row attn +
+                     fused GEGLU via their shard_map TP compositions,
+                     static int8), batch 1, TP4 — the composed batch-1
+                     latency config (VERDICT r4 #4)
   PB_WHAT=serving_export  flagship TPU serving artifact (jax.export) builds
   PB_WHAT=all        everything
 
@@ -228,4 +232,40 @@ if WHAT in ("tp4", "all"):
         print(f"PASS flagship TP4 UNet step in {time.time()-t0:.0f}s", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"FAIL flagship TP4 UNet step after {time.time()-t0:.0f}s: "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
+if WHAT in ("tp4fast", "all"):
+    # the COMPOSED batch-1 latency config: fast_inference kernels +
+    # TP4 via shard_map (ops/pallas mha_attention_tp / geglu_ff_tp) at
+    # flagship shapes, static int8 — compile-only, chipless
+    from d3roma_tpu.parallel.tensor import tp_param_shardings
+    from jax.sharding import PartitionSpec as P4
+
+    mesh4f = Mesh(np.array(topo.devices).reshape(-1)[:4].reshape(1, 4),
+                  ("data", "model"))
+    unet_f = UNet2DCondition(in_channels=in_ch, out_channels=4,
+                             use_flash_attention="pallas-self",
+                             fused_ff=True, quant="static",
+                             tp_mesh=mesh4f, dtype=jnp.bfloat16)
+    p = bf16_tree(param_structs(
+        unet_f, jnp.zeros((1, H // 8, W // 8, in_ch)), jnp.array([0]),
+        jnp.zeros((1, 2, 1024))))
+
+    def unet_fast_fn(params, x, t, ctx):
+        return unet_f.apply({"params": params}, x, t, ctx)
+
+    psh = tp_param_shardings(p, mesh4f)
+    bs = NamedSharding(mesh4f, P4("data"))
+    t0 = time.time()
+    try:
+        jf = jax.jit(unet_fast_fn, in_shardings=(psh, bs, bs, bs),
+                     out_shardings=bs)
+        jf.lower(p,
+                 jax.ShapeDtypeStruct((1, H // 8, W // 8, in_ch), jnp.bfloat16),
+                 jax.ShapeDtypeStruct((1,), jnp.int32),
+                 jax.ShapeDtypeStruct((1, 2, 1024), jnp.bfloat16)).compile()
+        print(f"PASS flagship TP4 fast-kernel UNet step in {time.time()-t0:.0f}s", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL flagship TP4 fast-kernel UNet step after {time.time()-t0:.0f}s: "
               f"{type(e).__name__}: {str(e)[:300]}", flush=True)

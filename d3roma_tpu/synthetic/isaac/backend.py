@@ -116,12 +116,14 @@ class OmniBackend:
                 out.append((centroid, axes, half_extent, name))
         return out
 
-    def spawn_objects(self, surface, n: int, rng) -> List[str]:  # pragma: no cover
+    def spawn_objects(self, surface, n: int, rng,
+                      models=None) -> List[str]:  # pragma: no cover
         """Drop CAD models above the surface with physics enabled
         (reference: std_object.py:118-143 — create_prim from the instance
         USD with a per-class scale, wrap in RigidPrim scattered around the
         surface anchor, enable rigid body + collision, register with the
-        scene)."""
+        scene). `models` (a dreds_protocol.dreds_select_models list)
+        overrides the uniform per-object sampling."""
         import omni.usd
         from omni.isaac.core.prims.rigid_prim import RigidPrim
         from omni.isaac.core.utils import prims
@@ -129,11 +131,13 @@ class OmniBackend:
         from pxr import Sdf, UsdPhysics, UsdShade
 
         from d3roma_tpu.synthetic.isaac.assets import sample_cad_models
+        from d3roma_tpu.synthetic.isaac.dreds_protocol import sample_placement
         from d3roma_tpu.synthetic.isaac.geometry import surface_center_from_obb
 
         centroid, axes, half_extent = surface[0], surface[1], surface[2]
         anchor, _ = surface_center_from_obb(centroid, axes, half_extent)
-        models = sample_cad_models(rng, self._cad_root, n)
+        if models is None:
+            models = sample_cad_models(rng, self._cad_root, n)
         if not models:
             raise RuntimeError(
                 f"no CAD assets found under cad_root={self._cad_root!r} "
@@ -150,17 +154,13 @@ class OmniBackend:
                 semantic_label=prim_name,
                 scale=[model["scale"]] * 3,
             )
+            pos, euler = sample_placement(rng, anchor,
+                                          model["instance_id"])
             rigid = RigidPrim(
                 prim_path=str(prim.GetPrimPath()),
                 name=model["instance_name"],
-                position=np.asarray(anchor) + np.array([
-                    rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
-                    (model["instance_id"] + 1) * 0.05,
-                ]),
-                orientation=euler_angles_to_quat([
-                    rng.uniform(0, np.pi / 2), rng.uniform(0, np.pi / 2),
-                    rng.uniform(0, np.pi),
-                ]),
+                position=pos,
+                orientation=euler_angles_to_quat(list(euler)),
             )
             rigid.enable_rigid_body_physics()
             UsdPhysics.CollisionAPI.Apply(prim)
@@ -361,6 +361,42 @@ class OmniBackend:
             self._rep.modify.attribute(
                 "intensity", self._projector_intensity if on else 0)
 
+    def create_scene_light(self, lighting: dict, anchor) -> None:  # pragma: no cover
+        """Per-scene DR light `lighting.height` above the surface anchor
+        + the distant environment light (reference: std_object.py:25-55,
+        84-90; tables in dreds_protocol.LIGHT_TABLES)."""
+        rep = self._rep
+        lt = lighting["type"]
+        self._scene_light = rep.create.light(
+            light_type=lt, intensity=lighting["intensity"][0],
+            color=(1.0, 1.0, 1.0),
+            position=(float(anchor[0]), float(anchor[1]),
+                      float(anchor[2]) + lighting.get("height", 2.0)),
+            name=f"{lt}Light",
+        )
+        prim = self._world.stage.GetPrimAtPath(
+            f"/Replicator/{lt}Light_Xform/{lt}Light")
+        if "radius" in lighting and prim.GetAttribute("inputs:radius"):
+            prim.GetAttribute("inputs:radius").Set(lighting["radius"])
+        if lighting.get("treat_as_point") and prim.GetAttribute("treatAsPoint"):
+            prim.GetAttribute("treatAsPoint").Set(True)
+        self._env_light = rep.create.light(
+            light_type="Distant", intensity=lighting["env_intensity"][0],
+            name="DistantLight",
+        )
+
+    def set_scene_light_tick(self, scene_intensity: float,
+                             env_intensity: float) -> None:  # pragma: no cover
+        """Per-tick intensities: "on" for RGB ticks, dim "off" for IR
+        ticks where the projector supplies the light
+        (scene_replicator.py:319-326)."""
+        if getattr(self, "_scene_light", None) is not None:
+            with self._scene_light:
+                self._rep.modify.attribute("intensity", scene_intensity)
+        if getattr(self, "_env_light", None) is not None:
+            with self._env_light:
+                self._rep.modify.attribute("intensity", env_intensity)
+
     def set_renderer_mode(self, mode: str) -> None:  # pragma: no cover
         if mode == "PathTracing":
             self._rep.settings.set_render_pathtraced()
@@ -430,7 +466,9 @@ class SimBackend:
             (np.array([1.2, 0.3, 0.5]), eye, np.array([0.6, 0.3, 0.5]), "counter"),
         ]
 
-    def spawn_objects(self, surface, n: int, rng) -> List[str]:
+    def spawn_objects(self, surface, n: int, rng, models=None) -> List[str]:
+        if models is not None:
+            return [m["instance_name"] for m in models]
         return [f"obj_{i}" for i in range(n)]
 
     def settle_physics(self, objects, max_rounds: int = 10, steps: int = 250,
@@ -454,6 +492,19 @@ class SimBackend:
     def set_projector(self, on: bool) -> None:
         self._projector_on = on
 
+    def create_scene_light(self, lighting: dict, anchor) -> None:
+        self.lighting = dict(lighting)
+        self._light_scale = 1.0
+
+    def set_scene_light_tick(self, scene_intensity: float,
+                             env_intensity: float) -> None:
+        """Procedural analog of the per-tick light intensities: a
+        brightness factor relative to the Sphere table's nominal "on"
+        level, so the DR actually shows up in rendered pixels (CI can
+        assert rgb frames dim when the protocol dims the light)."""
+        self._light_scale = float(np.clip(
+            (scene_intensity + 10.0 * env_intensity) / 10000.0, 0.05, 2.0))
+
     def set_renderer_mode(self, mode: str) -> None:
         self.renderer_mode = mode
 
@@ -465,7 +516,12 @@ class SimBackend:
             return {"distance_to_image_plane": f["depth"]}
         if phase == "rgb":
             assert not self._projector_on, "projector must be off for RGB frames"
-            return {"rgb_RenderProduct_CameraRGB": f["rgb"]}
+            rgb = f["rgb"]
+            scale = getattr(self, "_light_scale", 1.0)
+            if scale != 1.0:
+                rgb = np.clip(rgb.astype(np.float32) * scale, 0,
+                              255).astype(rgb.dtype)
+            return {"rgb_RenderProduct_CameraRGB": rgb}
         if phase == "ir":
             assert self._projector_on, "projector must be on for IR frames"
             gray = lambda x: np.stack([x] * 3, axis=-1)

@@ -63,6 +63,10 @@ def sample_material_spec(rng: np.random.Generator, mclass: str) -> Dict:
             "thin_walled": bool(rng.integers(0, 2)),
             "depth_opaque": True,  # GT depth pass binds the opaque original
         }
+    if mclass == "raw":
+        # keep the asset's own material untouched (DREDS raw mode —
+        # dreds_renderer.py::generate_material_type)
+        return {"class": "raw"}
     if mclass == "diffuse":
         return {
             "class": "diffuse",

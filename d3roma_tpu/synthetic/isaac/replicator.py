@@ -32,7 +32,15 @@ from d3roma_tpu.synthetic.isaac.geometry import (
     camera_orbit_poses,
     surface_center_from_obb,
 )
-from d3roma_tpu.synthetic.isaac.materials import sample_scene_materials
+from d3roma_tpu.synthetic.isaac.dreds_protocol import (
+    dreds_select_models,
+    sample_lighting,
+    tick_intensities,
+)
+from d3roma_tpu.synthetic.isaac.materials import (
+    sample_material_spec,
+    sample_scene_materials,
+)
 from d3roma_tpu.synthetic.isaac.writers import (
     ColorWriter,
     FileBackend,
@@ -58,6 +66,16 @@ class ReplicatorConfig:
     hemisphere_elevation: Tuple[float, float] = (20.0, 70.0)
     material_probs: Tuple[float, float, float] = (0.4, 0.3, 0.3)  # diffuse/specular/transparent
     max_objects: int = 12
+    # model selection: "uniform" = n iid draws from the catalog;
+    # "dreds" = the DREDS per-scene class-structured protocol
+    # (dreds_protocol.dreds_select_models: guaranteed transparent-capable
+    # instances, 1-4 named, 1-3 distractors, per-class scale ranges and
+    # the mixed-mode material draw)
+    selection: str = "dreds"
+    # scene-light DR: candidate light types, each with its own
+    # geometry/intensity tables (dreds_protocol.LIGHT_TABLES; the
+    # reference config enables Sphere)
+    light_types: Tuple[str, ...] = ("Sphere",)
     render_disparity: bool = False
     renderer: str = "RayTracedLighting"  # or "PathTracing" for the photo pass
     hide_prim_names: Tuple[str, ...] = ("ceiling", "ceilings", "wall")
@@ -111,13 +129,36 @@ class IsaacReplicator:
     def _replicate_surface(self, surface, files: FileBackend, next_seq: int) -> int:
         cfg, b, rng = self.cfg, self.backend, self.rng
         centroid, axes, half_extent, category = surface
+        anchor, obb_meta = surface_center_from_obb(centroid, axes, half_extent)
 
-        n_obj = int(rng.integers(1, cfg.max_objects + 1))
-        objects = b.spawn_objects(surface, n_obj, rng)
+        models = None
+        if cfg.selection == "dreds":
+            from d3roma_tpu.synthetic.isaac.assets import scan_cad_catalog
+
+            catalog = scan_cad_catalog(cfg.cad_root)
+            if catalog:
+                models = dreds_select_models(rng, catalog)
+        if models is not None:
+            objects = b.spawn_objects(surface, len(models), rng,
+                                      models=models)
+            # material classes come from the protocol draw; only the
+            # per-material parameter DR remains to sample
+            specs = [sample_material_spec(rng, m["material_type"])
+                     for m in models]
+        else:
+            n_obj = int(rng.integers(1, cfg.max_objects + 1))
+            objects = b.spawn_objects(surface, n_obj, rng)
+            specs = sample_scene_materials(rng, len(objects),
+                                           cfg.material_probs)
         b.settle_physics(objects)
 
-        specs = sample_scene_materials(rng, n_obj, cfg.material_probs)
-        anchor, obb_meta = surface_center_from_obb(centroid, axes, half_extent)
+        # per-scene lighting DR (std_object.py:25-55); the per-tick
+        # intensity sequences follow scene_replicator.py:319-326
+        lighting = sample_lighting(rng, cfg.light_types)
+        if hasattr(b, "create_scene_light"):
+            b.create_scene_light(lighting, anchor)
+        scene_seq, env_seq = tick_intensities(lighting,
+                                              cfg.frames_per_surface)
         poses = camera_orbit_poses(
             rng, anchor, cfg.frames_per_surface,
             cfg.hemisphere_radius, cfg.hemisphere_elevation,
@@ -130,9 +171,11 @@ class IsaacReplicator:
             "models": [{"name": str(o), "material": s["class"], "spec": _jsonable(s)}
                        for o, s in zip(objects, specs)],
             "domain_randomization": {
+                "selection": cfg.selection if models is not None else "uniform",
                 "material_probs": list(cfg.material_probs),
                 "hemisphere_radius": list(cfg.hemisphere_radius),
                 "hemisphere_elevation": list(cfg.hemisphere_elevation),
+                "lighting": lighting,
             },
         })
 
@@ -160,6 +203,8 @@ class IsaacReplicator:
         b.bind_materials(objects, specs, opaque=False)
         b.set_renderer_mode(cfg.renderer)
         for i in range(2 * cfg.frames_per_surface):
+            if hasattr(b, "set_scene_light_tick"):
+                b.set_scene_light_tick(scene_seq[i], env_seq[i])
             if i % 2 == 0:
                 ticker.phase = "rgb"
                 b.set_projector(False)
