@@ -715,6 +715,7 @@ class GuidedLatentDiffusionPipeline:
         assert self.act_scales, "calibrate() first"
         new = {k: v for k, v in self.act_scales.items()
                if not k.endswith("@pins")}
+        has_q = any(k.endswith("@q") for k in new)
         if percentile is not None:
             qlist = list(self.act_scales.get("@quantiles") or ())
             if float(percentile) not in [float(q) for q in qlist]:
@@ -725,6 +726,13 @@ class GuidedLatentDiffusionPipeline:
             for k in list(new):
                 if k.endswith("@q"):
                     new[k[:-2]] = [float(max(row[col] * margin, 1e-8))
+                                   for row in new[k]]
+        elif has_q and margin != 1.25:
+            # margin-only re-derivation from the raw absmax column (a
+            # margin ablation costs no recapture)
+            for k in list(new):
+                if k.endswith("@q"):
+                    new[k[:-2]] = [float(max(row[0] * margin, 1e-8))
                                    for row in new[k]]
         for name, idx in (pins or {}).items():
             if new.get(name):

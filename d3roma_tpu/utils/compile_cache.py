@@ -19,7 +19,15 @@ import platform
 
 
 def machine_fingerprint() -> str:
-    """Short stable id of this host's ISA surface (arch + CPU flags)."""
+    """Short stable id of this host's ISA surface (arch + CPU flags) AND
+    the jax/jaxlib version pair. The version matters as much as the CPU:
+    XLA:CPU AOT entries embed compiler-chosen target features (e.g.
+    ``prefer-no-gather``) that a different XLA build does not accept —
+    the round-4 driver artifact showed entries failing to LOAD with
+    "machine feature mismatch" spam on the very host that wrote them,
+    which is version skew, not CPU skew. importlib.metadata keeps this
+    import-light (callers must set JAX_COMPILATION_CACHE_DIR before jax
+    imports)."""
     bits = [platform.system(), platform.machine()]
     try:
         with open("/proc/cpuinfo") as f:
@@ -29,6 +37,12 @@ def machine_fingerprint() -> str:
                     bits.append(line.split(":", 1)[-1].strip())
                     break
     except OSError:
+        pass
+    try:
+        from importlib.metadata import version
+
+        bits += [version("jax"), version("jaxlib")]
+    except Exception:  # noqa: BLE001 — versionless envs still get keyed
         pass
     return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
 

@@ -63,10 +63,13 @@ import re
 
 
 def parse_cfg(cfg):
-    """"2" | "2d2" | "FSFSFSFSFF" | "FSFSFSFSFFd2" | "1q0.999" ->
-    (schedule: int|str, depth: int, clip_pct: float|None)."""
+    """"2" | "2d2" | "FSFSFSFSFF" | "FSFSFSFSFFd2" | "1q0.999" |
+    "1m1.0" -> (schedule: int|str, depth, clip_pct, margin).
+    m<margin> re-derives absmax scales at a different PTQ margin from the
+    quantile capture (no recapture; int8 rows only)."""
     m = re.fullmatch(
-        r"([0-9]+|[FSfs]+)(?:d([0-9]+))?(?:q(0\.[0-9]+))?", cfg)
+        r"([0-9]+|[FSfs]+)(?:d([0-9]+))?(?:q(0\.[0-9]+))?"
+        r"(?:m([0-9.]+))?", cfg)
     assert m, f"bad DC_KS entry {cfg!r}"
     sched = m.group(1)
     if sched.isdigit():
@@ -75,7 +78,8 @@ def parse_cfg(cfg):
         sched = sched.upper()
     depth = int(m.group(2) or 1)
     clip = float(m.group(3)) if m.group(3) else None
-    return sched, depth, clip
+    margin = float(m.group(4)) if m.group(4) else None
+    return sched, depth, clip, margin
 
 
 KS = os.environ.get("DC_KS", "1,2,3,5").split(",")
@@ -253,13 +257,22 @@ def child(rows):
         pipeline.calibrate drives the pattern). Scales disk-cached per
         (checkpoint step, batch, cfg); q<pct> configs capture quantiles
         and clip (with_act_clipping) after loading."""
-        sched, depth, clip = parse_cfg(cfg)
+        sched, depth, clip, margin = parse_cfg(cfg)
         pipe = apply_deepcache(base_pipe.fast_inference("throughput"),
                                sched, depth)
         tag = cfg.replace(".", "p")
         cache = os.path.join(WORK, f"dc_act_scales_step"
                                    f"{counter.global_step}_b{BATCH}"
                                    f"_k{tag}.json")
+        if margin is not None and clip is None:
+            # a margin ablation replays the SAME capture as the matching
+            # q-config (raw absmax column) — reuse its scale file
+            base_cfg = cfg[:cfg.index("m")] + "q0.999"
+            alt = os.path.join(WORK, f"dc_act_scales_step"
+                                     f"{counter.global_step}_b{BATCH}"
+                                     f"_k{base_cfg.replace('.', 'p')}.json")
+            if not os.path.exists(cache) and os.path.exists(alt):
+                cache = alt
         if cfg == "1":  # pre-rework capture file (same schedule for k=1)
             for legacy in (
                     os.path.join(WORK, f"dc_act_scales_step"
@@ -283,7 +296,10 @@ def child(rows):
                       sim_disp=b["sim_disp"])],
                 cond_channels=config.cond_channels,
                 num_inference_steps=config.num_inference_timesteps,
-                quantiles=((clip,) if clip else None),
+                # margin-only configs still need the raw-absmax capture
+                # (@q col 0); capture one cheap quantile to get it
+                quantiles=((clip,) if clip
+                           else ((0.999,) if margin else None)),
             )
             with open(cache, "w") as f:
                 json.dump(pipe.act_scales, f)
@@ -291,13 +307,15 @@ def child(rows):
                   f"{time.time() - t0:.0f}s -> {cache}", file=sys.stderr)
         if clip:
             pipe = pipe.with_act_clipping(percentile=clip)
+        elif margin is not None:
+            pipe = pipe.with_act_clipping(margin=margin)
         return pipe
 
     for mode, k in rows:
         if mode == "int8":
             pipe = calibrated_int8(k)
         else:
-            sched, depth, _ = parse_cfg(k)
+            sched, depth, _, _ = parse_cfg(k)
             pipe = apply_deepcache(base_pipe, sched, depth)
         for attempt in (1, 2):
             t0 = time.time()
