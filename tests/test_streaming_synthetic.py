@@ -190,3 +190,85 @@ def test_file_replay_accepts_bundled_rgb_naming(tmp_path):
     rgb, depth = next(src.frames())
     assert rgb.shape == (24, 32, 3) and depth.shape == (24, 32)
     assert 0.3 < float(depth.mean()) < 2.1  # mm -> meters conversion
+
+
+# ---------------------------------------------------------------------- #
+# Startup compile-probe (round 5 — VERDICT r4 #6)
+# ---------------------------------------------------------------------- #
+
+
+def test_streaming_probe_falls_through_to_first_compilable(tmp_path, monkeypatch):
+    """select_streaming_mode probes candidates in preference order in a
+    child process and picks the first that exits 0; failures and
+    timeouts burn a slot, not the server. Child invocation is stubbed at
+    subprocess level (the real probe child builds the full pipeline)."""
+    import subprocess as sp
+
+    from d3roma_tpu.streaming import probe
+
+    calls = []
+
+    def fake_run(cmd, timeout=None, capture_output=None):
+        mode = [a.split("=")[1] for a in cmd
+                if a.startswith("task.fast_inference=")][0]
+        calls.append(mode)
+
+        class R:
+            returncode = 0 if mode == "dense" else 1
+            stderr = b"" if mode == "dense" else b"HTTP 500 tpu_compile"
+        return R()
+
+    monkeypatch.setattr(sp, "subprocess", sp, raising=False)
+    monkeypatch.setattr(probe.subprocess, "run", fake_run)
+    rec = tmp_path / "results.jsonl"
+    out = probe.select_streaming_mode(
+        ["task=eval_ldm"], records_path=str(rec))
+    assert calls == ["latency", "dense"]  # stopped at the winner
+    assert out["mode"] == "dense"
+    assert "task.fast_inference=dense" in out["overrides"]
+    assert out["probe"][0]["ok"] is False
+    assert "HTTP 500" in out["probe"][0]["error"]
+    assert out["probe"][1]["ok"] is True
+    # outcome recorded for perf logs
+    import json as _json
+
+    row = _json.loads(rec.read_text().splitlines()[-1])
+    assert row["kind"] == "streaming_probe" and row["mode"] == "dense"
+
+
+def test_streaming_probe_timeout_and_no_winner(tmp_path, monkeypatch):
+    import subprocess as sp
+
+    from d3roma_tpu.streaming import probe
+
+    def fake_run(cmd, timeout=None, capture_output=None):
+        raise sp.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(probe.subprocess, "run", fake_run)
+    out = probe.select_streaming_mode(
+        ["task=eval_ldm"], candidates=("latency",), timeout_s=1.0,
+        records_path=str(tmp_path / "r.jsonl"))
+    assert out["mode"] is None
+    assert "timed out" in out["probe"][0]["error"]
+    # caller's overrides unchanged when nothing compiled
+    assert out["overrides"] == ["task=eval_ldm"]
+
+
+def test_http_server_metrics_carries_probe_info():
+    from d3roma_tpu.streaming import InferenceHTTPServer
+
+    info = {"mode": "dense", "probe": [{"mode": "latency", "ok": False}]}
+    srv = InferenceHTTPServer(lambda frames: [f[1] for f in frames],
+                              probe_info=info)
+    assert srv.metrics["streaming_probe"] == info
+
+
+def test_fast_inference_dense_mode():
+    """'dense' = latency kernels + dynamic int8 projections (the fastest
+    batch-1 config that COMPILES when the relay rejects bf16)."""
+    from tests.test_calibration import _tiny_latent_pipe
+
+    pipe = _tiny_latent_pipe().fast_inference("dense")
+    assert pipe.unet.quant == "dense"
+    assert pipe.vae.quant == "dense"
+    assert pipe.unet.use_flash_attention == "pallas-self"
