@@ -385,3 +385,24 @@ def test_shallow_flops_depth_accounting():
     expect = (6 * out["unet_per_step"] + 4 * s2
               + 2 * out["vae_encode"] + out["vae_decode"])
     assert out["total"] == expect
+
+
+def test_config_schedule_string_and_depth_knobs():
+    """task.deepcache accepts F/S pattern strings (kept as str by the
+    override coercion) and task.deepcache_depth wires the shallow-pass
+    depth; deepcache_active distinguishes all-full patterns."""
+    from d3roma_tpu.config import compose, deepcache_active
+
+    cfg = compose(overrides=["task=eval_ldm", "task.deepcache=FSFSFSFSFF",
+                             "task.deepcache_depth=2"]).task
+    assert cfg.deepcache == "FSFSFSFSFF" and cfg.deepcache_depth == 2
+    assert deepcache_active(cfg.deepcache)
+    assert not deepcache_active("FFFF")
+    assert not deepcache_active(1)
+    assert deepcache_active(2)
+
+    pipe = _tiny_latent_pipe().deepcache(cfg.deepcache,
+                                         depth=cfg.deepcache_depth)
+    assert pipe.cache_schedule == "FSFSFSFSFF"
+    assert pipe.unet.cache_depth == 2
+    assert pipe.cache_active
