@@ -149,7 +149,7 @@ def parent():
     results = {(m, k): json.load(open(_row_path(m, k))) for m, k in wanted}
     exact = results[("bf16", "1")]
     doc = {
-        "checkpoint_step": results[("bf16", 1)].get("_checkpoint_step"),
+        "checkpoint_step": results[("bf16", "1")].get("_checkpoint_step"),
         "frames": FRAMES,
         "steps": 10,
         "note": ("drift_pct = vs bf16 exact (mode=bf16,k=1) — for int8 "
