@@ -211,27 +211,36 @@ def test_autoselect_never_escalates_deepcache(tmp_path):
 
 
 def test_default_deepcache_is_accuracy_gated():
-    """bench.DEFAULT_DEEPCACHE may only name an interval whose measured
-    drift — on the COMBINED shipped config (DeepCache x the default int8
-    path) — is inside the <1% AbsRel parity bar (BASELINE.md), as
-    committed at docs/deepcache_accuracy.json. Interval 1 (exact) is
-    always admissible. Speed records never move the constant; this test
-    is the coupling the advisor asked for."""
+    """bench.DEFAULT_DEEPCACHE may only name a schedule (uniform
+    interval OR an F/S pattern string, optionally with
+    DEFAULT_DEEPCACHE_DEPTH) whose measured drift — on the COMBINED
+    shipped config (DeepCache x the default int8 path) — is inside the
+    <1% AbsRel parity bar (BASELINE.md), as committed at
+    docs/deepcache_accuracy.json under the sweep harness's config key
+    ("2", "FSFSFSFSFF", "2d2", ...). "1" (exact) is always admissible.
+    Speed records never move the constant; this test is the coupling the
+    advisor asked for."""
     bench = _load_bench()
-    k = int(bench.DEFAULT_DEEPCACHE)
-    if k == 1:
+    dc = bench.DEFAULT_DEEPCACHE
+    depth = getattr(bench, "DEFAULT_DEEPCACHE_DEPTH", "1")
+    if dc == "1" and depth == "1":
         return  # exact numerics — nothing to gate
+    cfg_key = dc + (f"d{depth}" if depth != "1" else "")
     table_path = os.path.join(_REPO, "docs", "deepcache_accuracy.json")
     assert os.path.exists(table_path), (
-        f"DEFAULT_DEEPCACHE={k} > 1 requires a committed measured drift "
-        f"table at {table_path}")
+        f"DEFAULT_DEEPCACHE={cfg_key} requires a committed measured "
+        f"drift table at {table_path}")
     with open(table_path) as f:
         doc = json.load(f)
     rows = doc["combined_int8"] if "combined_int8" in doc else doc["table"]
-    row = rows[str(k)]
+    assert cfg_key in rows, (
+        f"DEFAULT_DEEPCACHE={cfg_key} has no measured combined-int8 row "
+        f"in {table_path} — run scripts/deepcache_accuracy.py with "
+        f"DC_KS=1,{cfg_key}")
+    row = rows[cfg_key]
     assert abs(row["depth_rel_drift_pct"]) < 1.0, (
-        f"interval {k} AbsRel drift {row['depth_rel_drift_pct']}% exceeds "
-        f"the 1% parity bar — demote DEFAULT_DEEPCACHE")
+        f"config {cfg_key} AbsRel drift {row['depth_rel_drift_pct']}% "
+        f"exceeds the 1% parity bar — demote DEFAULT_DEEPCACHE")
 
 
 def test_record_result_roundtrip(tmp_path):
