@@ -49,6 +49,11 @@ def _set_env(records, **env):
     for k in _ENV_KEYS:
         os.environ.pop(k, None)
     os.environ["BENCH_RECORDS"] = str(records)
+    # pin the deepcache identity to "1" (matching _write_records' base)
+    # unless a test overrides it: these tests exercise QUANT autoselect
+    # logic, which is orthogonal to whatever accuracy-gated schedule the
+    # bench default names this round
+    env.setdefault("BENCH_DEEPCACHE", "1")
     os.environ.update(env)
 
 
@@ -182,9 +187,9 @@ def test_autoselect_never_escalates_deepcache(tmp_path):
     ])
     _set_env(rec)
     bench._maybe_autoselect_quant()
-    # the k=8 records are invisible: no quant flip, no interval change
+    # the k=8 records are invisible: no quant flip, no schedule change
     assert os.environ.get("BENCH_QUANT") is None
-    assert os.environ.get("BENCH_DEEPCACHE") is None
+    assert os.environ.get("BENCH_DEEPCACHE") == "1"
 
     # a user-pinned interval restricts comparisons to that interval and
     # survives; quant autoselect still works within it
@@ -251,7 +256,7 @@ def test_record_result_roundtrip(tmp_path):
     with open(rec) as f:
         row = json.loads(f.read())
     assert row["quant"] == "wino_static" and row["wc"] == "1"
-    assert row["deepcache"] == bench.DEFAULT_DEEPCACHE
+    assert row["deepcache"] == bench._deepcache_key()
     assert row["fps"] == 18.123
     # a fresh default run sees the single wino record, no static -> no flip
     _set_env(rec)
