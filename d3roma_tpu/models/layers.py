@@ -367,7 +367,7 @@ class CrossAttention(nn.Module):
                     # in XLA — a Mosaic kernel compile in the capture
                     # program adds nothing to the statistics and made the
                     # capture compiles outlive the remote relay connection
-                    mode, s = consume_act_scale(x)
+                    mode, s = consume_act_scale(x, kind="attn")
                     if mode == "float":
                         xf = x.astype(self.dtype)
                         qf = (xf @ wq.astype(self.dtype)).reshape(
@@ -521,7 +521,7 @@ class FeedForward(nn.Module):
             k2, b2 = _DenseParams(f, self.dim, name="net_2")()
             ascale = STATIC_ACT_SCALE
             if q:
-                mode, s = consume_act_scale(x)  # calibrated per-call scale
+                mode, s = consume_act_scale(x, kind="geglu")  # calibrated per-call scale
                 if mode == "float":
                     # capture pass: tap recorded; run the GEGLU math inline
                     # in XLA (no Mosaic compile in the capture program)

@@ -114,15 +114,18 @@ class _ActScaleCtx(threading.local):
         self.idx = 0
         self.quantiles = None
         self.pins = frozenset()
+        self.shape_log = None
 
 
 _ACTX = _ActScaleCtx()
 
 
 class _ScaleCtxManager:
-    def __init__(self, mode, payload, quantiles=None, pins=()):
+    def __init__(self, mode, payload, quantiles=None, pins=(),
+                 shape_log=None):
         self.mode, self.payload = mode, payload
         self.quantiles, self.pins = quantiles, pins
+        self.shape_log = shape_log
 
     def __enter__(self):
         assert _ACTX.mode is None, "nested act-scale contexts"
@@ -131,6 +134,7 @@ class _ScaleCtxManager:
             _ACTX.taps = self.payload
             _ACTX.quantiles = (tuple(self.quantiles)
                                if self.quantiles else None)
+            _ACTX.shape_log = self.shape_log
         else:
             _ACTX.scales = list(self.payload)
             _ACTX.idx = 0
@@ -145,6 +149,7 @@ class _ScaleCtxManager:
         _ACTX.idx = 0
         _ACTX.quantiles = None
         _ACTX.pins = frozenset()
+        _ACTX.shape_log = None
         if self.mode == "replay" and exc[0] is None:
             # idx == 0 means the jit cache was hit (no tracing happened);
             # anything else but full consumption is a call-order drift.
@@ -168,12 +173,19 @@ def act_ctx_mode():
     return _ACTX.mode
 
 
-def capture_act_scales(taps: list, quantiles=None):
+def capture_act_scales(taps: list, quantiles=None, shape_log=None):
     """Context: static int8 ops record absmax(x)/127 tracers into `taps`
     and compute in float (the calibration forward). With `quantiles`
     (e.g. (0.9995, 0.999)), each tap is [absmax, q...]/127 instead of a
-    scalar — see _ActScaleCtx."""
-    return _ScaleCtxManager("capture", taps, quantiles=quantiles)
+    scalar — see _ActScaleCtx.
+
+    `shape_log`, when a list, additionally records `(kind, x.shape)` per
+    call in call order (kind in {"dot","conv","attn","geglu"}) — shapes
+    are static at trace time, so this works under `jax.eval_shape` with
+    no device compute. It is how call indices are mapped back to layers
+    (pipeline.quant_call_map / kind_pins: per-layer-class bf16 pinning)."""
+    return _ScaleCtxManager("capture", taps, quantiles=quantiles,
+                            shape_log=shape_log)
 
 
 def replay_act_scales(scales, pins=()):
@@ -183,15 +195,19 @@ def replay_act_scales(scales, pins=()):
     return _ScaleCtxManager("replay", scales, pins=pins)
 
 
-def consume_act_scale(x):
+def consume_act_scale(x, kind=None):
     """Per-call activation-scale hook for the static int8 paths.
 
     Returns ("float", None) in capture mode (after recording the tap) —
     the caller must run the unquantized op; otherwise ("int8", scale)
     where scale is a python float (replay) or STATIC_ACT_SCALE, or
-    ("float", None) for a bf16-pinned replay index.
+    ("float", None) for a bf16-pinned replay index. `kind` labels the
+    call site for the capture-mode shape log (see capture_act_scales).
     """
     if _ACTX.mode == "capture":
+        if _ACTX.shape_log is not None:
+            _ACTX.shape_log.append(
+                (kind, tuple(int(d) for d in x.shape)))
         ax = jnp.abs(x.astype(jnp.float32))
         if _ACTX.quantiles:
             qs = jnp.quantile(ax.reshape(-1),
@@ -228,7 +244,7 @@ def int8_dot_general_static(lhs, rhs, dimension_numbers, precision=None,
             preferred_element_type=preferred_element_type,
         )
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
-    mode, scale = consume_act_scale(lhs)
+    mode, scale = consume_act_scale(lhs, kind="dot")
     if mode == "float":  # calibration capture pass
         return lax.dot_general(
             lhs, rhs, dimension_numbers, precision=precision,
@@ -263,7 +279,7 @@ def int8_conv_general_dilated_static(lhs, rhs, window_strides, padding,
             precision=precision, preferred_element_type=preferred_element_type,
         )
     out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
-    mode, scale = consume_act_scale(lhs)
+    mode, scale = consume_act_scale(lhs, kind="conv")
     if mode == "float":  # calibration capture pass
         return lax.conv_general_dilated(
             lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
@@ -305,7 +321,7 @@ def int8_conv_mxu(lhs, rhs, window_strides, padding,
         and conv3x3_supported(lhs.shape, rhs.shape, window_strides, padding,
                               jnp.int8)
     ):
-        mode, scale = consume_act_scale(lhs)
+        mode, scale = consume_act_scale(lhs, kind="conv")
         if mode == "float":  # calibration capture pass
             return lax.conv_general_dilated(
                 lhs, rhs, window_strides, padding, lhs_dilation,
@@ -404,7 +420,7 @@ def int8_conv_halo(lhs, rhs, window_strides, padding,
         and rhs_dilation in (None, (1, 1))
         and halo_conv_supported(lhs.shape, rhs.shape, window_strides, padding)
     ):
-        mode, scale = consume_act_scale(lhs)
+        mode, scale = consume_act_scale(lhs, kind="conv")
         if mode == "float":  # calibration capture pass
             return lax.conv_general_dilated(
                 lhs, rhs, window_strides, padding, lhs_dilation,

@@ -697,6 +697,82 @@ class GuidedLatentDiffusionPipeline:
             act_scales["@quantiles"] = [float(q) for q in quantiles]
         return _dc.replace(pipe, act_scales=act_scales)
 
+    def quant_call_map(self, batch: int = 16, height: int = 360,
+                       width: int = 640) -> dict:
+        """The static-int8 call-order map — `{"unet": [(kind, shape),
+        ...], "unet_cached": [...]}` with kind in {"dot","conv","attn",
+        "geglu"} — i.e. which layer each replay-table index belongs to.
+
+        Derived from an ABSTRACT capture trace (`jax.eval_shape` with a
+        shape log, ops/quant.py::capture_act_scales) — no device
+        compute, no weight reads — so the map always reflects THIS
+        pipe's deployed gate configuration (quant mode, fused-kernel
+        gates, deepcache depth, tp_mesh). `batch`/`height`/`width` must
+        match the DEPLOYMENT shapes: the fused-kernel and wino gates
+        are shape-dependent, and a gate flip changes the call order
+        (same contract as calibrate()).
+
+        NOTE the classic PTQ "sensitive layers" — conv_in, conv_out and
+        the time-embedding MLP — are architecturally EXCLUDED from
+        quantization in this design (models/unet2d_condition.py:
+        conv_in/TimestepEmbedding plain bf16, conv_out pinned fp32), so
+        they never appear here; the int8 drift budget lives entirely in
+        the interior resnet/attention/FF calls this map indexes. Use
+        `kind_pins` to bf16-pin a whole kind for per-layer-class drift
+        ablation (VERDICT r4 #2)."""
+        import dataclasses as _dc
+
+        from d3roma_tpu.ops.quant import capture_act_scales
+
+        pipe = self
+        if pipe.unet.quant not in ("static", "mxu", "halo", "wino_static"):
+            # same normalization as calibrate(): the trace must see the
+            # static-int8 injected ops or no call is recorded at all
+            pipe = _dc.replace(
+                pipe, unet=_dc.replace(pipe.unet, quant="static"))
+        unet = pipe.unet
+
+        h, w = height // 8, width // 8
+        c_in = int(unet.in_channels)
+        x = jax.ShapeDtypeStruct((batch, h, w, c_in), jnp.bfloat16)
+        t = jax.ShapeDtypeStruct((batch,), jnp.int32)
+        ctx = jax.ShapeDtypeStruct(
+            (batch,) + tuple(pipe.text_embed.shape[1:]), jnp.bfloat16)
+        params = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            pipe.unet_params)
+
+        def _trace(fn, *args):
+            log = []
+            with capture_act_scales([], shape_log=log):
+                out = jax.eval_shape(fn, *args)
+            return log, out
+
+        full_log, (_, trunk) = _trace(
+            lambda p, xx, tt, cc: unet.apply(
+                {"params": p}, xx, tt, cc, return_trunk=True),
+            params, x, t, ctx)
+        cached_log, _ = _trace(
+            lambda p, xx, tt, cc, tr: unet.apply(
+                {"params": p}, xx, tt, cc, cached_trunk=tr),
+            params, x, t, ctx, trunk)
+        return {"unet": full_log, "unet_cached": cached_log}
+
+    def kind_pins(self, kinds, batch: int = 16, height: int = 360,
+                  width: int = 640) -> dict:
+        """Pin dict (`with_act_clipping(pins=...)` form) selecting every
+        unet/unet_cached call whose kind is in `kinds` — one-command
+        per-layer-class bf16 ablation of the int8 drift budget, e.g.
+        `pipe.with_act_clipping(pins=pipe.kind_pins(("attn",)))` runs
+        the self-attention stack unquantized while everything else keeps
+        its calibrated int8 scales. Kinds: "dot" (dense/proj matmuls),
+        "conv" (resnet/up/downsample convs), "attn" (whole-row fused
+        attention), "geglu" (fused feed-forward)."""
+        kinds = frozenset(kinds)
+        cmap = self.quant_call_map(batch=batch, height=height, width=width)
+        return {tab: [i for i, (kind, _) in enumerate(log) if kind in kinds]
+                for tab, log in cmap.items()}
+
     def with_act_clipping(self, percentile=None, margin: float = 1.25,
                           pins=None) -> "GuidedLatentDiffusionPipeline":
         """Re-derive the flat static-int8 replay tables from a

@@ -64,12 +64,18 @@ import re
 
 def parse_cfg(cfg):
     """"2" | "2d2" | "FSFSFSFSFF" | "FSFSFSFSFFd2" | "1q0.999" |
-    "1m1.0" -> (schedule: int|str, depth, clip_pct, margin).
+    "1m1.0" | "1pattn" -> (schedule: int|str, depth, clip_pct, margin,
+    pin_kind).
     m<margin> re-derives absmax scales at a different PTQ margin from the
-    quantile capture (no recapture; int8 rows only)."""
+    quantile capture (no recapture; int8 rows only). p<kind> bf16-pins a
+    whole layer class at replay (kind in dot/conv/attn/geglu —
+    pipeline.kind_pins; int8 rows only) for per-layer-class drift
+    ablation: the classic PTQ-sensitive layers (conv_in/conv_out/
+    time-embed) are architecturally unquantized in this design, so the
+    int8 drift budget decomposes over these interior classes."""
     m = re.fullmatch(
         r"([0-9]+|[FSfs]+)(?:d([0-9]+))?(?:q(0\.[0-9]+))?"
-        r"(?:m([0-9.]+))?", cfg)
+        r"(?:m([0-9.]+))?(?:p(dot|conv|attn|geglu))?", cfg)
     assert m, f"bad DC_KS entry {cfg!r}"
     sched = m.group(1)
     if sched.isdigit():
@@ -79,7 +85,8 @@ def parse_cfg(cfg):
     depth = int(m.group(2) or 1)
     clip = float(m.group(3)) if m.group(3) else None
     margin = float(m.group(4)) if m.group(4) else None
-    return sched, depth, clip, margin
+    pin_kind = m.group(5) or None
+    return sched, depth, clip, margin, pin_kind
 
 
 KS = os.environ.get("DC_KS", "1,2,3,5").split(",")
@@ -125,7 +132,8 @@ def parent():
     import subprocess
 
     wanted = [(m, k) for m in MODES for k in KS
-              if not (m == "bf16" and "q" in k)]  # clipping is int8-only
+              # clipping (q...) and pinning (p...) are int8-only levers
+              if not (m == "bf16" and parse_cfg(k)[2:] != (None, None, None))]
     missing = [(m, k) for (m, k) in wanted
                if not os.path.exists(_row_path(m, k))]
     group_n = int(os.environ.get("DC_ROWS_PER_CHILD", "2"))
@@ -257,9 +265,13 @@ def child(rows):
         pipeline.calibrate drives the pattern). Scales disk-cached per
         (checkpoint step, batch, cfg); q<pct> configs capture quantiles
         and clip (with_act_clipping) after loading."""
-        sched, depth, clip, margin = parse_cfg(cfg)
+        sched, depth, clip, margin, pin_kind = parse_cfg(cfg)
         pipe = apply_deepcache(base_pipe.fast_inference("throughput"),
                                sched, depth)
+        if pin_kind:
+            # pinning changes REPLAY only — reuse the unpinned base
+            # config's capture (same scale file)
+            cfg = cfg[:cfg.rindex("p" + pin_kind)] or "1"
         tag = cfg.replace(".", "p")
         cache = os.path.join(WORK, f"dc_act_scales_step"
                                    f"{counter.global_step}_b{BATCH}"
@@ -309,13 +321,17 @@ def child(rows):
             pipe = pipe.with_act_clipping(percentile=clip)
         elif margin is not None:
             pipe = pipe.with_act_clipping(margin=margin)
+        if pin_kind:
+            pipe = pipe.with_act_clipping(
+                pins=pipe.kind_pins((pin_kind,), batch=BATCH,
+                                    height=360, width=640))
         return pipe
 
     for mode, k in rows:
         if mode == "int8":
             pipe = calibrated_int8(k)
         else:
-            sched, depth, _, _ = parse_cfg(k)
+            sched, depth, _, _, _ = parse_cfg(k)
             pipe = apply_deepcache(base_pipe, sched, depth)
         for attempt in (1, 2):
             t0 = time.time()

@@ -400,3 +400,83 @@ def test_replay_pins_run_float_and_keep_call_order():
     np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=1e-7)
     # 2.0 / 0.004 = 500 > 127 -> clipped to 127*0.004 = 0.508
     assert abs(float(out1[0, 2]) - 0.508) < 1e-6
+
+
+def test_quant_call_map_abstract_trace_and_kind_pins():
+    """quant_call_map derives the static-int8 call-order map from an
+    abstract (eval_shape) trace: entry counts match the real capture's
+    tap counts per table, the classic PTQ-sensitive layers (conv_in /
+    conv_out / time-embed) never appear (architecturally unquantized —
+    models/unet2d_condition.py), and kind_pins selects exactly the
+    requested layer class."""
+    pipe = _tiny_latent_pipe()
+    cmap = pipe.quant_call_map(batch=2, height=32, width=32)
+    assert set(cmap) == {"unet", "unet_cached"}
+    # the shallow cached pass visits a strict subset of call sites
+    assert 0 < len(cmap["unet_cached"]) < len(cmap["unet"])
+    for log in cmap.values():
+        for kind, shape in log:
+            assert kind in ("dot", "conv", "attn", "geglu")
+            # conv_in input (12ch raw latent stack) is never quantized;
+            # rank-2 time-embed dots are never quantized
+            assert not (kind == "conv" and shape[-1] == 12)
+            assert not (kind == "dot" and len(shape) == 2)
+    # the map's length equals the number of scales the REAL capture
+    # records (the call-order contract pins/replay rely on)
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from d3roma_tpu.ops.quant import capture_act_scales
+
+    qpipe = _dc.replace(pipe, unet=_dc.replace(pipe.unet, quant="static"))
+    taps = []
+    x = jnp.zeros((2, 4, 4, 12), jnp.bfloat16)
+    ctx = jnp.zeros((2, 3, 16), jnp.bfloat16)
+    with capture_act_scales(taps):
+        qpipe.unet.apply({"params": qpipe.unet_params}, x,
+                         jnp.zeros((2,), jnp.int32), ctx)
+    assert len(taps) == len(cmap["unet"])
+    # kind_pins: exactly the conv entries, as replay-table indices
+    pins = pipe.kind_pins(("conv",), batch=2, height=32, width=32)
+    for tab in ("unet", "unet_cached"):
+        expect = [i for i, (k, _) in enumerate(cmap[tab]) if k == "conv"]
+        assert pins[tab] == expect
+
+
+def test_kind_pins_replay_runs_and_changes_output():
+    """A kind-pinned replay keeps the scale call-order contract (no
+    consumed-count drift) while running the pinned class in bf16 —
+    the output matches the fully-quantized replay less closely than
+    itself (i.e. pinning really changes the compute path)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    pipe = _tiny_latent_pipe()
+    qpipe = _dc.replace(pipe, unet=_dc.replace(pipe.unet, quant="static"))
+    n = len(pipe.quant_call_map(batch=2, height=32, width=32)["unet"])
+    scales = {"unet": [0.05] * n}
+    base = _dc.replace(qpipe, act_scales=scales)
+    pinned = base.with_act_clipping(
+        pins=base.kind_pins(("conv",), batch=2, height=32, width=32))
+    assert pinned.act_scales["unet@pins"]
+
+    x = jnp.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 12)),
+        jnp.bfloat16)
+    ctx = jnp.zeros((2, 3, 16), jnp.bfloat16)
+    t = jnp.zeros((2,), jnp.int32)
+
+    def run(p):
+        fn = p._replayed(
+            lambda xx: p.unet.apply({"params": p.unet_params}, xx, t, ctx),
+            "unet")
+        return jax.jit(fn)(x)
+
+    out_q = run(base)
+    out_pin = run(pinned)
+    # pinned path really diverges from the all-int8 one
+    assert float(jnp.max(jnp.abs(out_q - out_pin))) > 0.0
