@@ -262,3 +262,34 @@ def test_record_result_roundtrip(tmp_path):
     _set_env(rec)
     bench._maybe_autoselect_quant()
     assert os.environ.get("BENCH_QUANT") is None
+
+
+def test_sweep_parse_cfg_grammar(tmp_path, monkeypatch):
+    """The accuracy sweep's DC_KS grammar: uniform interval / pattern
+    string, d<depth>, q<pct>, m<margin>, and the p<kind> per-layer-class
+    pin suffix (int8-only replay lever sharing the unpinned capture)."""
+    import importlib.util
+
+    monkeypatch.setenv("DC_RUN", str(tmp_path))
+    monkeypatch.setenv("DC_KS", "1")
+    cwd = os.getcwd()
+    spec = importlib.util.spec_from_file_location(
+        "dc_sweep", os.path.join(_REPO, "scripts", "deepcache_accuracy.py"))
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        os.chdir(cwd)
+    assert mod.parse_cfg("1") == (1, 1, None, None, None)
+    assert mod.parse_cfg("2d2") == (2, 2, None, None, None)
+    assert mod.parse_cfg("FSFSFSFSFF") == ("FSFSFSFSFF", 1, None, None, None)
+    assert mod.parse_cfg("FSFSFSFSFFd2") == ("FSFSFSFSFF", 2, None, None,
+                                             None)
+    assert mod.parse_cfg("1q0.999") == (1, 1, 0.999, None, None)
+    assert mod.parse_cfg("1m1.0") == (1, 1, None, 1.0, None)
+    assert mod.parse_cfg("1pattn") == (1, 1, None, None, "attn")
+    assert mod.parse_cfg("2d2pconv") == (2, 2, None, None, "conv")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        mod.parse_cfg("1pbogus")
