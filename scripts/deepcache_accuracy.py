@@ -45,7 +45,11 @@ Env:
                                   medium split, ~2/3 step FLOPs)
                        q<pct>   = int8 activation-scale percentile
                                   clipping (e.g. q0.999; int8 rows only)
-                     e.g. DC_KS=1,2,FSFSFSFSFF,2d2,1q0.999
+                       p<kind>  = bf16-pin a whole layer class at replay
+                                  (dot|conv|attn|geglu — pipeline.kind_pins;
+                                  int8 rows only, shares the unpinned
+                                  config's capture)
+                     e.g. DC_KS=1,2,FSFSFSFSFF,2d2,1q0.999,1pattn
   DC_MODES=bf16,int8 precision modes
   DC_FRAMES=64       eval frames (generated procedurally if absent)
   DC_BATCH=4         eval batch size — the RELAY-PROVEN compile shape
